@@ -1,0 +1,415 @@
+"""User model definition.
+
+Mirrors the reference ``nessai/model.py`` API: a ``Model`` has ``names``,
+``bounds`` and implements ``log_prior``/``log_likelihood`` over structured
+arrays. TPU-first additions:
+
+- optional ``jax_log_likelihood(x: jnp[n, dims])`` / ``jax_log_prior`` hooks:
+  if implemented, batched evaluation runs jitted on device (and can be
+  sharded over a mesh via :mod:`nessai_tpu.parallel`);
+- vectorisation auto-detection and chunking, as in the reference
+  (``nessai/model.py:247-316``);
+- a ``multiprocessing.Pool`` path for scalar pure-Python likelihoods
+  (``nessai/model.py:326-396``).
+"""
+
+import datetime
+import logging
+from abc import ABC, abstractmethod
+from typing import List, Optional
+
+import numpy as np
+
+from . import config
+from .livepoint import (
+    empty_structured_array,
+    live_points_to_array,
+    numpy_array_to_live_points,
+    unstructured_view as _unstructured_view,
+)
+from .utils.errors import RNGNotSetError
+from .utils.multiprocessing import (
+    batch_evaluate_function,
+    check_vectorised_function,
+    get_n_pool,
+    initialise_pool_variables,
+    log_likelihood_wrapper,
+    log_prior_wrapper,
+)
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Model", "ModelError", "OneDimensionalModelError"]
+
+
+class ModelError(RuntimeError):
+    """Raised for invalid models. Reference: ``nessai/model.py:33``."""
+
+
+class OneDimensionalModelError(ModelError):
+    """Raised for 1-D models, which nessai does not support.
+
+    Reference: ``nessai/model.py:40``.
+    """
+
+
+class Model(ABC):
+    """Base class for user-defined problems.
+
+    Reference: ``nessai/model.py:53``.
+    """
+
+    names: List[str] = []
+    bounds: dict = {}
+
+    _lower = None
+    _upper = None
+    _dims = None
+    _vectorised_likelihood = None
+    _vectorised_prior = None
+    _pool_configured = False
+
+    likelihood_evaluations: int = 0
+    likelihood_evaluation_time = datetime.timedelta()
+    #: If set, vectorised likelihood calls are chunked to this size.
+    likelihood_chunksize: Optional[int] = None
+    #: Allow vectorised prior evaluation.
+    parallelise_prior: bool = False
+    allow_vectorised: bool = True
+    allow_multi_valued_likelihood: bool = False
+    pool = None
+    n_pool: Optional[int] = None
+    rng: Optional[np.random.Generator] = None
+
+    @property
+    def dims(self) -> int:
+        if self._dims is None and self.names:
+            self._dims = len(self.names)
+        return self._dims
+
+    @property
+    def lower_bounds(self) -> np.ndarray:
+        if self._lower is None and self.bounds:
+            self._lower = np.array([self.bounds[n][0] for n in self.names], dtype=float)
+        return self._lower
+
+    @property
+    def upper_bounds(self) -> np.ndarray:
+        if self._upper is None and self.bounds:
+            self._upper = np.array([self.bounds[n][1] for n in self.names], dtype=float)
+        return self._upper
+
+    # ------------------------------------------------------------------
+    # RNG
+    # ------------------------------------------------------------------
+    def set_rng(self, rng: np.random.Generator) -> None:
+        self.rng = rng
+
+    def _require_rng(self) -> np.random.Generator:
+        if self.rng is None:
+            logger.debug("Model rng not set, using default")
+            self.rng = np.random.default_rng()
+        return self.rng
+
+    # ------------------------------------------------------------------
+    # Abstract interface
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def log_prior(self, x: np.ndarray) -> np.ndarray:
+        """Log-prior of structured live points."""
+        raise NotImplementedError
+
+    @abstractmethod
+    def log_likelihood(self, x: np.ndarray) -> np.ndarray:
+        """Log-likelihood of structured live points."""
+        raise NotImplementedError
+
+    # Optional JAX hooks (TPU fast path). ``x`` is a jnp array [n, dims]
+    # ordered like ``names``.
+    jax_log_likelihood = None
+    jax_log_prior = None
+
+    @property
+    def has_jax_likelihood(self) -> bool:
+        return callable(self.jax_log_likelihood)
+
+    def to_unit_hypercube(self, x):
+        """Map live points to the unit hypercube (required by INS)."""
+        raise NotImplementedError
+
+    def from_unit_hypercube(self, x):
+        """Inverse of :meth:`to_unit_hypercube`."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Helpers
+    # ------------------------------------------------------------------
+    def in_bounds(self, x) -> np.ndarray:
+        """Elementwise check that points lie in the prior box.
+
+        Reference: ``nessai/model.py:581``.
+        """
+        return ~np.any(
+            [
+                (x[n] < self.bounds[n][0]) | (x[n] > self.bounds[n][1])
+                for n in self.names
+            ],
+            axis=0,
+        )
+
+    def in_unit_hypercube(self, x) -> np.ndarray:
+        """Reference: ``nessai/model.py:593``."""
+        return ~np.any(
+            [(x[n] < 0.0) | (x[n] > 1.0) for n in self.names], axis=0
+        )
+
+    def unstructured_view(self, x) -> np.ndarray:
+        """Zero-copy view of the parameters as ``[n, dims]``.
+
+        Reference: ``nessai/model.py:737``.
+        """
+        return _unstructured_view(x, names=self.names)
+
+    def parameter_in_bounds(self, x, name) -> np.ndarray:
+        return (x >= self.bounds[name][0]) & (x <= self.bounds[name][1])
+
+    def sample_parameter(self, name, n=1):
+        """Draw from the prior for one parameter — not implemented by
+        default. Reference: ``nessai/model.py:520``."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Prior sampling
+    # ------------------------------------------------------------------
+    def new_point(self, N: int = 1):
+        """Draw N points from within the prior box with finite log-prior,
+        by rejection. Reference: ``nessai/model.py:398-495``.
+        """
+        rng = self._require_rng()
+        out = empty_structured_array(N, names=self.names)
+        count = 0
+        while count < N:
+            n_draw = N - count
+            arr = rng.uniform(
+                self.lower_bounds, self.upper_bounds, (n_draw, self.dims)
+            )
+            points = numpy_array_to_live_points(arr, self.names)
+            log_p = self.batch_evaluate_log_prior(points)
+            finite = np.isfinite(log_p)
+            n_ok = int(finite.sum())
+            if n_ok:
+                out[count : count + n_ok] = points[finite]
+                count += n_ok
+        if N == 1:
+            return out[0:1]
+        return out
+
+    def new_point_log_prob(self, x) -> np.ndarray:
+        """Proposal log-probability of points drawn by :meth:`new_point`
+        (uniform in the box → equal to the log-prior for uniform priors;
+        computed as the prior for generality, matching the rejection
+        construction). Reference: ``nessai/model.py:497``.
+        """
+        return self.batch_evaluate_log_prior(x)
+
+    # ------------------------------------------------------------------
+    # Vectorisation detection
+    # ------------------------------------------------------------------
+    @property
+    def vectorised_likelihood(self) -> bool:
+        """Whether ``log_likelihood`` accepts batches.
+
+        Auto-detected by comparing batched and per-point outputs.
+        Reference: ``nessai/model.py:247-269``.
+        """
+        if self._vectorised_likelihood is None:
+            if self.has_jax_likelihood:
+                self._vectorised_likelihood = True
+            elif not self.allow_vectorised:
+                self._vectorised_likelihood = False
+            else:
+                x = self.new_point(4)
+                self._vectorised_likelihood = check_vectorised_function(
+                    self.log_likelihood, x
+                )
+        return self._vectorised_likelihood
+
+    @property
+    def vectorised_prior(self) -> bool:
+        """Reference: ``nessai/model.py:276-316``."""
+        if self._vectorised_prior is None:
+            try:
+                x = empty_structured_array(4, names=self.names)
+                rng = self._require_rng()
+                arr = rng.uniform(
+                    self.lower_bounds, self.upper_bounds, (4, self.dims)
+                )
+                for i, n in enumerate(self.names):
+                    x[n] = arr[:, i]
+                self._vectorised_prior = check_vectorised_function(
+                    self.log_prior, x
+                )
+            except Exception:
+                self._vectorised_prior = False
+        return self._vectorised_prior
+
+    # ------------------------------------------------------------------
+    # Pool configuration (scalar python likelihoods)
+    # ------------------------------------------------------------------
+    def configure_pool(self, pool=None, n_pool=None) -> None:
+        """Configure a worker pool for likelihood evaluation.
+
+        Reference: ``nessai/model.py:326-380``.
+        """
+        self.n_pool = n_pool
+        if pool is not None:
+            self.pool = pool
+            n = get_n_pool(pool)
+            if n is not None:
+                self.n_pool = n
+        elif n_pool is not None:
+            import multiprocessing
+
+            initialise_pool_variables(self)
+            self.pool = multiprocessing.Pool(
+                processes=n_pool,
+                initializer=initialise_pool_variables,
+                initargs=(self,),
+            )
+        self._pool_configured = self.pool is not None
+
+    def close_pool(self, code=None) -> None:
+        """Reference: ``nessai/model.py:382-396``."""
+        if self.pool is not None:
+            logger.info("Closing pool")
+            if code == 2:
+                self.pool.terminate()
+            else:
+                self.pool.close()
+            self.pool.join()
+            self.pool = None
+            self._pool_configured = False
+
+    # ------------------------------------------------------------------
+    # Batched evaluation
+    # ------------------------------------------------------------------
+    def evaluate_log_likelihood(self, x):
+        """Single-point evaluation with counter update.
+
+        Reference: ``nessai/model.py:617``.
+        """
+        self.likelihood_evaluations += 1
+        return self.log_likelihood(x)
+
+    def batch_evaluate_log_likelihood(
+        self, x: np.ndarray, unit_hypercube: bool = False
+    ) -> np.ndarray:
+        """Evaluate the log-likelihood for a batch of live points.
+
+        Updates the evaluation counter and wall-time. Dispatches, in order
+        of preference: JAX hook (device, jitted), vectorised numpy,
+        pooled, scalar loop. Reference: ``nessai/model.py:644-677``.
+        """
+        if unit_hypercube:
+            x = self.from_unit_hypercube(x)
+        st = datetime.datetime.now()
+        if self.has_jax_likelihood:
+            out = self._jax_batch_log_likelihood(x)
+        else:
+            out = batch_evaluate_function(
+                self.log_likelihood,
+                x,
+                self.vectorised_likelihood,
+                chunksize=self.likelihood_chunksize,
+                func_wrapper=log_likelihood_wrapper,
+                n_pool=self.n_pool,
+                pool=self.pool,
+            )
+        self.likelihood_evaluation_time += datetime.datetime.now() - st
+        self.likelihood_evaluations += len(x)
+        return out
+
+    def _jax_batch_log_likelihood(self, x) -> np.ndarray:
+        import jax
+
+        arr = live_points_to_array(x, self.names)
+        if not hasattr(self, "_jax_ll_jit"):
+            self._jax_ll_jit = jax.jit(lambda a: self.jax_log_likelihood(a))
+        return np.asarray(self._jax_ll_jit(arr), dtype=float)
+
+    def batch_evaluate_log_prior(
+        self, x: np.ndarray, unit_hypercube: bool = False
+    ) -> np.ndarray:
+        """Reference: ``nessai/model.py:679``."""
+        if unit_hypercube:
+            x = self.from_unit_hypercube(x)
+        return batch_evaluate_function(
+            self.log_prior,
+            x,
+            self.vectorised_prior,
+            func_wrapper=log_prior_wrapper,
+            n_pool=self.n_pool if self.parallelise_prior else None,
+            pool=self.pool if self.parallelise_prior else None,
+        )
+
+    def batch_evaluate_dtype(self):  # pragma: no cover - trivial
+        return config.livepoints.default_float_dtype
+
+    # ------------------------------------------------------------------
+    # Verification
+    # ------------------------------------------------------------------
+    def verify_model(self) -> None:
+        """Sanity-check the model definition.
+
+        Reference: ``nessai/model.py:790-885``.
+        """
+        if not self.names:
+            raise ModelError("Names for model parameters are not set")
+        if not self.bounds:
+            raise ModelError("Bounds are not set for model")
+        if len(self.names) == 1:
+            raise OneDimensionalModelError(
+                "nessai_tpu does not support one-dimensional models"
+            )
+        for n in self.names:
+            b = self.bounds.get(n)
+            if b is None or len(b) != 2:
+                raise ModelError(f"Bounds for {n} are invalid: {b}")
+            if not np.isfinite(b).all():
+                raise ModelError(f"Bounds for {n} are not finite: {b}")
+            if b[1] <= b[0]:
+                raise ModelError(f"Bounds for {n} are not ordered: {b}")
+        if self.rng is None:
+            logger.debug("verify_model: setting default rng")
+            self.rng = np.random.default_rng()
+        x = self.new_point()
+        log_p = self.log_prior(x)
+        if log_p is None:
+            raise ModelError("Log-prior returned None")
+        log_l = self.evaluate_log_likelihood(x)
+        if log_l is None:
+            raise ModelError("Log-likelihood returned None")
+        if np.isnan(float(np.asarray(log_l).flatten()[0])):
+            raise ModelError("Log-likelihood is NaN at a prior draw")
+        if not self.allow_multi_valued_likelihood:
+            vals = np.array(
+                [
+                    np.asarray(self.log_likelihood(x)).flatten()[0]
+                    for _ in range(16)
+                ]
+            )
+            if not np.all(vals == vals[0]):
+                raise ModelError(
+                    "Repeated likelihood calls return different values; "
+                    "set allow_multi_valued_likelihood=True to permit this."
+                )
+
+    # ------------------------------------------------------------------
+    # Pickling: exclude the pool
+    # ------------------------------------------------------------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["pool"] = None
+        state["_pool_configured"] = False
+        state.pop("_jax_ll_jit", None)
+        return state

@@ -1,0 +1,211 @@
+"""Rescaling functions with log-Jacobians.
+
+All functions operate on NumPy or JAX arrays and return
+``(x_rescaled, log_jacobian)`` so they can be used both on the host control
+plane and inside jitted device code.
+
+Reference: ``nessai/utils/rescaling.py``.
+"""
+
+import numpy as np
+from scipy.special import erf, erfinv
+
+from .. import config
+
+__all__ = [
+    "rescale_zero_to_one",
+    "inverse_rescale_zero_to_one",
+    "rescale_minus_one_to_one",
+    "inverse_rescale_minus_one_to_one",
+    "logit",
+    "sigmoid",
+    "log_rescale",
+    "log_inverse_rescale",
+    "gaussian_cdf",
+    "inverse_gaussian_cdf",
+    "detect_edge",
+    "configure_edge_detection",
+    "determine_rescaled_bounds",
+    "rescaling_functions",
+]
+
+
+def rescale_zero_to_one(x, xmin, xmax):
+    """Rescale ``[xmin, xmax] -> [0, 1]``. Reference:
+    ``nessai/utils/rescaling.py:16``."""
+    width = xmax - xmin
+    return (x - xmin) / width, -np.log(width) * np.ones_like(x)
+
+
+def inverse_rescale_zero_to_one(x, xmin, xmax):
+    width = xmax - xmin
+    return x * width + xmin, np.log(width) * np.ones_like(x)
+
+
+def rescale_minus_one_to_one(x, xmin, xmax):
+    """Rescale ``[xmin, xmax] -> [-1, 1]``. Reference:
+    ``nessai/utils/rescaling.py:58``."""
+    width = xmax - xmin
+    return 2.0 * (x - xmin) / width - 1.0, (np.log(2) - np.log(width)) * np.ones_like(x)
+
+
+def inverse_rescale_minus_one_to_one(x, xmin, xmax):
+    width = xmax - xmin
+    return (x + 1.0) * width / 2.0 + xmin, (np.log(width) - np.log(2)) * np.ones_like(x)
+
+
+def logit(x, eps=None):
+    """Logit with epsilon clipping and log-Jacobian.
+
+    Reference: ``nessai/utils/rescaling.py:290``.
+    """
+    if eps is None:
+        eps = config.general.eps
+    x = np.clip(x, eps, 1.0 - eps)
+    log_j = -np.log(x) - np.log1p(-x)
+    return np.log(x) - np.log1p(-x), log_j
+
+
+def sigmoid(x):
+    """Sigmoid with log-Jacobian. Reference:
+    ``nessai/utils/rescaling.py:316``."""
+    y = np.divide(1.0, 1.0 + np.exp(-x))
+    log_j = np.log(y) + np.log1p(-y)
+    return y, log_j
+
+
+def log_rescale(x):
+    """Natural log with Jacobian (for positive params)."""
+    return np.log(x), -np.log(x)
+
+
+def log_inverse_rescale(x):
+    return np.exp(x), x.copy() if hasattr(x, "copy") else np.asarray(x)
+
+
+def gaussian_cdf(x):
+    """Standard normal CDF with log-Jacobian (erf-based).
+
+    Reference: ``nessai/utils/rescaling.py:255``.
+    """
+    y = 0.5 * (1.0 + erf(x / np.sqrt(2.0)))
+    log_j = -0.5 * x**2 - 0.5 * np.log(2 * np.pi)
+    return y, log_j
+
+
+def inverse_gaussian_cdf(x):
+    y = np.sqrt(2.0) * erfinv(2.0 * x - 1.0)
+    log_j = 0.5 * y**2 + 0.5 * np.log(2 * np.pi)
+    return y, log_j
+
+
+def detect_edge(
+    x,
+    x_range=None,
+    percent: float = 0.1,
+    cutoff: float = 0.5,
+    nbins="auto",
+    allow_both: bool = False,
+    allow_none: bool = False,
+    allowed_bounds=None,
+    test=None,
+):
+    """Detect whether the density of ``x`` piles up at its lower and/or
+    upper bound, used to configure boundary inversion.
+
+    Returns one of ``'lower'``, ``'upper'``, ``'both'`` (if allowed),
+    ``False`` (if none detected and allowed), or the denser bound.
+
+    Reference: ``nessai/utils/rescaling.py:106``.
+    """
+    if allowed_bounds is None:
+        allowed_bounds = ["lower", "upper"]
+    else:
+        allowed_bounds = list(allowed_bounds)
+    if test is not None:
+        # Used by 'inversion-duplicate' style forced configs
+        if test in allowed_bounds or test in ("both", False):
+            return test
+        return False
+    x = np.asarray(x).ravel()
+    if nbins == "auto":
+        from .hist import auto_bins
+
+        nbins = auto_bins(x)
+    hist, bins = np.histogram(x, bins=nbins, range=x_range, density=True)
+    n = max(int(percent * nbins), 1)
+    bounds = {"lower": np.max(hist[:n]), "upper": np.max(hist[-n:])}
+    max_density = np.max(hist)
+    for b in ("lower", "upper"):
+        if b not in allowed_bounds:
+            bounds.pop(b)
+    above = {k: v for k, v in bounds.items() if v >= cutoff * max_density}
+    if len(above) == 2 and allow_both:
+        return "both"
+    if not above:
+        if allow_none:
+            return False
+        # fall back to the denser bound
+        return max(bounds, key=bounds.get) if bounds else False
+    return max(above, key=above.get)
+
+
+def configure_edge_detection(d: dict, detect_edges: bool) -> dict:
+    """Normalise edge-detection kwargs. Reference:
+    ``nessai/utils/rescaling.py:222``."""
+    if d is None:
+        d = {}
+    if detect_edges:
+        d.setdefault("allow_none", True)
+        d.setdefault("cutoff", 0.5)
+    else:
+        d["allow_none"] = False
+        d["cutoff"] = 0.0
+    return d
+
+
+def determine_rescaled_bounds(
+    prior_min,
+    prior_max,
+    x_min,
+    x_max,
+    invert=None,
+    inversion: bool = False,
+    offset: float = 0.0,
+    rescale_bounds=None,
+):
+    """Bounds of the prime space given data bounds and inversion setting.
+
+    Reference: ``nessai/utils/rescaling.py:167``.
+    """
+    if x_min == x_max:
+        raise RuntimeError("New minimum and maximum are equal")
+    if rescale_bounds is None:
+        rescale_bounds = [-1, 1]
+    scale = rescale_bounds[1] - rescale_bounds[0]
+    lo = (
+        scale * (prior_min - offset - x_min) / (x_max - x_min)
+        + rescale_bounds[0]
+    )
+    hi = (
+        scale * (prior_max - offset - x_min) / (x_max - x_min)
+        + rescale_bounds[0]
+    )
+    if not inversion:
+        return lo, hi
+    if invert is None or invert is False:
+        return 2 * lo - hi, hi  # conservative widening
+    if invert == "upper":
+        return lo, 2 * hi - lo
+    if invert == "lower":
+        return lo - (hi - lo), hi
+    if invert == "both":
+        return lo - (hi - lo) / 2, hi + (hi - lo) / 2
+    raise ValueError(f"Invalid invert: {invert}")
+
+
+rescaling_functions = {
+    "logit": (logit, sigmoid),
+    "log": (log_rescale, log_inverse_rescale),
+    "gaussian_cdf": (gaussian_cdf, inverse_gaussian_cdf),
+}

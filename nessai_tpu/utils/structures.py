@@ -1,0 +1,55 @@
+"""Array-structure helpers. Reference: ``nessai/utils/structures.py``."""
+
+from typing import List, Sequence
+
+import numpy as np
+
+__all__ = [
+    "get_subset_arrays",
+    "isfinite_struct",
+    "array_split_chunksize",
+    "get_inverse_indices",
+]
+
+
+def get_subset_arrays(indices, *arrays):
+    """Return each array indexed by ``indices``.
+
+    Reference: ``nessai/utils/structures.py:38``.
+    """
+    return tuple(a[indices] for a in arrays)
+
+
+def isfinite_struct(x: np.ndarray, names: Sequence[str] = None) -> np.ndarray:
+    """Elementwise all-finite check across fields of a structured array.
+
+    Reference: ``nessai/utils/structures.py:60``.
+    """
+    if names is None:
+        names = x.dtype.names
+    return np.all([np.isfinite(x[n]) for n in names], axis=0)
+
+
+def array_split_chunksize(x: np.ndarray, chunksize: int) -> List[np.ndarray]:
+    """Split an array into chunks of at most ``chunksize`` rows.
+
+    Reference: ``nessai/utils/structures.py:84``.
+    """
+    if chunksize < 1:
+        raise ValueError("chunksize must be a positive integer")
+    n = len(x)
+    return [x[i : i + chunksize] for i in range(0, n, chunksize)]
+
+
+def get_inverse_indices(n: int, indices: np.ndarray) -> np.ndarray:
+    """Indices in ``range(n)`` not present in ``indices``.
+
+    Returns None if any index is out of range.
+    Reference: ``nessai/utils/structures.py:103``.
+    """
+    indices = np.asarray(indices)
+    if indices.size and indices.max() >= n:
+        return None
+    mask = np.ones(n, dtype=bool)
+    mask[indices] = False
+    return np.flatnonzero(mask)

@@ -1,0 +1,95 @@
+"""Tests for the Model ABC."""
+
+import numpy as np
+import pytest
+
+from nessai_tpu.model import Model, ModelError, OneDimensionalModelError
+from nessai_tpu.utils.testing import IntegrationTestModel
+
+
+def test_new_point(model):
+    x = model.new_point(10)
+    assert len(x) == 10
+    assert np.all(model.in_bounds(x))
+
+
+def test_verify_model(model):
+    model.verify_model()
+
+
+def test_one_dimensional_rejected(rng):
+    class OneD(Model):
+        names = ["x"]
+        bounds = {"x": [0, 1]}
+
+        def log_prior(self, x):
+            return np.zeros(x.size)
+
+        def log_likelihood(self, x):
+            return np.zeros(x.size)
+
+    m = OneD()
+    m.set_rng(rng)
+    with pytest.raises(OneDimensionalModelError):
+        m.verify_model()
+
+
+def test_invalid_bounds(rng):
+    class Bad(IntegrationTestModel):
+        def __init__(self):
+            super().__init__(2)
+            self.bounds = {n: [0, np.inf] for n in self.names}
+
+    m = Bad()
+    m.set_rng(rng)
+    with pytest.raises(ModelError):
+        m.verify_model()
+
+
+def test_batch_evaluate_log_likelihood(model):
+    x = model.new_point(16)
+    before = model.likelihood_evaluations
+    logl = model.batch_evaluate_log_likelihood(x)
+    assert logl.shape == (16,)
+    assert model.likelihood_evaluations == before + 16
+    # jax path should match numpy path
+    expected = model.log_likelihood(x)
+    np.testing.assert_allclose(logl, expected, rtol=1e-6)
+
+
+def test_vectorised_detection(model):
+    assert model.vectorised_likelihood
+    assert model.vectorised_prior
+
+
+def test_unit_hypercube_maps(model):
+    x = model.new_point(8)
+    u = model.to_unit_hypercube(x)
+    assert np.all((u["x_0"] >= 0) & (u["x_0"] <= 1))
+    x2 = model.from_unit_hypercube(u)
+    np.testing.assert_allclose(x["x_0"], x2["x_0"], atol=1e-12)
+
+
+def test_pool_evaluation(rng):
+    class ScalarModel(IntegrationTestModel):
+        allow_vectorised = False
+        jax_log_likelihood = None  # force the pool path
+
+        def log_likelihood(self, x):
+            x = np.atleast_1d(x)
+            out = np.zeros(x.size)
+            for n in self.names:
+                out += -0.5 * np.asarray(x[n]) ** 2
+            return out - 0.5 * len(self.names) * np.log(2 * np.pi)
+
+    m = ScalarModel(2)
+    m.set_rng(rng)
+    m.configure_pool(n_pool=2)
+    try:
+        x = m.new_point(8)
+        logl = m.batch_evaluate_log_likelihood(x)
+        assert logl.shape == (8,)
+        expected = IntegrationTestModel(2).log_likelihood(x)
+        np.testing.assert_allclose(logl, expected, rtol=1e-10)
+    finally:
+        m.close_pool()
