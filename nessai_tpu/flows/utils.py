@@ -1,0 +1,176 @@
+"""Flow construction registry and parameter-reset visitors.
+
+Reference: ``nessai/flows/utils.py`` (``configure_model:208``,
+flow-name registry ``:168``, base-distribution registry ``:35-102``,
+``get_n_neurons:105``, ``reset_weights:249``, ``reset_permutations:277``).
+"""
+
+import copy
+import logging
+from typing import Optional
+
+import jax
+
+from .base import Flow
+from .bijectors import Permutation
+from .distributions import (
+    MultivariateNormal,
+    MultivariateUniform,
+    ResampledGaussian,
+    StandardNormal,
+)
+from .maf import build_maf_bijector
+from .nsf import build_nsf_bijector
+from .realnvp import build_realnvp_bijector
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "get_n_neurons",
+    "get_native_flow_class",
+    "configure_model",
+    "reset_weights",
+    "reset_permutations",
+]
+
+_BUILDERS = {
+    "realnvp": build_realnvp_bijector,
+    "frealnvp": build_realnvp_bijector,
+    "spline": build_nsf_bijector,
+    "nsf": build_nsf_bijector,
+    "rq-nsf": build_nsf_bijector,
+    "maf": build_maf_bijector,
+    # glasflow-prefixed names map to the same native builders
+    "glasflow-realnvp": build_realnvp_bijector,
+    "glasflow-nsf": build_nsf_bijector,
+}
+
+
+def get_n_neurons(
+    n_neurons=None, n_inputs: Optional[int] = None, default: int = 8
+) -> int:
+    """Resolve the conditioner width. Reference:
+    ``nessai/flows/utils.py:105``."""
+    if n_neurons is None:
+        return 2 * n_inputs if n_inputs else default
+    if isinstance(n_neurons, str):
+        if n_inputs is None:
+            raise ValueError(f"n_inputs required for n_neurons={n_neurons!r}")
+        if n_neurons == "auto" or n_neurons == "double":
+            return 2 * n_inputs
+        if n_neurons == "equal":
+            return n_inputs
+        if n_neurons == "half":
+            return max(n_inputs // 2, 1)
+        raise ValueError(f"Unknown n_neurons: {n_neurons}")
+    return int(n_neurons)
+
+
+def get_native_flow_class(name: str):
+    name = name.lower()
+    if name not in _BUILDERS:
+        raise ValueError(
+            f"Unknown flow type: {name}. Known: {sorted(_BUILDERS)}"
+        )
+    return _BUILDERS[name]
+
+
+def _make_base_distribution(name, dim, kwargs):
+    if name is None or name == "normal" or name == "mvn":
+        var = kwargs.pop("var", 1.0) if isinstance(kwargs, dict) else 1.0
+        if var != 1.0:
+            return MultivariateNormal(dim, var=var)
+        return StandardNormal(dim)
+    if name in ("lars", "resampled"):
+        dist_kwargs = kwargs or {}
+        return ResampledGaussian(dim, **dist_kwargs)
+    if name == "uniform":
+        return MultivariateUniform(dim)
+    raise ValueError(f"Unknown distribution: {name}")
+
+
+def configure_model(config: dict):
+    """Build a :class:`Flow` and initial params from a flow config dict.
+
+    Accepts the reference's config keys (``nessai/flows/utils.py:208``):
+    ``n_inputs, n_blocks, n_layers, n_neurons, ftype, distribution,
+    distribution_kwargs, kwargs`` (mask, net, linear_transform,
+    batch_norm_between_layers, num_bins, tail_bound, pre_transform,
+    volume_preserving, context_features, activation).
+
+    Returns ``(flow, params, key)`` where ``key`` is an unused PRNG key
+    derived from ``config['seed']`` (default 0).
+    """
+    config = copy.deepcopy(config)
+    dim = config.get("n_inputs")
+    if not isinstance(dim, int):
+        raise TypeError("Must specify an integer number of inputs (n_inputs)")
+    ftype = config.get("ftype", "realnvp").lower()
+    n_blocks = config.get("n_blocks", 4)
+    n_layers = config.get("n_layers", 2)
+    n_neurons = get_n_neurons(config.get("n_neurons"), n_inputs=dim)
+    extra = dict(config.get("kwargs") or {})
+    for k in (
+        "mask",
+        "net",
+        "linear_transform",
+        "batch_norm_between_layers",
+        "num_bins",
+        "tail_bound",
+        "pre_transform",
+        "volume_preserving",
+        "context_features",
+        "activation",
+    ):
+        if k in config:
+            extra[k] = config[k]
+
+    builder = get_native_flow_class(ftype)
+    bijector = builder(
+        dim,
+        n_blocks=n_blocks,
+        n_neurons=n_neurons,
+        n_layers=n_layers,
+        **extra,
+    )
+    base = _make_base_distribution(
+        config.get("distribution"), dim, config.get("distribution_kwargs")
+    )
+    flow = Flow(bijector, base, dim)
+    seed = config.get("seed", 0)
+    key = jax.random.PRNGKey(seed)
+    init_key, key = jax.random.split(key)
+    params = flow.init(init_key)
+    return flow, params, key
+
+
+def reset_weights(flow: Flow, params, key):
+    """Fresh parameters for every bijector except permutations (which keep
+    their ordering unless :func:`reset_permutations` is used).
+
+    Reference: ``nessai/flows/utils.py:249``.
+    """
+    new_params = flow.init(key)
+    # Keep existing permutations stable.
+    bijs = getattr(flow.bijector, "bijectors", [])
+    out_bij = []
+    for i, b in enumerate(bijs):
+        if isinstance(b, Permutation):
+            out_bij.append(params["bijector"][i])
+        else:
+            out_bij.append(new_params["bijector"][i])
+    return {"bijector": out_bij, "base": new_params["base"]}
+
+
+def reset_permutations(flow: Flow, params, key):
+    """Redraw permutations (and LU transforms' init). Reference:
+    ``nessai/flows/utils.py:277``."""
+    new_params = flow.init(key)
+    bijs = getattr(flow.bijector, "bijectors", [])
+    out_bij = []
+    for i, b in enumerate(bijs):
+        if isinstance(b, Permutation):
+            out_bij.append(new_params["bijector"][i])
+        else:
+            out_bij.append(params["bijector"][i])
+    return {"bijector": out_bij, "base": params["base"]}

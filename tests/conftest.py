@@ -18,6 +18,24 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _cpu_default_device():
+    """Run all tests on the host CPU backend (8 virtual devices).
+
+    The container force-registers the 'axon' TPU backend at interpreter
+    start, so JAX_PLATFORMS alone cannot select CPU; use default_device.
+    """
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(170817)
