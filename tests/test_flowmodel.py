@@ -1,0 +1,136 @@
+"""Tests for FlowModel: training convergence, inference consistency,
+persistence."""
+
+import numpy as np
+import pytest
+
+from nessai_tpu.flowmodel import FlowModel
+
+
+@pytest.fixture()
+def fm(tmp_path, rng):
+    return FlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=8, n_layers=1),
+        training_config=dict(max_epochs=20, patience=10, batch_size=128),
+        output=str(tmp_path),
+        rng=rng,
+    )
+
+
+def _bimodal(rng, n=512):
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    x[: n // 2] += 3.0
+    x[n // 2 :] -= 3.0
+    return x
+
+
+def test_train_reduces_loss(fm, rng):
+    x = _bimodal(rng)
+    history = fm.train(x)
+    assert len(history["loss"]) >= 2
+    assert history["loss"][-1] < history["loss"][0]
+
+
+def test_forward_inverse_consistency(fm, rng):
+    fm.initialise()
+    x = rng.normal(size=(16, 2))
+    z, log_p = fm.forward_and_log_prob(x)
+    x2, _ = fm.inverse(z)
+    np.testing.assert_allclose(x, x2, atol=1e-4)
+    np.testing.assert_allclose(log_p, fm.log_prob(x), atol=1e-5)
+
+
+def test_sample_and_log_prob(fm):
+    fm.initialise()
+    x, log_p = fm.sample_and_log_prob(32)
+    assert x.shape == (32, 2)
+    np.testing.assert_allclose(log_p, fm.log_prob(x), atol=1e-4)
+
+
+def test_sample_and_log_prob_from_z(fm):
+    fm.initialise()
+    z = fm.sample_latent_distribution(16)
+    x, log_p = fm.sample_and_log_prob(z=z)
+    np.testing.assert_allclose(log_p, fm.log_prob(x), atol=1e-4)
+
+
+def test_weighted_training(fm, rng):
+    x = _bimodal(rng)
+    w = rng.uniform(0.5, 1.5, len(x))
+    history = fm.train(x, weights=w)
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_save_load_weights(fm, rng, tmp_path):
+    x = _bimodal(rng)
+    fm.train(x, max_epochs=3)
+    f = str(tmp_path / "w.pkl")
+    fm.save_weights(f)
+    lp_before = fm.log_prob(x[:8])
+    fm2 = FlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=8, n_layers=1),
+        rng=np.random.default_rng(0),
+    )
+    fm2.load_weights(f)
+    np.testing.assert_allclose(lp_before, fm2.log_prob(x[:8]), atol=1e-6)
+
+
+def test_reset_model_changes_params(fm, rng):
+    x = _bimodal(rng)
+    fm.train(x, max_epochs=3)
+    lp_before = fm.log_prob(x[:8])
+    fm.reset_model()
+    lp_after = fm.log_prob(x[:8])
+    assert not np.allclose(lp_before, lp_after)
+
+
+def test_pickle_roundtrip(fm, rng):
+    import pickle
+
+    x = _bimodal(rng)
+    fm.train(x, max_epochs=3)
+    lp = fm.log_prob(x[:8])
+    fm2 = pickle.loads(pickle.dumps(fm))
+    np.testing.assert_allclose(lp, fm2.log_prob(x[:8]), atol=1e-6)
+
+
+def test_noise_smoothing(rng, tmp_path):
+    fm = FlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=8, n_layers=1),
+        training_config=dict(
+            max_epochs=3, batch_size=128, noise_type="adaptive", noise_scale=0.1
+        ),
+        output=str(tmp_path),
+        rng=rng,
+    )
+    history = fm.train(_bimodal(rng))
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_annealing(rng, tmp_path):
+    fm = FlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=8, n_layers=1),
+        training_config=dict(max_epochs=3, batch_size=128, annealing=True),
+        rng=rng,
+    )
+    history = fm.train(_bimodal(rng))
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_lars_base_dist(rng):
+    fm = FlowModel(
+        flow_config=dict(
+            n_inputs=2,
+            n_blocks=2,
+            n_neurons=8,
+            n_layers=1,
+            distribution="lars",
+            distribution_kwargs=dict(n_neurons=8, n_layers=1),
+        ),
+        training_config=dict(max_epochs=2, batch_size=128),
+        rng=rng,
+    )
+    history = fm.train(_bimodal(rng))
+    assert np.isfinite(history["loss"]).all()
+    x, lp = fm.sample_and_log_prob(16)
+    assert np.isfinite(lp).all()
