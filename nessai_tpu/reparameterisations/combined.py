@@ -1,0 +1,117 @@
+"""Combined reparameterisation: ordered application of multiple
+reparameterisations. Reference:
+``nessai/reparameterisations/combined.py:22``.
+"""
+
+import logging
+from collections import OrderedDict
+
+from ..utils.sorting import sort_reparameterisations
+from .base import Reparameterisation
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["CombinedReparameterisation"]
+
+
+class CombinedReparameterisation(dict):
+    """Ordered dict of reparameterisations, applied in dependency order.
+
+    Forward applies in insertion/topological order; inverse applies in
+    reverse order. Reference: ``nessai/reparameterisations/combined.py``.
+    """
+
+    def __init__(self, reparameterisations=None, reverse_order: bool = False):
+        super().__init__()
+        self.reverse_order = reverse_order
+        self.parameters = []
+        self.prime_parameters = []
+        if reparameterisations is not None:
+            self.add_reparameterisations(reparameterisations)
+
+    @property
+    def has_prime_prior(self) -> bool:
+        return all(r.has_prime_prior for r in self.values())
+
+    @property
+    def auxiliary_parameters(self):
+        out = []
+        for r in self.values():
+            out += list(getattr(r, "auxiliary_parameters", []))
+        return out
+
+    @property
+    def one_to_one(self) -> bool:
+        return all(r.one_to_one for r in self.values())
+
+    def _order(self):
+        order = list(self.values())
+        return list(reversed(order)) if self.reverse_order else order
+
+    def add_reparameterisation(self, reparameterisation):
+        if isinstance(reparameterisation, Reparameterisation):
+            reparameterisation = [reparameterisation]
+        self.add_reparameterisations(reparameterisation)
+
+    def add_reparameterisations(self, reparameterisations):
+        if isinstance(reparameterisations, Reparameterisation):
+            reparameterisations = [reparameterisations]
+        ordered = sort_reparameterisations(
+            list(reparameterisations),
+            existing_parameters=self.prime_parameters + self.parameters,
+        )
+        for r in ordered:
+            self[r.name] = r
+            self.parameters += [p for p in r.parameters if p not in self.parameters]
+            self.prime_parameters += [
+                p for p in r.prime_parameters if p not in self.prime_parameters
+            ]
+        self.check_order()
+
+    def check_order(self) -> None:
+        """Verify every reparameterisation's requirements are met by the
+        time it runs. Reference: ``combined.py:128``."""
+        produced = list(self.parameters) + list(self.prime_parameters)
+        for r in self._order():
+            missing = [q for q in (r.requires or []) if q not in produced]
+            if missing:
+                raise RuntimeError(
+                    f"{r.name} requires {missing} which are not available"
+                )
+
+    def reparameterise(self, x, x_prime, log_j, **kwargs):
+        for r in self._order():
+            x, x_prime, log_j = r.reparameterise(x, x_prime, log_j, **kwargs)
+        return x, x_prime, log_j
+
+    def inverse_reparameterise(self, x, x_prime, log_j, **kwargs):
+        for r in reversed(self._order()):
+            x, x_prime, log_j = r.inverse_reparameterise(
+                x, x_prime, log_j, **kwargs
+            )
+        return x, x_prime, log_j
+
+    def update(self, x) -> None:
+        """Reference: ``combined.py:219``."""
+        for r in self.values():
+            r.update(x)
+
+    update_bounds = update
+
+    def reset(self) -> None:
+        for r in self.values():
+            r.reset()
+
+    def log_prior(self, x):
+        """Aggregate auxiliary-parameter priors."""
+        log_p = 0.0
+        for r in self.values():
+            if getattr(r, "has_prior", False):
+                log_p = log_p + r.log_prior(x)
+        return log_p
+
+    def x_prime_log_prior(self, x_prime):
+        log_p = 0.0
+        for r in self.values():
+            log_p = log_p + r.x_prime_log_prior(x_prime)
+        return log_p

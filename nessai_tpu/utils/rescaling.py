@@ -208,4 +208,5 @@ rescaling_functions = {
     "logit": (logit, sigmoid),
     "log": (log_rescale, log_inverse_rescale),
     "gaussian_cdf": (gaussian_cdf, inverse_gaussian_cdf),
+    "inv_gaussian_cdf": (inverse_gaussian_cdf, gaussian_cdf),
 }
