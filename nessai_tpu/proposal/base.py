@@ -1,0 +1,71 @@
+"""Proposal base class. Reference: ``nessai/proposal/base.py:17``."""
+
+import datetime
+import logging
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Proposal"]
+
+
+class Proposal(ABC):
+    """Base object for proposals: ``draw(old_point)`` returns a new sample.
+
+    Tracks population wall-time and supports pickling without the model.
+    """
+
+    def __init__(self, model, rng=None):
+        self.model = model
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self.populated = True
+        self._initialised = False
+        self.training_count = 0
+        self.population_acceptance = None
+        self.population_time = datetime.timedelta()
+        self.r = np.nan
+        self.samples = []
+        self.indices = []
+        self._checked_population = True
+
+    @property
+    def initialised(self) -> bool:
+        return self._initialised
+
+    @initialised.setter
+    def initialised(self, value: bool):
+        self._initialised = bool(value)
+
+    def initialise(self) -> None:
+        """Initialise the proposal."""
+        self.initialised = True
+
+    def evaluate_likelihoods(self) -> None:
+        """Evaluate the likelihoods of the current samples."""
+        self.samples["logL"] = self.model.batch_evaluate_log_likelihood(
+            self.samples
+        )
+
+    @abstractmethod
+    def draw(self, old_point):
+        raise NotImplementedError
+
+    def train(self, x, **kwargs) -> None:
+        logger.debug("This proposal cannot be trained")
+
+    def resume(self, model) -> None:
+        """Rebind the model after unpickling."""
+        self.model = model
+
+    def reset(self) -> None:
+        self.samples = []
+        self.indices = []
+        self.populated = False
+        self._checked_population = True
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["model"] = None
+        return state

@@ -1,0 +1,569 @@
+"""Shared machinery for flow-based proposals.
+
+Reference: ``nessai/proposal/flowproposal/base.py:40`` (1309 LoC) — owns
+the FlowModel and the reparameterisation stack; provides rescaling,
+forward/backward passes, training, latent sampling, pool bookkeeping with
+adaptive poolsize, and pickling support.
+
+The device boundary: ``forward_pass``/``backward_pass`` cross
+host (structured numpy) → device (jitted flow) → host exactly once per
+batch; everything between is fused XLA.
+"""
+
+import datetime
+import logging
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+from ... import config as global_config
+from ...flowmodel import FlowModel
+from ...livepoint import (
+    empty_structured_array,
+    get_dtype,
+    live_points_to_array,
+    numpy_array_to_live_points,
+)
+from ...reparameterisations import (
+    CombinedReparameterisation,
+    get_reparameterisation,
+)
+from ..rejection import RejectionProposal
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["BaseFlowProposal"]
+
+
+class BaseFlowProposal(RejectionProposal):
+    """Base class for proposals that sample from a normalising flow
+    trained on the current live points."""
+
+    def __init__(
+        self,
+        model,
+        flow_config=None,
+        training_config=None,
+        output: str = "./",
+        poolsize: Optional[int] = None,
+        rng=None,
+        plot: str = "min",
+        check_acceptance: bool = False,
+        max_poolsize_scale: int = 10,
+        update_poolsize: bool = True,
+        save_training_data: bool = False,
+        reparameterisations=None,
+        fallback_reparameterisation: str = "zscore",
+        use_default_reparameterisations: Optional[bool] = None,
+        reverse_reparameterisations: bool = False,
+        map_to_unit_hypercube: bool = False,
+        accept_all: bool = False,
+    ):
+        super().__init__(model, rng=rng)
+        self._poolsize = poolsize if poolsize is not None else 1000
+        self._poolsize_scale = 1.0
+        self.update_poolsize = update_poolsize
+        self.max_poolsize_scale = max_poolsize_scale
+        self.ns_acceptance = 1.0
+        self.output = output
+        self.flow_config = flow_config
+        self.training_config = training_config
+        self.check_acceptance = check_acceptance
+        self.save_training_data = save_training_data
+        self.reparameterisations = reparameterisations
+        self.fallback_reparameterisation = fallback_reparameterisation
+        self.reverse_reparameterisations = reverse_reparameterisations
+        self.map_to_unit_hypercube = map_to_unit_hypercube
+        self.accept_all = accept_all
+
+        self._plot_pool = plot in (True, "all")
+        self._plot_training = plot in (True, "all")
+
+        self.flow: Optional[FlowModel] = None
+        self._reparameterisation: Optional[CombinedReparameterisation] = None
+        self.parameters = None
+        self.prime_parameters = None
+        self.acceptance = []
+        self.populated = False
+        self.populated_count = 0
+        self.training_count = 0
+        self.training_data = None
+        self.training_latent = None
+        self.training_log_q = None
+        self.x = None
+        self._checked_population = True
+        self.use_x_prime_prior = False
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+    @property
+    def poolsize(self) -> int:
+        """Scaled poolsize. Reference: ``flowproposal/base.py:405``."""
+        return int(self._poolsize * self._poolsize_scale)
+
+    @property
+    def dims(self) -> int:
+        return len(self.parameters)
+
+    @property
+    def rescaled_dims(self) -> int:
+        return len(self.prime_parameters)
+
+    @property
+    def population_dtype(self):
+        return get_dtype(self.parameters)
+
+    @property
+    def x_dtype(self):
+        return get_dtype(self.parameters)
+
+    @property
+    def x_prime_dtype(self):
+        return np.dtype([(p, "f8") for p in self.prime_parameters])
+
+    @property
+    def flow_dims(self) -> int:
+        return self.rescaled_dims
+
+    def update_poolsize_scale(self, acceptance: float) -> None:
+        """Scale the poolsize by 1/acceptance up to ``max_poolsize_scale``.
+
+        Reference: ``flowproposal/base.py:416-435``.
+        """
+        if acceptance is None or acceptance <= 0:
+            self._poolsize_scale = self.max_poolsize_scale
+        else:
+            self._poolsize_scale = min(
+                max(1.0, 1.0 / acceptance), float(self.max_poolsize_scale)
+            )
+
+    # ------------------------------------------------------------------
+    # Initialisation / reparameterisations
+    # ------------------------------------------------------------------
+    def initialise(self, resume: bool = False) -> None:
+        """Set up reparameterisations, verify invertibility, build the
+        FlowModel. Reference: ``flowproposal/base.py:358-391``.
+        """
+        if self.initialised:
+            return
+        os.makedirs(self.output, exist_ok=True)
+        self.set_rescaling()
+        if not resume:
+            self.verify_rescaling()
+        flow_config = dict(self.flow_config or {})
+        flow_config["n_inputs"] = self.rescaled_dims
+        flow_config = self.update_flow_config(flow_config)
+        self.flow = FlowModel(
+            flow_config=flow_config,
+            training_config=self.training_config,
+            output=self.output,
+            rng=self.rng,
+        )
+        self.flow.initialise()
+        self.initialised = True
+
+    def update_flow_config(self, flow_config: dict) -> dict:
+        """Hook for subclasses to adjust the flow config (e.g. the
+        augmented proposal's custom mask). Reference:
+        ``nessai/proposal/augmented.py:91``."""
+        return flow_config
+
+    @property
+    def prior_bounds(self):
+        if self.map_to_unit_hypercube:
+            return {n: np.array([0.0, 1.0]) for n in self.model.names}
+        return {n: np.asarray(self.model.bounds[n], float) for n in self.model.names}
+
+    def configure_reparameterisations(self, reparameterisations) -> None:
+        """Build the CombinedReparameterisation from the user spec.
+
+        Spec forms accepted (reference ``flowproposal/base.py:578-633`` and
+        ``reparameterisations/utils.py:236``):
+        - None: fallback reparameterisation applied to every parameter;
+        - str: that reparameterisation applied to every parameter;
+        - dict mapping parameter -> str | dict(reparameterisation=...,
+          **kwargs), or reparameterisation-name -> {parameters: [...],
+          **kwargs}. Parameter keys may be regex patterns.
+        """
+        self._reparameterisation = CombinedReparameterisation(
+            reverse_order=self.reverse_reparameterisations
+        )
+        bounds = self.prior_bounds
+        names = list(self.model.names)
+        assigned = {}
+        specs = []
+
+        if reparameterisations is None:
+            reparameterisations = {}
+        elif isinstance(reparameterisations, str):
+            reparameterisations = {
+                reparameterisations: {"parameters": list(names)}
+            }
+
+        for key, value in reparameterisations.items():
+            if key in names or any(
+                re.fullmatch(key, n) for n in names
+            ):
+                # key is a parameter (or regex over parameters)
+                matched = (
+                    [key]
+                    if key in names
+                    else [n for n in names if re.fullmatch(key, n)]
+                )
+                if isinstance(value, str) or value is None:
+                    name, kwargs = value, {}
+                elif isinstance(value, dict):
+                    kwargs = dict(value)
+                    name = kwargs.pop("reparameterisation", None)
+                else:
+                    name, kwargs = value, {}
+                for p in matched:
+                    specs.append((name, [p], dict(kwargs)))
+            else:
+                # key is a reparameterisation name
+                kwargs = dict(value or {})
+                params = kwargs.pop("parameters", None)
+                if params is None:
+                    raise RuntimeError(
+                        f"Must specify parameters for {key}"
+                    )
+                if isinstance(params, str):
+                    params = [params]
+                matched = []
+                for p in params:
+                    if p in names:
+                        matched.append(p)
+                    else:
+                        matched += [n for n in names if re.fullmatch(p, n)]
+                specs.append((key, matched, kwargs))
+
+        for name, params, kwargs in specs:
+            cls, default_kwargs = get_reparameterisation(name)
+            default_kwargs.update(kwargs)
+            default_kwargs.setdefault(
+                "prior_bounds", {p: bounds[p] for p in params}
+            )
+            r = cls(parameters=params, rng=self.rng, **default_kwargs)
+            self._reparameterisation.add_reparameterisation(r)
+            for p in params:
+                assigned[p] = True
+
+        # fallback for unassigned parameters
+        remaining = [n for n in names if n not in assigned]
+        if remaining and self.fallback_reparameterisation is not None:
+            cls, kwargs = get_reparameterisation(
+                self.fallback_reparameterisation
+            )
+            kwargs.setdefault(
+                "prior_bounds", {p: bounds[p] for p in remaining}
+            )
+            r = cls(parameters=remaining, rng=self.rng, **kwargs)
+            self._reparameterisation.add_reparameterisation(r)
+        elif remaining:
+            from ...reparameterisations import NullReparameterisation
+
+            self._reparameterisation.add_reparameterisation(
+                NullReparameterisation(parameters=remaining)
+            )
+        self.use_x_prime_prior = self._reparameterisation.has_prime_prior
+
+    def set_rescaling(self) -> None:
+        """Configure parameter ordering and the reparameterisation stack.
+
+        Reference: ``flowproposal/base.py:527,578``.
+        """
+        self.configure_reparameterisations(self.reparameterisations)
+        self.parameters = list(self.model.names) + [
+            a
+            for a in self._reparameterisation.auxiliary_parameters
+            if a not in self.model.names
+        ]
+        self.prime_parameters = list(self._reparameterisation.prime_parameters)
+        # Remove x-space params that pass through unchanged from prime list
+        logger.info("x-space parameters: %s", self.parameters)
+        logger.info("x'-space parameters: %s", self.prime_parameters)
+
+    def verify_rescaling(self) -> None:
+        """Check the reparameterisation round-trips on prior draws.
+
+        Handles stochastic (split) and duplicating inversion modes by
+        checking against tiled inputs. Reference:
+        ``flowproposal/base.py:655-714``.
+        """
+        if self._reparameterisation is None:
+            return
+        x = self.model.new_point(N=100)
+        if self.map_to_unit_hypercube:
+            x = self.model.to_unit_hypercube(x)
+        x = self._convert_to_x(x)
+        for compute_radius in (False, True):
+            self._reparameterisation.update(x)
+            x_prime, log_j = self.rescale(x, compute_radius=compute_radius)
+            x_out, log_j_inv = self.inverse_rescale(x_prime)
+            k = len(x_out) // len(x)
+            if k * len(x) != len(x_out):
+                raise RuntimeError(
+                    "Rescaling changed the number of samples by a "
+                    "non-integer factor"
+                )
+            x_tiled = np.tile(x, k)
+            for n in self.model.names:
+                if not np.allclose(
+                    x_tiled[n], x_out[n], atol=1e-8, equal_nan=True
+                ):
+                    raise RuntimeError(
+                        f"Rescaling is not invertible for {n}"
+                    )
+            if not np.allclose(
+                np.tile(log_j, k), -log_j_inv, atol=1e-8
+            ):
+                raise RuntimeError("Rescaling Jacobian is not invertible")
+        self._reparameterisation.reset()
+        logger.debug("Rescaling verified")
+
+    # ------------------------------------------------------------------
+    # Rescaling between x and x'
+    # ------------------------------------------------------------------
+    def _convert_to_x(self, points):
+        """Widen model-space points to the proposal dtype (adds auxiliary
+        fields)."""
+        if points.dtype == self.x_dtype:
+            return points
+        out = empty_structured_array(len(points), dtype=self.x_dtype)
+        for n in points.dtype.names:
+            if n in out.dtype.names:
+                out[n] = points[n]
+        return out
+
+    def rescale(self, x, compute_radius: bool = False):
+        """x -> (x_prime, log|dx'/dx|). Reference:
+        ``flowproposal/base.py:716``."""
+        x_prime = np.zeros(len(x), dtype=self.x_prime_dtype)
+        log_j = np.zeros(len(x))
+        x = x.copy()
+        x, x_prime, log_j = self._reparameterisation.reparameterise(
+            x, x_prime, log_j, compute_radius=compute_radius
+        )
+        return x_prime, log_j
+
+    def inverse_rescale(self, x_prime):
+        """x' -> (x, log|dx/dx'|). Reference:
+        ``flowproposal/base.py:759``."""
+        x = empty_structured_array(len(x_prime), dtype=self.x_dtype)
+        log_j = np.zeros(len(x_prime))
+        x, x_prime, log_j = self._reparameterisation.inverse_reparameterise(
+            x, x_prime, log_j
+        )
+        return x, log_j
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    def train(self, x, plot: bool = True) -> None:
+        """Train the flow on live points.
+
+        Reference: ``flowproposal/base.py:870-925``.
+        """
+        if not self.initialised:
+            raise RuntimeError("Proposal must be initialised before training")
+        x = np.asarray(x).copy()
+        if self.map_to_unit_hypercube:
+            x = self.model.to_unit_hypercube(x)
+        x = self._convert_to_x(x)
+        self.training_data = x.copy()
+        if self.save_training_data:
+            np.save(
+                os.path.join(
+                    self.output, f"training_data_{self.training_count}.npy"
+                ),
+                x,
+            )
+        self._reparameterisation.update(x)
+        x_prime, _ = self.rescale(x)
+        x_prime_array = live_points_to_array(
+            x_prime, self.prime_parameters
+        )
+        self.flow.train(x_prime_array)
+        # Cache latent images + log_q of the training data for the
+        # truncation rules (adaptive radius, min_log_q).
+        z, log_q_prime = self.flow.forward_and_log_prob(x_prime_array)
+        self.training_latent = z
+        self.training_log_q = log_q_prime
+        self.training_count += 1
+        self.populated = False
+
+    # ------------------------------------------------------------------
+    # Flow passes
+    # ------------------------------------------------------------------
+    def forward_pass(self, x, rescale: bool = True, compute_radius: bool = False):
+        """x -> (z, log_q(x)). Reference: ``flowproposal/base.py:961``."""
+        log_j = 0.0
+        if rescale:
+            x_prime, log_j = self.rescale(x, compute_radius=compute_radius)
+            x_array = live_points_to_array(x_prime, self.prime_parameters)
+        else:
+            x_array = live_points_to_array(x, self.parameters)
+        z, log_q = self.flow.forward_and_log_prob(x_array)
+        return z, log_q + log_j
+
+    def backward_pass(
+        self,
+        z,
+        rescale: bool = True,
+        discard_nans: bool = True,
+        return_z: bool = False,
+    ):
+        """z -> (x, log_q(x)) with prior-bound and finiteness filtering.
+
+        Reference: ``flowproposal/flowproposal.py:345-389``.
+        """
+        x_prime_array, log_j_flow = self.flow.inverse(z)
+        log_q = self.flow.base_log_prob(z) - log_j_flow
+        x_prime = np.zeros(len(x_prime_array), dtype=self.x_prime_dtype)
+        for i, p in enumerate(self.prime_parameters):
+            x_prime[p] = x_prime_array[:, i]
+        x, log_j_inv = self.inverse_rescale(x_prime)
+        log_q = log_q - log_j_inv
+        if self.map_to_unit_hypercube:
+            in_bounds = self.model.in_unit_hypercube(x)
+        else:
+            in_bounds = self.model.in_bounds(x)
+        keep = in_bounds
+        if discard_nans:
+            keep = keep & np.isfinite(log_q)
+        x, log_q, z = x[keep], log_q[keep], z[keep]
+        if return_z:
+            return x, log_q, z
+        return x, log_q
+
+    def sample_latent_distribution(self, n: int):
+        """Sample the latent distribution. Reference:
+        ``flowproposal/base.py:393``."""
+        return self.flow.sample_latent_distribution(n)
+
+    # ------------------------------------------------------------------
+    # Weights
+    # ------------------------------------------------------------------
+    def log_prior(self, x):
+        """x-space log-prior incl. auxiliary reparameterisation priors.
+
+        Reference: ``flowproposal/base.py:1040``.
+        """
+        if self.map_to_unit_hypercube:
+            log_p = self.model.batch_evaluate_log_prior(
+                x, unit_hypercube=True
+            )
+        else:
+            log_p = self.model.batch_evaluate_log_prior(x)
+        if self._reparameterisation is not None:
+            log_p = log_p + self._reparameterisation.log_prior(x)
+        return log_p
+
+    def x_prime_log_prior(self, x_prime):
+        return self._reparameterisation.x_prime_log_prior(x_prime)
+
+    def compute_weights(self, x, log_q):
+        """logW = logP - logQ. Reference:
+        ``flowproposal/flowproposal.py:469``."""
+        log_p = self.log_prior(x)
+        x["logP"] = log_p
+        return log_p - log_q
+
+    # ------------------------------------------------------------------
+    # Pool bookkeeping
+    # ------------------------------------------------------------------
+    def populate(self, worst_point, n_samples=10000, plot=True, r=None):
+        raise NotImplementedError
+
+    def convert_to_samples(self, x, plot: bool = False):
+        """Strip auxiliary fields and set the model-space log-prior.
+
+        Reference: ``flowproposal/base.py:1106``.
+        """
+        if self.map_to_unit_hypercube:
+            x = self.model.from_unit_hypercube(x)
+        out = empty_structured_array(len(x), names=self.model.names)
+        for n in self.model.names:
+            out[n] = x[n]
+        for f in global_config.livepoints.non_sampling_parameters:
+            if f in x.dtype.names:
+                out[f] = x[f]
+        out["logP"] = self.model.batch_evaluate_log_prior(out)
+        return out
+
+    def compute_acceptance(self, logL_threshold) -> float:
+        """Fraction of the pool above the likelihood threshold.
+
+        Reference: ``flowproposal/base.py:1135``."""
+        return float(np.mean(self.samples["logL"] > logL_threshold))
+
+    def draw(self, worst_point):
+        """Pop a sample from the pool, repopulating (with adaptive
+        poolsize) when empty. Reference: ``flowproposal/base.py:1152``.
+        """
+        if not self.populated:
+            if self.update_poolsize:
+                self.update_poolsize_scale(self.ns_acceptance)
+            while not self.populated:
+                self.populate(worst_point, n_samples=self.poolsize)
+            self._checked_population = False
+        index = self.indices.pop()
+        new_sample = self.samples[index]
+        if not self.indices:
+            self.populated = False
+        return new_sample
+
+    def reset(self) -> None:
+        super().reset()
+        self.x = None
+        self.training_latent = None
+        self.training_log_q = None
+        self._checked_population = True
+        self.acceptance = []
+        self.populated_count = 0
+
+    # ------------------------------------------------------------------
+    # Persistence
+    # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Exclude the model and live flow state.
+
+        Reference: ``flowproposal/base.py:1286``."""
+        state = self.__dict__.copy()
+        state["model"] = None
+        state["_reparameterisation"] = None
+        state["training_data"] = None
+        state["training_latent"] = None
+        state["training_log_q"] = None
+        state["x"] = None
+        state["samples"] = []
+        state["indices"] = []
+        state["populated"] = False
+        flow = state.pop("flow")
+        state["_weights_file"] = (
+            flow.weights_file if flow is not None else None
+        )
+        state["flow"] = None
+        state["_initialised"] = False
+        return state
+
+    def resume(self, model, flow_config=None, training_config=None, weights_file=None):
+        """Re-initialise after unpickling and reload flow weights.
+
+        Reference: ``flowproposal/base.py:1237-1271``."""
+        super().resume(model)
+        if flow_config is not None:
+            self.flow_config = flow_config
+        if training_config is not None:
+            self.training_config = training_config
+        self.initialise(resume=True)
+        if weights_file is None:
+            weights_file = getattr(self, "_weights_file", None)
+        if weights_file is not None and os.path.exists(weights_file):
+            self.flow.load_weights(weights_file)
+            if self.training_data is not None:
+                self._reparameterisation.update(self.training_data)
+        self.populated = False

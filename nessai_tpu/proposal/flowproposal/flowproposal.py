@@ -1,0 +1,241 @@
+"""FlowProposal: the flagship proposal.
+
+Populates a pool by latent-space sampling + staged truncation + rejection
+sampling. Reference: ``nessai/proposal/flowproposal/flowproposal.py:391-534``.
+
+TPU notes: each loop iteration is one fused device program (sample latent →
+inverse flow → log_q) over a static ``drawsize`` batch; truncation,
+rejection and bookkeeping are cheap host ops on the resulting arrays. The
+``accumulate_weights`` accounting (single rejection at the end over all
+drawn samples) is the default-friendly formulation for accelerators —
+see SURVEY.md §7.
+"""
+
+import datetime
+import logging
+from typing import Optional
+
+import numpy as np
+from scipy.special import logsumexp
+
+from ...livepoint import empty_structured_array
+from .base import BaseFlowProposal
+from .truncation import TruncationScheme
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["FlowProposal"]
+
+
+class FlowProposal(BaseFlowProposal):
+    """Flow-based proposal with latent truncation and rejection sampling.
+
+    Parameters (beyond :class:`BaseFlowProposal`)
+    ----------
+    drawsize : latent batch size per iteration (default: poolsize).
+    truncation : truncation-scheme config (None | str | list | dict);
+        default applies no truncation (plain flow sampling).
+    accumulate_weights : if True, collect all draws and perform a single
+        rejection when the expected accepted count reaches ``n_samples``
+        (reference ``flowproposal.py:470-510``); otherwise rejection is
+        performed per batch with ``logW - max(logW)`` normalisation.
+    latent_temperature : scale applied to the base-distribution variance
+        when sampling (1.0 = exact).
+    """
+
+    def __init__(
+        self,
+        model,
+        drawsize: Optional[int] = None,
+        truncation=None,
+        expansion_fraction: float = 4.0,
+        fuzz: float = 1.0,
+        accumulate_weights: bool = False,
+        max_samples: int = 1_000_000,
+        latent_temperature: float = 1.0,
+        constant_volume_mode: bool = True,
+        volume_fraction: float = 0.95,
+        **kwargs,
+    ):
+        super().__init__(model, **kwargs)
+        self.drawsize = drawsize
+        self.accumulate_weights = accumulate_weights
+        self.max_samples = max_samples
+        self.latent_temperature = latent_temperature
+        if truncation is None and constant_volume_mode:
+            truncation = {
+                "latent_radius": {
+                    "mode": "constant_volume",
+                    "q": volume_fraction,
+                    "fuzz": fuzz,
+                }
+            }
+        elif truncation is None:
+            truncation = {
+                "latent_radius": {
+                    "mode": "adaptive",
+                    "expansion_fraction": expansion_fraction,
+                    "fuzz": fuzz,
+                }
+            }
+        self._truncation_config = truncation
+        self._truncation_scheme = None
+
+    def initialise(self, resume: bool = False) -> None:
+        super().initialise(resume=resume)
+        if self._truncation_scheme is None:
+            self._truncation_scheme = TruncationScheme.from_config(
+                self._truncation_config, rng=self.rng
+            )
+
+    @property
+    def _draw_n(self) -> int:
+        return int(self.drawsize or self.poolsize)
+
+    def sample_latent_distribution(self, n: int):
+        """Latent draws, honouring the truncation scheme's sampler and the
+        latent temperature."""
+        z = self._truncation_scheme.sample_latent(self, n)
+        if z is not None:
+            return z
+        z = self.flow.sample_latent_distribution(n)
+        if self.latent_temperature != 1.0:
+            z = np.sqrt(self.latent_temperature) * z
+        return z
+
+    def populate(
+        self,
+        worst_point,
+        n_samples: int = 10000,
+        plot: bool = True,
+        r=None,
+    ) -> None:
+        """Populate the pool. Reference: ``flowproposal.py:391-534``."""
+        st = datetime.datetime.now()
+        if not self.initialised:
+            raise RuntimeError(
+                "Proposal has not been initialised; call initialise() first"
+            )
+        self._truncation_scheme.prepare(self, worst_point, radius=r)
+        self.indices = []
+
+        if self.accumulate_weights:
+            samples = empty_structured_array(0, dtype=self.x_dtype)
+            log_weights = np.empty(0)
+            log_constant = -np.inf
+        else:
+            samples = empty_structured_array(n_samples, dtype=self.x_dtype)
+        log_n = np.log(n_samples)
+        n_proposed = 0
+        n_accepted = 0
+        accept = None
+
+        while n_accepted < n_samples:
+            z = self.sample_latent_distribution(self._draw_n)
+            n_proposed += len(z)
+            z = self._truncation_scheme.apply_latent(self, z)
+            if not len(z):
+                if n_proposed > self.max_samples:
+                    logger.warning("Reached max samples (%s)", self.max_samples)
+                    break
+                continue
+            x, log_q, z = self.backward_pass(z, return_z=True)
+            x, log_q, z = self._truncation_scheme.apply_after_backward(
+                self, x, log_q, z
+            )
+            if not len(x):
+                if n_proposed > self.max_samples:
+                    logger.warning("Reached max samples (%s)", self.max_samples)
+                    break
+                continue
+            if self._truncation_scheme.requires_log_likelihood:
+                x["logL"] = self.model.batch_evaluate_log_likelihood(
+                    x, unit_hypercube=self.map_to_unit_hypercube
+                )
+                x, log_q, z = self._truncation_scheme.apply_after_likelihood(
+                    self, x, log_q, z
+                )
+                if not len(x):
+                    if n_proposed > self.max_samples:
+                        logger.warning(
+                            "Reached max samples (%s)", self.max_samples
+                        )
+                        break
+                    continue
+
+            log_w = self.compute_weights(x, log_q)
+
+            if self.accept_all:
+                # INS-style: keep everything; weights live in logW
+                m = min(n_samples - n_accepted, len(x))
+                if not self.accumulate_weights:
+                    samples[n_accepted : n_accepted + m] = x[:m]
+                else:
+                    samples = np.concatenate([samples, x[:m]])
+                n_accepted += m
+            elif self.accumulate_weights:
+                samples = np.concatenate([samples, x])
+                log_weights = np.concatenate([log_weights, log_w])
+                log_constant = max(np.nanmax(log_w), log_constant)
+                log_n_expected = logsumexp(log_weights - log_constant)
+                if log_n_expected >= log_n:
+                    log_u = np.log(self.rng.random(len(log_weights)))
+                    accept = (log_weights - log_constant) > log_u
+                    n_accepted = int(np.sum(accept))
+                if n_proposed > self.max_samples:
+                    logger.warning("Reached max samples (%s)", self.max_samples)
+                    break
+            else:
+                log_w = log_w - np.nanmax(log_w)
+                log_u = np.log(self.rng.random(len(log_w)))
+                batch_accept = log_w > log_u
+                n_batch = int(batch_accept.sum())
+                m = min(n_samples - n_accepted, n_batch)
+                samples[n_accepted : n_accepted + m] = x[batch_accept][:m]
+                n_accepted += n_batch
+                if n_proposed > self.max_samples:
+                    logger.warning("Reached max samples (%s)", self.max_samples)
+                    break
+
+        if self.accumulate_weights and not self.accept_all:
+            if accept is None or len(accept) != len(samples):
+                if not len(samples):
+                    raise RuntimeError("Failed to populate proposal pool")
+                log_u = np.log(self.rng.random(len(log_weights)))
+                accept = (log_weights - log_constant) > log_u
+            n_accepted = int(np.sum(accept))
+            self.x = samples[accept][:n_samples]
+        else:
+            self.x = samples[: min(n_accepted, n_samples)]
+
+        if not len(self.x):
+            raise RuntimeError(
+                "Failed to populate the proposal pool (0 accepted samples)"
+            )
+
+        self.samples = self.convert_to_samples(self.x, plot=plot)
+        self.population_time += datetime.datetime.now() - st
+        if not self._truncation_scheme.requires_log_likelihood:
+            self.samples["logL"] = self.model.batch_evaluate_log_likelihood(
+                self.samples
+            )
+        if self.check_acceptance and worst_point is not None:
+            self.acceptance.append(
+                self.compute_acceptance(worst_point["logL"])
+            )
+        self.indices = self.rng.permutation(self.samples.size).tolist()
+        self.population_acceptance = (
+            n_accepted / n_proposed if n_proposed else np.nan
+        )
+        self.populated_count += 1
+        self.populated = True
+        self._checked_population = False
+
+    def reset(self) -> None:
+        super().reset()
+        if self._truncation_scheme is not None:
+            self._truncation_scheme.reset()
+
+    def __getstate__(self):
+        state = super().__getstate__()
+        return state

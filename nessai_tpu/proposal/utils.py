@@ -1,0 +1,107 @@
+"""Proposal class resolution and kwarg validation.
+
+Reference: ``nessai/proposal/utils.py`` (``get_flow_proposal_class:112``,
+``check_proposal_kwargs:15``).
+"""
+
+import inspect
+import logging
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["get_flow_proposal_class", "check_proposal_kwargs"]
+
+
+def _known_classes():
+    from .augmented import AugmentedFlowProposal
+    from .flowproposal import FlowProposal
+
+    classes = {
+        None: FlowProposal,
+        "flowproposal": FlowProposal,
+        "defaultflowproposal": FlowProposal,
+        "augmentedflowproposal": AugmentedFlowProposal,
+    }
+    try:
+        from ..experimental.proposal.mcmc import MCMCFlowProposal
+
+        classes["mcmcflowproposal"] = MCMCFlowProposal
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from ..experimental.proposal.clustering import ClusteringFlowProposal
+
+        classes["clusteringflowproposal"] = ClusteringFlowProposal
+    except ImportError:  # pragma: no cover
+        pass
+    return classes
+
+
+def get_flow_proposal_class(flow_class):
+    """Resolve a proposal class from a name/class/None, including
+    entry-point plugins (group ``nessai_tpu.proposals``)."""
+    from .flowproposal.base import BaseFlowProposal
+
+    if flow_class is None:
+        return _known_classes()[None]
+    if isinstance(flow_class, type) and issubclass(
+        flow_class, BaseFlowProposal
+    ):
+        return flow_class
+    if isinstance(flow_class, str):
+        name = flow_class.lower()
+        classes = _known_classes()
+        if name in classes:
+            return classes[name]
+        from ..utils.entry_points import get_entry_points
+
+        try:
+            eps = get_entry_points("nessai_tpu.proposals")
+            if name in eps:
+                return eps[name].load()
+        except Exception:  # pragma: no cover
+            pass
+        raise ValueError(f"Unknown flow class: {flow_class}")
+    raise TypeError(f"Invalid flow class: {flow_class}")
+
+
+def check_proposal_kwargs(cls, kwargs, strict: bool = False) -> dict:
+    """Keep only kwargs accepted by ``cls`` (walking its MRO); warn about
+    or reject the rest. Reference: ``nessai/proposal/utils.py:15``.
+    """
+    kwargs = dict(kwargs)
+    accepted = set()
+    for klass in inspect.getmro(cls):
+        init = getattr(klass, "__init__", None)
+        if init is None:
+            continue
+        try:
+            sig = inspect.signature(init)
+        except (TypeError, ValueError):  # pragma: no cover
+            continue
+        accepted |= set(sig.parameters)
+    out = {}
+    dropped = {}
+    for k, v in kwargs.items():
+        if k in accepted:
+            out[k] = v
+        else:
+            dropped[k] = v
+    if dropped:
+        default_kwargs = {
+            k: v
+            for k, v in dropped.items()
+            if v is None or v == {} or v == []
+        }
+        real = {k: v for k, v in dropped.items() if k not in default_kwargs}
+        if real:
+            if strict:
+                raise RuntimeError(
+                    f"{cls.__name__} does not accept kwargs: {sorted(real)}"
+                )
+            logger.warning(
+                "Dropping kwargs not accepted by %s: %s",
+                cls.__name__,
+                real,
+            )
+    return out
