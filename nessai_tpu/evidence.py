@@ -1,0 +1,272 @@
+"""Evidence integration.
+
+Reference: ``nessai/evidence.py`` — ``_NSIntegralState`` (streaming
+logsumexp rectangle rule with shrinkage ``logt = -1/nlive``, trapezoid
+re-integration at finalise, ``:120-266``) and ``_INSIntegralState``
+(``:269-441``).
+"""
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+from scipy.special import logsumexp
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "logsubexp",
+    "log_integrate_log_trap",
+    "_NSIntegralState",
+    "_INSIntegralState",
+    "log_evidence_from_ins_samples",
+]
+
+
+def logsubexp(x, y):
+    """log(exp(x) - exp(y)), elementwise, requires x >= y.
+
+    Reference: ``nessai/evidence.py:20``.
+    """
+    if np.any(x < y):
+        raise RuntimeError("cannot take log of negative number")
+    return x + np.log1p(-np.exp(y - x))
+
+
+def log_integrate_log_trap(log_func, log_support):
+    """Trapezoid rule in log space.
+
+    Reference: ``nessai/evidence.py:40``.
+    """
+    log_func_sum = np.logaddexp(log_func[:-1], log_func[1:]) - np.log(2)
+    log_dxs = logsubexp(log_support[:-1], log_support[1:])
+    return logsumexp(log_func_sum + log_dxs)
+
+
+class _NSIntegralState:
+    """Streaming nested-sampling evidence state.
+
+    Reference: ``nessai/evidence.py:120``.
+    """
+
+    def __init__(self, nlive: int, track_gradients: bool = True, expand_factor=None):
+        self.base_nlive = int(nlive)
+        self.track_gradients = track_gradients
+        self.reset()
+
+    def reset(self) -> None:
+        self.logZ = -np.inf
+        self.oldZ = -np.inf
+        self.logw = 0.0
+        self.info = [0.0]
+        # logLs[0] = -inf ; log_vols[0] = 0 (X=1)
+        self.logLs: List[float] = [-np.inf]
+        self.log_vols: List[float] = [0.0]
+        self.gradients = [0]
+
+    def increment(self, logL, nlive: Optional[int] = None) -> None:
+        """Update the evidence with the next dead point's logL.
+
+        Reference: ``nessai/evidence.py:151-191``.
+        """
+        logL = float(np.atleast_1d(logL)[0])
+        if nlive is None:
+            nlive = self.base_nlive
+        if logL <= self.logLs[-1]:
+            logger.warning(
+                "NS integrator received non-monotonic logL: %.5f -> %.5f",
+                self.logLs[-1],
+                logL,
+            )
+        logt = -1.0 / nlive
+        Wt = self.logw + logL + logsubexp(0.0, logt)
+        self.logZ = np.logaddexp(self.logZ, Wt)
+        # information (H) update, cpnest-style
+        if np.isfinite(self.oldZ):
+            info = (
+                np.exp(Wt - self.logZ) * logL
+                + np.exp(self.oldZ - self.logZ) * (self.info[-1] + self.oldZ)
+                - self.logZ
+            )
+            if np.isnan(info):
+                info = 0.0
+            self.info.append(info)
+        else:
+            self.info.append(0.0)
+        self.oldZ = self.logZ
+        self.logw += logt
+        self.logLs.append(logL)
+        self.log_vols.append(self.logw)
+        if self.track_gradients:
+            self.gradients.append(
+                (self.logLs[-1] - self.logLs[-2])
+                / (self.log_vols[-1] - self.log_vols[-2])
+            )
+
+    @property
+    def log_evidence(self) -> float:
+        return float(self.logZ)
+
+    @property
+    def log_evidence_error(self) -> float:
+        """sqrt(H / nlive). Reference: ``nessai/evidence.py:147-149``."""
+        return float(np.sqrt(max(self.info[-1], 0.0) / self.base_nlive))
+
+    def finalise(self) -> float:
+        """Re-integrate with the trapezoid rule.
+
+        Reference: ``nessai/evidence.py:217``.
+        """
+        finalised = log_integrate_log_trap(
+            np.array(self.logLs), np.array(self.log_vols)
+        )
+        self.logZ = float(finalised)
+        return self.logZ
+
+    def log_posterior_weights(self):
+        """Posterior weight of every dead point.
+
+        Reference: ``nessai/evidence.py:258``.
+        """
+        # trapezoid-consistent: w_i = L_i * (X_{i-1} - X_{i+1}) / 2
+        logLs = np.array(self.logLs)
+        log_vols = np.concatenate([np.array(self.log_vols), [-np.inf]])
+        log_dX = logsubexp(log_vols[:-2], log_vols[2:]) - np.log(2)
+        log_wts = logLs[1:] + log_dX
+        return log_wts - self.logZ
+
+    def plot(self, filename=None):
+        """logX vs logL diagnostic plot. Reference:
+        ``nessai/evidence.py:230``."""
+        from .plot import nessai_style
+
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        plt.plot(self.log_vols, self.logLs)
+        plt.title(
+            f"logZ={self.logZ:.2f} "
+            f"H={self.info[-1] * np.log2(np.e):.2f} bits"
+        )
+        plt.grid(which="both")
+        plt.xlabel("log prior-volume")
+        plt.ylabel("log-likelihood")
+        plt.xlim([self.log_vols[-1], self.log_vols[0]])
+        if filename is not None:
+            fig.savefig(filename, bbox_inches="tight")
+            plt.close(fig)
+            return None
+        return fig
+
+
+class _INSIntegralState:
+    """Evidence state for the importance nested sampler: the evidence is a
+    simple MC sum over all samples, ``Z = mean(exp(logL + logW))`` where
+    ``logW = -logQ`` are the meta-proposal weights.
+
+    Reference: ``nessai/evidence.py:269-441``.
+    """
+
+    def __init__(self):
+        self._n = 0
+        self._logZ = -np.inf
+        self._logZ_live = -np.inf
+        self._n_live = 0
+        # second moment for the variance
+        self._log_sq_sum = -np.inf
+        self._weights_nested = None
+        self._weights_live = None
+
+    def update_evidence(self, nested_samples, live_points=None) -> None:
+        """Recompute from the full sample sets.
+
+        Reference: ``nessai/evidence.py:348``.
+        """
+        log_z_nested = nested_samples["logL"] + nested_samples["logW"]
+        self._weights_nested = np.asarray(log_z_nested, dtype=np.longdouble)
+        if live_points is not None:
+            log_z_live = live_points["logL"] + live_points["logW"]
+            self._weights_live = np.asarray(log_z_live, dtype=np.longdouble)
+            self._n_live = len(live_points)
+        else:
+            self._weights_live = None
+            self._n_live = 0
+
+    @property
+    def _all_weights(self):
+        if self._weights_live is not None:
+            return np.concatenate([self._weights_nested, self._weights_live])
+        return self._weights_nested
+
+    @property
+    def n(self) -> int:
+        return len(self._all_weights) if self._all_weights is not None else 0
+
+    @property
+    def log_evidence(self) -> float:
+        w = self._all_weights
+        if w is None or not len(w):
+            return -np.inf
+        return float(logsumexp(w.astype(float)) - np.log(len(w)))
+
+    logZ = log_evidence
+
+    @property
+    def log_evidence_nested_samples(self) -> float:
+        w = self._weights_nested
+        n = self.n
+        if w is None or not len(w):
+            return -np.inf
+        return float(logsumexp(w.astype(float)) - np.log(n))
+
+    @property
+    def log_evidence_live_points(self) -> float:
+        w = self._weights_live
+        n = self.n
+        if w is None or not len(w):
+            return -np.inf
+        return float(logsumexp(w.astype(float)) - np.log(n))
+
+    @property
+    def log_evidence_error(self) -> float:
+        return self.compute_uncertainty()
+
+    def compute_uncertainty(self, log_evidence: Optional[float] = None) -> float:
+        """Standard error of the MC evidence estimate in log space, using
+        longdouble accumulation. Reference: ``nessai/evidence.py:423``.
+        """
+        w = self._all_weights
+        if w is None or len(w) < 2:
+            return np.inf
+        n = len(w)
+        Z_hat = np.exp(logsumexp(w) - np.log(n), dtype=np.longdouble)
+        u = np.exp(w, dtype=np.longdouble)
+        var = np.sum((u - Z_hat) ** 2) / (n * (n - 1))
+        return float(np.sqrt(var) / Z_hat)
+
+    @property
+    def log_evidence_ratio(self) -> float:
+        """log(Z_live / Z_nested) — the INS stopping quantity.
+
+        Reference: ``nessai/evidence.py:400``.
+        """
+        return self.log_evidence_live_points - self.log_evidence_nested_samples
+
+    @property
+    def effective_n_posterior_samples(self) -> float:
+        """Kish ESS of the posterior weights. Reference:
+        ``nessai/evidence.py:410``."""
+        from .utils.stats import effective_sample_size
+
+        w = self._all_weights
+        if w is None or not len(w):
+            return 0.0
+        return effective_sample_size(w.astype(float))
+
+
+def log_evidence_from_ins_samples(samples) -> float:
+    """Evidence from a set of INS samples. Reference:
+    ``nessai/evidence.py:444``."""
+    return float(
+        logsumexp(samples["logL"] + samples["logW"]) - np.log(len(samples))
+    )

@@ -1,0 +1,327 @@
+"""FlowSampler: the top-level user API.
+
+Reference: ``nessai/flowsampler.py`` — output management, resume-or-create
+(``:86-313``), signal handling (SIGTERM/SIGINT/SIGALRM → checkpoint +
+exit, ``:191-202,645``), run dispatch (``:315-589``), result saving
+(``:590``).
+"""
+
+import logging
+import os
+import signal
+import sys
+from typing import Optional
+
+import numpy as np
+
+from .livepoint import live_points_to_dict
+from .posterior import draw_posterior_samples
+from .utils.io import save_dict_to_hdf5, save_to_json
+from .utils.threading import configure_threads
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["FlowSampler"]
+
+
+class FlowSampler:
+    """Manage the sampling run: output, resuming, signals, results.
+
+    Reference: ``nessai/flowsampler.py:86``.
+    """
+
+    def __init__(
+        self,
+        model,
+        output: Optional[str] = None,
+        importance_nested_sampler: bool = False,
+        resume: bool = True,
+        resume_file: str = "nested_sampler_resume.pkl",
+        resume_data=None,
+        exit_code: int = 130,
+        pytorch_threads=None,
+        max_threads=None,
+        signal_handling: bool = True,
+        close_pool: bool = True,
+        disable_vectorisation: bool = False,
+        likelihood_chunksize: Optional[int] = None,
+        allow_multi_valued_likelihood: Optional[bool] = None,
+        parallelise_prior: Optional[bool] = None,
+        n_pool: Optional[int] = None,
+        pool=None,
+        seed: Optional[int] = None,
+        rng: Optional[np.random.Generator] = None,
+        **kwargs,
+    ):
+        configure_threads(max_threads or pytorch_threads)
+        self.exit_code = exit_code
+        self.close_pool = close_pool
+        self._result = None
+        self.importance_nested_sampler = importance_nested_sampler
+
+        if output is None:
+            output = os.getcwd()
+        self.output = os.path.join(output, "")
+        os.makedirs(self.output, exist_ok=True)
+
+        if disable_vectorisation:
+            model.allow_vectorised = False
+        if likelihood_chunksize:
+            model.likelihood_chunksize = likelihood_chunksize
+        if allow_multi_valued_likelihood is not None:
+            model.allow_multi_valued_likelihood = allow_multi_valued_likelihood
+        if parallelise_prior is not None:
+            model.parallelise_prior = parallelise_prior
+        model.configure_pool(pool=pool, n_pool=n_pool)
+
+        if self.importance_nested_sampler:
+            from .samplers.importancesampler import ImportanceNestedSampler
+
+            SamplerClass = ImportanceNestedSampler
+        else:
+            from .samplers.nestedsampler import NestedSampler
+
+            SamplerClass = NestedSampler
+        self._SamplerClass = SamplerClass
+
+        self.save_kwargs(kwargs)
+
+        resumed = False
+        if resume_data is not None:
+            self.ns = SamplerClass.resume_from_pickled_sampler(
+                resume_data,
+                model,
+                flow_config=kwargs.get("flow_config"),
+                training_config=kwargs.get("training_config"),
+                rng=rng,
+            )
+            resumed = True
+        elif resume:
+            for rf in (
+                os.path.join(self.output, resume_file),
+                os.path.join(self.output, resume_file + ".old"),
+            ):
+                if os.path.exists(rf):
+                    try:
+                        self.ns = SamplerClass.resume(
+                            rf,
+                            model,
+                            flow_config=kwargs.get("flow_config"),
+                            training_config=kwargs.get("training_config"),
+                            rng=rng,
+                        )
+                        resumed = True
+                        break
+                    except Exception as e:
+                        logger.error(
+                            "Could not resume from %s: %s", rf, e
+                        )
+        if not resumed:
+            self.ns = SamplerClass(
+                model,
+                output=self.output,
+                resume_file=resume_file,
+                seed=seed,
+                rng=rng,
+                **kwargs,
+            )
+
+        if signal_handling:
+            try:
+                signal.signal(signal.SIGTERM, self.safe_exit)
+                signal.signal(signal.SIGINT, self.safe_exit)
+                signal.signal(signal.SIGALRM, self.safe_exit)
+            except ValueError:  # pragma: no cover - non-main thread
+                logger.error("Cannot set signal handlers outside main thread")
+
+    # ------------------------------------------------------------------
+    @property
+    def log_evidence(self):
+        return self.logZ
+
+    @property
+    def logZ(self):
+        return self.ns.log_evidence
+
+    @property
+    def log_evidence_error(self):
+        return self.ns.log_evidence_error
+
+    @property
+    def nested_samples(self):
+        return np.asarray(self.ns.nested_samples)
+
+    @property
+    def rng(self):
+        return self.ns.rng
+
+    # ------------------------------------------------------------------
+    def run(self, **kwargs):
+        """Run the configured sampler. Reference:
+        ``nessai/flowsampler.py:315``."""
+        if self.importance_nested_sampler:
+            return self.run_importance_nested_sampler(**kwargs)
+        return self.run_standard_sampler(**kwargs)
+
+    def run_standard_sampler(
+        self,
+        plot: bool = True,
+        plot_indices: bool = True,
+        plot_posterior: bool = True,
+        plot_logXlogL: bool = True,
+        save: bool = True,
+        posterior_sampling_method: str = "rejection_sampling",
+        close_pool: Optional[bool] = None,
+    ):
+        """Reference: ``nessai/flowsampler.py:359``."""
+        if close_pool is None:
+            close_pool = self.close_pool
+        self.ns.initialise()
+        self.logZ_history, self._ns_samples = self.ns.nested_sampling_loop()
+        logger.info(
+            "Total sampling time: %s",
+            self.ns.sampling_time,
+        )
+        logger.info("Drawing posterior samples")
+        # include the final live points with decreasing nlive
+        n_ns = len(self._ns_samples)
+        nlive_schedule = np.concatenate(
+            [
+                np.full(n_ns - self.ns.nlive, self.ns.nlive),
+                np.arange(self.ns.nlive, 0, -1),
+            ]
+        )
+        self.posterior_samples = draw_posterior_samples(
+            self._ns_samples,
+            nlive=nlive_schedule,
+            method=posterior_sampling_method,
+            rng=self.ns.rng,
+        )
+        logger.info(
+            "Returned %s posterior samples", self.posterior_samples.size
+        )
+        if save:
+            self.save_results(
+                os.path.join(self.output, "result"), extension="hdf5"
+            )
+        if plot:
+            from . import plot as _plot
+
+            if plot_posterior:
+                _plot.plot_live_points(
+                    self.posterior_samples,
+                    filename=os.path.join(self.output, "posterior_distribution.png"),
+                )
+            if plot_indices:
+                _plot.plot_indices(
+                    self.ns.insertion_indices,
+                    self.ns.nlive,
+                    filename=os.path.join(self.output, "insertion_indices.png"),
+                )
+            if plot_logXlogL:
+                self.ns.state.plot(
+                    filename=os.path.join(self.output, "logXlogL.png")
+                )
+        if close_pool:
+            self.ns.model.close_pool()
+        return self.logZ, self._ns_samples
+
+    def run_importance_nested_sampler(
+        self,
+        plot: bool = True,
+        save: bool = True,
+        posterior_sampling_method: str = "importance_sampling",
+        redraw_samples: bool = False,
+        n_posterior_samples: Optional[int] = None,
+        close_pool: Optional[bool] = None,
+        **kwargs,
+    ):
+        """Reference: ``nessai/flowsampler.py:453``."""
+        if close_pool is None:
+            close_pool = self.close_pool
+        self.ns.initialise()
+        self.ns.nested_sampling_loop()
+        logger.info("Total sampling time: %s", self.ns.sampling_time)
+        if redraw_samples:
+            logger.info("Redrawing %s samples", n_posterior_samples)
+            self.initial_posterior_samples = self.ns.draw_posterior_samples(
+                sampling_method=posterior_sampling_method, use_final_samples=False
+            )
+            self.ns.draw_final_samples(
+                n_post=n_posterior_samples, **kwargs
+            )
+        self.posterior_samples = self.ns.draw_posterior_samples(
+            sampling_method=posterior_sampling_method,
+            use_final_samples=redraw_samples,
+        )
+        if save:
+            self.save_results(
+                os.path.join(self.output, "result"), extension="hdf5"
+            )
+        if plot:
+            self.ns.produce_plots()
+        if close_pool:
+            self.ns.model.close_pool()
+        return self.logZ, self.nested_samples
+
+    # ------------------------------------------------------------------
+    @property
+    def result(self) -> dict:
+        if self._result is None:
+            self._result = self.ns.get_result_dictionary()
+            if hasattr(self, "posterior_samples"):
+                self._result["posterior_samples"] = self.posterior_samples
+        return self._result
+
+    def save_kwargs(self, kwargs: dict) -> None:
+        """Reference: ``nessai/flowsampler.py:573-588``."""
+        save_to_json(
+            dict(
+                kwargs,
+                importance_nested_sampler=self.importance_nested_sampler,
+            ),
+            os.path.join(self.output, "config.json"),
+        )
+
+    def save_results(self, filename: str, extension: Optional[str] = None) -> None:
+        """Save the result dict as JSON or HDF5.
+
+        Reference: ``nessai/flowsampler.py:590``.
+        """
+        d = dict(self.result)
+        if extension is None:
+            ext = os.path.splitext(filename)[1].lstrip(".")
+            if not ext:
+                raise RuntimeError(
+                    "Must specify an extension in the filename or via "
+                    "the extension argument"
+                )
+            extension = ext
+        else:
+            if not filename.endswith(extension):
+                filename = filename + "." + extension
+        # structured arrays → dict of columns for serialisation
+        for key in ("nested_samples", "posterior_samples"):
+            if key in d and isinstance(d[key], np.ndarray) and d[key].dtype.names:
+                d[key] = live_points_to_dict(d[key])
+        if extension == "json":
+            save_to_json(d, filename)
+        elif extension in ("hdf5", "h5"):
+            save_dict_to_hdf5(d, filename)
+        else:
+            raise RuntimeError(f"Unknown extension: {extension}")
+
+    # ------------------------------------------------------------------
+    def terminate_run(self, code=None) -> None:
+        """Checkpoint and close the pool. Reference:
+        ``nessai/flowsampler.py:633``."""
+        logger.warning("Terminating run")
+        self.ns.checkpoint(force=True)
+        self.ns.model.close_pool(code=code)
+
+    def safe_exit(self, signum=None, frame=None) -> None:
+        """Signal handler: checkpoint then exit. Reference:
+        ``nessai/flowsampler.py:645``."""
+        logger.warning("Trying to safely exit with code %s", signum)
+        self.terminate_run(code=signum)
+        sys.exit(self.exit_code)

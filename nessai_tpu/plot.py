@@ -1,0 +1,285 @@
+"""Plotting utilities.
+
+Reference: ``nessai/plot.py`` (``plot_live_points:31``,
+``plot_1d_comparison:101``, ``plot_indices:187``, ``plot_loss:330``,
+``plot_trace:495``, ``plot_histogram:530``, ``corner_plot:647``,
+``nessai_style`` decorator).
+
+All functions are best-effort: matplotlib uses the Agg backend and the
+``corner`` package is optional (a pair-grid fallback is used when absent).
+"""
+
+import logging
+from functools import wraps
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from . import config
+from .livepoint import live_points_to_array
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "nessai_style",
+    "plot_live_points",
+    "plot_1d_comparison",
+    "plot_indices",
+    "plot_loss",
+    "plot_trace",
+    "plot_histogram",
+    "corner_plot",
+    "plot_sampler_state",
+]
+
+
+def nessai_style(line_styles: bool = True):
+    """Decorator applying the seaborn-based house style unless disabled via
+    ``config.plotting.disable_style``. Reference: ``nessai/plot.py``."""
+
+    def decorator(func):
+        @wraps(func)
+        def wrapper(*args, **kwargs):
+            if config.plotting.disable_style:
+                return func(*args, **kwargs)
+            try:
+                import seaborn as sns
+
+                with sns.axes_style(config.plotting.sns_style):
+                    return func(*args, **kwargs)
+            except ImportError:  # pragma: no cover
+                return func(*args, **kwargs)
+
+        return wrapper
+
+    return decorator
+
+
+def _save_or_return(fig, filename):
+    if filename is not None:
+        fig.savefig(filename, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
+@nessai_style()
+def plot_live_points(live_points, filename=None, bounds=None, c=None, **kwargs):
+    """Corner-style pair plot of live points. Reference:
+    ``nessai/plot.py:31``."""
+    import pandas as pd
+    import seaborn as sns
+
+    df = pd.DataFrame(
+        {
+            n: np.asarray(live_points[n])
+            for n in live_points.dtype.names
+            if n not in config.livepoints.non_sampling_parameters
+        }
+    )
+    if df.shape[1] > 10:
+        logger.warning("Too many parameters for pair plot; truncating to 10")
+        df = df.iloc[:, :10]
+    hue = None
+    if c is not None and c in live_points.dtype.names:
+        df[c] = live_points[c]
+        hue = c
+    g = sns.PairGrid(df, corner=True, diag_sharey=False, hue=hue)
+    g.map_diag(sns.histplot)
+    g.map_offdiag(sns.scatterplot, s=2.0)
+    return _save_or_return(g.figure, filename)
+
+
+@nessai_style()
+def plot_1d_comparison(
+    *live_points, parameters=None, labels=None, colours=None, filename=None, **kwargs
+):
+    """Overlaid 1-D histograms of multiple sample sets. Reference:
+    ``nessai/plot.py:101``."""
+    if parameters is None:
+        parameters = [
+            n
+            for n in live_points[0].dtype.names
+            if n not in config.livepoints.non_sampling_parameters
+        ]
+    if labels is None:
+        labels = [f"set {i}" for i in range(len(live_points))]
+    n = len(parameters)
+    fig, axs = plt.subplots(n, 1, figsize=(4, 2 * n), squeeze=False)
+    for i, p in enumerate(parameters):
+        for j, lp in enumerate(live_points):
+            vals = np.asarray(lp[p], dtype=float)
+            vals = vals[np.isfinite(vals)]
+            if not len(vals):
+                continue
+            axs[i, 0].hist(
+                vals,
+                bins=30,
+                histtype="step",
+                density=True,
+                label=labels[j],
+            )
+        axs[i, 0].set_xlabel(p)
+    axs[0, 0].legend()
+    fig.tight_layout()
+    return _save_or_return(fig, filename)
+
+
+@nessai_style()
+def plot_indices(indices, nlive, filename=None, plot_breakdown: bool = True):
+    """Insertion-index uniformity plot with confidence band.
+
+    Reference: ``nessai/plot.py:187``.
+    """
+    indices = np.asarray(indices)
+    if not len(indices):
+        return None
+    fig, ax = plt.subplots(1, 2 if plot_breakdown else 1, figsize=(8, 4), squeeze=False)
+    n = len(indices)
+    x = np.arange(nlive + 1)
+    expected = x / nlive
+    analytic_bound = np.sqrt(expected * (1 - expected) / n)
+    counts = np.bincount(indices, minlength=nlive)
+    ecdf = np.concatenate([[0], np.cumsum(counts) / n])
+    ax[0, 0].plot(x, ecdf - expected, label="observed - expected")
+    ax[0, 0].fill_between(
+        x, -analytic_bound, analytic_bound, alpha=0.3, label="1-sigma"
+    )
+    ax[0, 0].fill_between(
+        x, -2 * analytic_bound, 2 * analytic_bound, alpha=0.15
+    )
+    ax[0, 0].set_xlabel("insertion index")
+    ax[0, 0].legend()
+    if plot_breakdown:
+        ax[0, 1].hist(indices, bins=min(nlive, 50), density=True)
+        ax[0, 1].axhline(1 / nlive * min(nlive, 50) / nlive, ls="--", c="k")
+        ax[0, 1].set_xlabel("insertion index")
+    fig.tight_layout()
+    return _save_or_return(fig, filename)
+
+
+@nessai_style()
+def plot_loss(epoch, history, filename=None):
+    """Training/validation loss curves. Reference:
+    ``nessai/plot.py:330``."""
+    fig = plt.figure()
+    plt.plot(history["loss"], label="loss")
+    plt.plot(history["val_loss"], label="val loss")
+    plt.axvline(epoch, ls="--", c="k")
+    plt.xlabel("epoch")
+    plt.ylabel("negative log-likelihood")
+    plt.legend()
+    return _save_or_return(fig, filename)
+
+
+@nessai_style()
+def plot_trace(log_x, nested_samples, parameters=None, filename=None, **kwargs):
+    """logX vs parameter trace plots. Reference: ``nessai/plot.py:495``."""
+    nested_samples = np.asarray(nested_samples)
+    if parameters is None:
+        parameters = [
+            n
+            for n in nested_samples.dtype.names
+            if n not in config.livepoints.non_sampling_parameters
+        ]
+    n = len(parameters)
+    fig, axs = plt.subplots(n, 1, figsize=(5, 2 * n), sharex=True, squeeze=False)
+    log_x = np.asarray(log_x)[: len(nested_samples)]
+    for i, p in enumerate(parameters):
+        axs[i, 0].plot(log_x, nested_samples[p][: len(log_x)], ",")
+        axs[i, 0].set_ylabel(p)
+    axs[-1, 0].set_xlabel("log X")
+    axs[-1, 0].invert_xaxis()
+    fig.tight_layout()
+    return _save_or_return(fig, filename)
+
+
+@nessai_style()
+def plot_histogram(samples, label=None, filename=None, **kwargs):
+    """Reference: ``nessai/plot.py:530``."""
+    fig = plt.figure()
+    plt.hist(np.asarray(samples, dtype=float), bins=30, density=True, **kwargs)
+    if label:
+        plt.xlabel(label)
+    return _save_or_return(fig, filename)
+
+
+@nessai_style()
+def corner_plot(
+    live_points,
+    parameters=None,
+    truths=None,
+    labels=None,
+    filename=None,
+    **kwargs,
+):
+    """Corner plot; uses the ``corner`` package when available, otherwise
+    a seaborn pair grid. Reference: ``nessai/plot.py:647``."""
+    if parameters is None:
+        parameters = [
+            n
+            for n in live_points.dtype.names
+            if n not in config.livepoints.non_sampling_parameters
+        ]
+    arr = live_points_to_array(live_points, parameters)
+    try:
+        import corner
+
+        fig = corner.corner(
+            arr, labels=labels or parameters, truths=truths, **kwargs
+        )
+        return _save_or_return(fig, filename)
+    except ImportError:
+        import pandas as pd
+        import seaborn as sns
+
+        df = pd.DataFrame(arr, columns=parameters)
+        g = sns.PairGrid(df, corner=True, diag_sharey=False)
+        g.map_diag(sns.histplot)
+        g.map_offdiag(sns.histplot, bins=30)
+        return _save_or_return(g.figure, filename)
+
+
+@nessai_style()
+def plot_sampler_state(sampler, filename=None):
+    """Multi-panel state plot for the standard sampler.
+
+    Reference: ``nessai/samplers/nestedsampler.py:994-1179``.
+    """
+    h = sampler.history
+    if h is None or not h["iterations"]:
+        return None
+    its = h["iterations"][: len(h["logZ"])]
+    fig, axs = plt.subplots(4, 1, figsize=(8, 10), sharex=True)
+    axs[0].plot(its, h["logZ"][: len(its)], label="logZ")
+    axs[0].set_ylabel("logZ")
+    ax2 = axs[0].twinx()
+    ax2.plot(its, h["dlogZ"][: len(its)], c="C1", label="dlogZ")
+    ax2.set_yscale("log")
+    ax2.set_ylabel("dlogZ")
+    axs[1].plot(its, h["logLmin"][: len(its)], label="logLmin")
+    axs[1].plot(its, h["logLmax"][: len(its)], label="logLmax")
+    axs[1].set_ylabel("logL")
+    axs[1].legend()
+    axs[2].plot(its, h["acceptance"][: len(its)], label="acceptance")
+    axs[2].plot(
+        its, h["mean_acceptance"][: len(its)], label="block acceptance"
+    )
+    for it in sampler.training_iterations:
+        axs[2].axvline(it, ls="--", c="lightgrey")
+    axs[2].set_ylabel("acceptance")
+    axs[2].legend()
+    if sampler.rolling_p:
+        axs[3].plot(
+            np.arange(1, len(sampler.rolling_p) + 1) * sampler.nlive,
+            sampler.rolling_p,
+            "o",
+        )
+    axs[3].axhline(0.05, ls="--", c="r")
+    axs[3].set_ylabel("rolling p-value")
+    axs[3].set_xlabel("iteration")
+    fig.tight_layout()
+    return _save_or_return(fig, filename)

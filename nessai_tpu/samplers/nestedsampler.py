@@ -1,0 +1,756 @@
+"""Standard nested sampler with flow-trained proposals.
+
+Reference: ``nessai/samplers/nestedsampler.py`` (1446 LoC): classic NS loop
+with live-point population, worst-point replacement via sorted insertion,
+uninformed→flow proposal switching, training triggers with cooldown, flow
+resets, insertion-index KS diagnostics, and trapezoid finalisation.
+
+The device-facing work (flow training, pool population, batched likelihoods)
+happens inside the proposal; this module is the host control plane.
+"""
+
+import datetime
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from .. import config as global_config
+from ..evidence import _NSIntegralState
+from ..livepoint import empty_structured_array
+from ..proposal import AnalyticProposal, RejectionProposal
+from ..proposal.utils import check_proposal_kwargs, get_flow_proposal_class
+from ..stopping_criteria import StoppingCriterionRegistry
+from ..utils.indices import compute_indices_ks_test
+from .base import BaseNestedSampler
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["NestedSampler"]
+
+
+class NestedSampler(BaseNestedSampler):
+    """Standard nested sampler.
+
+    Reference: ``nessai/samplers/nestedsampler.py:158-200`` for the full
+    constructor knob set.
+    """
+
+    def __init__(
+        self,
+        model,
+        nlive: int = 2000,
+        output: Optional[str] = None,
+        stopping: float = 0.1,
+        stopping_criterion: str = "dlogZ",
+        max_iteration: Optional[int] = None,
+        checkpointing: bool = True,
+        checkpoint_interval: int = 600,
+        checkpoint_on_iteration: bool = False,
+        checkpoint_on_training: bool = False,
+        checkpoint_callback=None,
+        logging_interval: Optional[int] = None,
+        log_on_iteration: bool = True,
+        resume_file: Optional[str] = None,
+        seed: Optional[int] = None,
+        rng: Optional[np.random.Generator] = None,
+        plot: bool = True,
+        prior_sampling: bool = False,
+        analytic_priors: bool = False,
+        maximum_uninformed: Optional[float] = None,
+        uninformed_proposal=None,
+        uninformed_acceptance_threshold: Optional[float] = None,
+        uninformed_proposal_kwargs: Optional[dict] = None,
+        training_frequency=None,
+        cooldown: int = 200,
+        memory=False,
+        acceptance_threshold: float = 0.01,
+        retrain_acceptance: bool = True,
+        train_on_empty: bool = True,
+        reset_weights=False,
+        reset_permutations=False,
+        reset_acceptance: bool = False,
+        reset_flow=False,
+        flow_class=None,
+        flow_config: Optional[dict] = None,
+        training_config: Optional[dict] = None,
+        proposal_plots: bool = False,
+        shrinkage_expectation: str = "t",
+        **kwargs,
+    ):
+        super().__init__(
+            model,
+            nlive,
+            output=output,
+            seed=seed,
+            rng=rng,
+            checkpointing=checkpointing,
+            checkpoint_interval=checkpoint_interval,
+            checkpoint_on_iteration=checkpoint_on_iteration,
+            checkpoint_callback=checkpoint_callback,
+            logging_interval=logging_interval,
+            log_on_iteration=log_on_iteration,
+            resume_file=resume_file,
+            plot=plot,
+        )
+        self.prior_sampling = prior_sampling
+        self.checkpoint_on_training = checkpoint_on_training
+        self.max_iteration = max_iteration
+        self.acceptance_threshold = acceptance_threshold
+        self.retrain_acceptance = retrain_acceptance
+        self.train_on_empty = train_on_empty
+        self.cooldown = cooldown
+        self.memory = memory
+        if reset_flow:
+            reset_weights = reset_flow
+            reset_permutations = reset_flow
+        self.reset_weights = float(reset_weights) if reset_weights else False
+        self.reset_permutations = (
+            float(reset_permutations) if reset_permutations else False
+        )
+        self.reset_acceptance = reset_acceptance
+
+        self.state = _NSIntegralState(self.nlive, track_gradients=plot)
+
+        self.stopping_criterion = StoppingCriterionRegistry.get(
+            stopping_criterion, tolerance=stopping
+        )
+        self.tolerance = self.stopping_criterion.tolerance
+        self.condition = np.inf
+
+        if training_frequency in (None, "inf", "None"):
+            training_frequency = np.inf
+        self.training_frequency = training_frequency
+
+        # state
+        self.accepted = 0
+        self.rejected = 1
+        self.initialised = False
+        self.finalised = False
+        self.nested_samples = []
+        self.logLmin = -np.inf
+        self.logLmax = -np.inf
+        self.insertion_indices = []
+        self.rolling_p = []
+        self.final_p_value = None
+        self.final_ks_statistic = None
+        self.acceptance_history = []
+        self.block_acceptance = 1.0
+        self.block_iteration = 0
+        self.mean_block_acceptance = 1.0
+        self.mean_acceptance_history = []
+        self.training_iterations = []
+        self.train_count = 0
+        self.last_updated = 0
+        self.proposal_last_updated = 0
+        self.completed_training = True
+        self.uninformed_sampling = True
+        self.training_time = datetime.timedelta()
+        self.proposal_population_time = datetime.timedelta()
+        self.likelihood_calls = 0
+
+        # uninformed proposal configuration
+        if maximum_uninformed is None:
+            self.maximum_uninformed = 10 * self.nlive
+        elif maximum_uninformed is False:
+            self.maximum_uninformed = 0
+        else:
+            self.maximum_uninformed = float(maximum_uninformed)
+        if uninformed_acceptance_threshold is None:
+            self.uninformed_acceptance_threshold = max(
+                0.5, 10 * self.acceptance_threshold
+            )
+        else:
+            self.uninformed_acceptance_threshold = (
+                uninformed_acceptance_threshold
+            )
+        self.configure_uninformed_proposal(
+            uninformed_proposal,
+            analytic_priors,
+            uninformed_proposal_kwargs,
+        )
+        self.configure_flow_proposal(
+            flow_class,
+            flow_config,
+            training_config,
+            proposal_plots,
+            **kwargs,
+        )
+        self.proposal = self._uninformed_proposal
+
+    # ------------------------------------------------------------------
+    # Configuration
+    # ------------------------------------------------------------------
+    def configure_uninformed_proposal(
+        self, uninformed_proposal, analytic_priors, kwargs
+    ) -> None:
+        """Reference: ``nessai/samplers/nestedsampler.py:380-445``."""
+        if kwargs is None:
+            kwargs = {}
+        kwargs.setdefault("poolsize", self.nlive)
+        if uninformed_proposal is None:
+            uninformed_proposal = (
+                AnalyticProposal if analytic_priors else RejectionProposal
+            )
+        self._uninformed_proposal = uninformed_proposal(
+            self.model, rng=self.rng, **kwargs
+        )
+
+    def configure_flow_proposal(
+        self, flow_class, flow_config, training_config, proposal_plots, **kwargs
+    ) -> None:
+        """Reference: ``nessai/samplers/nestedsampler.py:447-486``."""
+        proposal_class = get_flow_proposal_class(flow_class)
+        kwargs = check_proposal_kwargs(proposal_class, kwargs)
+        kwargs.setdefault("poolsize", self.nlive)
+        self._flow_proposal = proposal_class(
+            self.model,
+            flow_config=flow_config,
+            training_config=training_config,
+            output=os.path.join(self.output, "proposal", ""),
+            plot=proposal_plots,
+            rng=self.rng,
+            **kwargs,
+        )
+
+    @property
+    def flow_proposal(self):
+        return self._flow_proposal
+
+    @property
+    def acceptance(self) -> float:
+        return self.accepted / max(self.accepted + self.rejected, 1)
+
+    @property
+    def last_iteration_with_flow(self):
+        return self.iteration - self.last_updated
+
+    @property
+    def log_evidence(self) -> float:
+        return self.state.log_evidence
+
+    @property
+    def log_evidence_error(self) -> float:
+        return self.state.log_evidence_error
+
+    @property
+    def information(self) -> float:
+        return self.state.info[-1]
+
+    @property
+    def posterior_effective_sample_size(self) -> float:
+        from ..utils.stats import effective_sample_size
+
+        return effective_sample_size(self.state.log_posterior_weights())
+
+    @property
+    def birth_log_likelihoods(self):
+        """logL threshold each nested sample was born at (for external
+        resampling tools)."""
+        ns = np.asarray(self.nested_samples)
+        return ns["it"]
+
+    # ------------------------------------------------------------------
+    # Initialisation
+    # ------------------------------------------------------------------
+    def initialise(self, live_points: bool = True) -> None:
+        """Initialise proposals and populate the live points.
+
+        Reference: ``nessai/samplers/nestedsampler.py:786``.
+        """
+        flags = [False] * 3
+        if not self._flow_proposal.initialised:
+            self._flow_proposal.initialise(resume=False)
+            flags[0] = True
+        if not self._uninformed_proposal.initialised:
+            self._uninformed_proposal.initialise()
+            flags[1] = True
+        if self.iteration < self.maximum_uninformed:
+            self.proposal = self._uninformed_proposal
+        else:
+            self.proposal = self._flow_proposal
+        if live_points and self.live_points is None:
+            self.populate_live_points()
+            flags[2] = True
+        self.initialise_history()
+        self.initialised = all(flags) or self.live_points is not None
+
+    def populate_live_points(self) -> None:
+        """Draw the initial live points from the prior (uninformed
+        proposal) and sort by logL.
+
+        Reference: ``nessai/samplers/nestedsampler.py:743``.
+        """
+        live_points = empty_structured_array(
+            self.nlive, names=self.model.names
+        )
+        n = 0
+        while n < self.nlive:
+            point = self._uninformed_proposal.draw(None)
+            if not np.isfinite(point["logL"]):
+                continue
+            live_points[n] = point
+            n += 1
+        if len(np.unique(live_points["logL"])) < self.nlive:
+            logger.warning(
+                "Initial live points contain duplicate log-likelihood "
+                "values; this may indicate an issue with the model."
+            )
+        live_points["it"] = -np.ones(self.nlive)
+        self.live_points = np.sort(live_points, order="logL")
+        self.logLmax = float(self.live_points["logL"][-1])
+
+    # ------------------------------------------------------------------
+    # Proposal switching / training
+    # ------------------------------------------------------------------
+    def check_proposal_switch(self, force: bool = False) -> bool:
+        """Switch from the uninformed to the flow proposal.
+
+        Reference: ``nessai/samplers/nestedsampler.py:826``.
+        """
+        if not self.uninformed_sampling:
+            return True
+        if (
+            force
+            or self.mean_block_acceptance < self.uninformed_acceptance_threshold
+            or self.iteration >= self.maximum_uninformed
+        ):
+            logger.info("Switching to flow proposal at iteration %s", self.iteration)
+            self.proposal = self._flow_proposal
+            self.proposal.ns_acceptance = self.mean_block_acceptance
+            self.uninformed_sampling = False
+            return True
+        return False
+
+    def check_training(self):
+        """Decide whether to train now. Returns (train, force).
+
+        Reference: ``nessai/samplers/nestedsampler.py:861``.
+        """
+        if not self.completed_training:
+            return True, True
+        if self.proposal.populated:
+            return False, False
+        train, force = False, False
+        if self.train_on_empty and not self.proposal.populated:
+            train, force = True, True
+        if (
+            self.retrain_acceptance
+            and self.mean_block_acceptance < self.acceptance_threshold
+            and self.block_iteration >= self.cooldown
+        ):
+            train, force = True, True
+        if (self.iteration - self.last_updated) >= self.training_frequency:
+            train = True
+        if train and not force:
+            if (self.iteration - self.last_updated) < self.cooldown:
+                train = False
+        return train, force
+
+    def check_flow_model_reset(self) -> None:
+        """Reset flow weights/permutations on schedule or acceptance.
+
+        Reference: ``nessai/samplers/nestedsampler.py:904``.
+        """
+        proposal = self._flow_proposal
+        if not proposal.training_count:
+            return
+        if (
+            self.reset_acceptance
+            and self.mean_block_acceptance < self.acceptance_threshold
+        ):
+            proposal.flow.reset_model(weights=True, permutations=True)
+            return
+        weights = bool(
+            self.reset_weights
+            and not (proposal.training_count % self.reset_weights)
+        )
+        permutations = bool(
+            self.reset_permutations
+            and not (proposal.training_count % self.reset_permutations)
+        )
+        if weights or permutations:
+            proposal.flow.reset_model(
+                weights=weights, permutations=permutations
+            )
+
+    def train_proposal(self, force: bool = False) -> None:
+        """Train the flow proposal on the current live points.
+
+        Reference: ``nessai/samplers/nestedsampler.py:937``.
+        """
+        if (
+            not force
+            and (self.iteration - self.last_updated) < self.cooldown
+        ):
+            logger.debug("Not training; within cooldown")
+            return
+        self.check_flow_model_reset()
+        logger.info("Training flow proposal at iteration %s", self.iteration)
+        st = datetime.datetime.now()
+        training_data = self.live_points.copy()
+        if self.memory and len(self.nested_samples) >= self.memory:
+            training_data = np.concatenate(
+                [
+                    training_data,
+                    np.asarray(
+                        self.nested_samples[-int(self.memory):],
+                        dtype=training_data.dtype,
+                    ),
+                ]
+            )
+        self._flow_proposal.train(training_data, plot=self.plot)
+        self.training_time += datetime.datetime.now() - st
+        self.training_iterations.append(self.iteration)
+        self.last_updated = self.iteration
+        self.block_iteration = 0
+        self.block_acceptance = 0.0
+        self.train_count += 1
+        self.completed_training = True
+        if self.checkpoint_on_training:
+            self.checkpoint(periodic=True, force=True)
+
+    # ------------------------------------------------------------------
+    # Core loop
+    # ------------------------------------------------------------------
+    def yield_sample(self, old_sample):
+        """Generator of (count, proposal) pairs.
+
+        Reference: ``nessai/samplers/nestedsampler.py:643``.
+        """
+        while True:
+            count = 0
+            while True:
+                count += 1
+                new_sample = self.proposal.draw(old_sample.copy())
+                if not np.isfinite(new_sample["logL"]):
+                    new_sample["logL"] = (
+                        self.model.evaluate_log_likelihood(new_sample)
+                    )
+                if new_sample["logL"] > self.logLmin:
+                    break
+                if not self.proposal.populated:
+                    break
+            yield count, new_sample
+
+    def insert_live_point(self, live_point) -> int:
+        """Insert into the sorted live points (worst already removed from
+        slot 0). Returns the insertion index for the KS diagnostic.
+
+        Reference: ``nessai/samplers/nestedsampler.py:669``.
+        """
+        index = np.searchsorted(
+            self.live_points["logL"], live_point["logL"]
+        )
+        self.live_points[: index - 1] = self.live_points[1:index]
+        self.live_points[index - 1] = live_point
+        return int(index) - 1
+
+    def consume_sample(self) -> None:
+        """Replace the worst live point. Reference:
+        ``nessai/samplers/nestedsampler.py:680``.
+        """
+        worst = self.live_points[0].copy()
+        self.logLmin = float(worst["logL"])
+        self.state.increment(worst["logL"])
+        self.nested_samples.append(worst)
+
+        # dlogZ: evidence that could still be gained from the live points,
+        # dlogZ = log(Z + Lmax * X_i) - log(Z)
+        self.condition = (
+            np.logaddexp(self.state.logZ, self.logLmax + self.state.logw)
+            - self.state.logZ
+        )
+
+        count_total = 0
+        while True:
+            count, proposed = next(self._yield_iter)
+            count_total += count
+            if proposed["logL"] > self.logLmin:
+                self.accepted += 1
+                self.block_acceptance += 1.0 / count_total
+                proposed["it"] = self.iteration
+                index = self.insert_live_point(proposed)
+                self.insertion_indices.append(index)
+                self.logLmax = max(
+                    self.logLmax, float(self.live_points["logL"][-1])
+                )
+                break
+            else:
+                self.rejected += 1
+                self.check_state()
+                # reset the generator so it uses the (possibly new) proposal
+                self._yield_iter = self.yield_sample(self.live_points[0])
+        self.mean_block_acceptance = self.block_acceptance / max(
+            self.block_iteration, 1
+        )
+
+    def check_state(self, force: bool = False) -> None:
+        """Training/switching checks before each replacement.
+
+        Reference: ``nessai/samplers/nestedsampler.py:970``.
+        """
+        if self.uninformed_sampling:
+            switched = self.check_proposal_switch()
+            if not switched:
+                return
+            force = True
+        if force:
+            self.train_proposal(force=True)
+            return
+        train, force_train = self.check_training()
+        if train or force_train:
+            self.train_proposal(force=force_train)
+
+    def check_insertion_indices(
+        self, rolling: bool = True, filename: Optional[str] = None
+    ) -> None:
+        """KS test of the insertion indices.
+
+        Reference: ``nessai/samplers/nestedsampler.py:602``.
+        """
+        if not self.insertion_indices:
+            return
+        if rolling:
+            indices = self.insertion_indices[-self.nlive:]
+        else:
+            indices = self.insertion_indices
+        D, p = compute_indices_ks_test(indices, self.nlive)
+        if p is None:
+            return
+        if rolling:
+            logger.debug("Rolling insertion-index p-value: %.4f", p)
+            self.rolling_p.append(p)
+        else:
+            self.final_p_value = p
+            self.final_ks_statistic = D
+            if p < 0.05:
+                logger.warning(
+                    "Final insertion-index p-value below 0.05: %.4f", p
+                )
+        if filename is not None:
+            np.savetxt(
+                os.path.join(self.output, filename),
+                self.insertion_indices,
+                newline="\n",
+                delimiter=" ",
+            )
+
+    # ------------------------------------------------------------------
+    def initialise_history(self) -> None:
+        super().initialise_history()
+        self.history.update(
+            dict(
+                logZ=[],
+                dlogZ=[],
+                logLmin=[],
+                logLmax=[],
+                acceptance=[],
+                mean_acceptance=[],
+                rolling_p=[],
+                population_acceptance=[],
+                training_iterations=[],
+            )
+        )
+
+    def update_history(self) -> None:
+        super().update_history()
+        self.history["logZ"].append(self.state.logZ)
+        self.history["dlogZ"].append(self.condition)
+        self.history["logLmin"].append(self.logLmin)
+        self.history["logLmax"].append(self.logLmax)
+        self.history["acceptance"].append(self.acceptance)
+        self.history["mean_acceptance"].append(self.mean_block_acceptance)
+        self.history["population_acceptance"].append(
+            self.proposal.population_acceptance
+        )
+
+    def update_state(self, force: bool = False) -> None:
+        """Periodic diagnostics, plots and checkpointing.
+
+        Reference: ``nessai/samplers/nestedsampler.py:1228``.
+        """
+        if not (self.iteration % max(self.nlive // 10, 1)) or force:
+            self.update_history()
+        if not (self.iteration % self.nlive) or force:
+            self.check_insertion_indices(rolling=True)
+            if self.plot:
+                self.plot_state(
+                    filename=os.path.join(self.output, "state.png")
+                )
+        self.checkpoint(periodic=True)
+
+    def log_state(self) -> None:
+        """Reference: ``nessai/samplers/nestedsampler.py:591-600``."""
+        logger.info(
+            "it: %5d: n eval: %d H: %.2f dlogZ: %.3f logZ: %.3f +/- %.3f "
+            "logLmax: %.2f",
+            self.iteration,
+            self.total_likelihood_evaluations,
+            self.information,
+            self.condition,
+            self.state.logZ,
+            self.state.log_evidence_error,
+            self.logLmax,
+        )
+
+    # ------------------------------------------------------------------
+    def finalise(self) -> None:
+        """Consume the remaining live points and re-integrate.
+
+        Reference: ``nessai/samplers/nestedsampler.py:1297``.
+        """
+        if self.finalised:
+            return
+        logger.info("Finalising")
+        for i, point in enumerate(self.live_points):
+            self.state.increment(point["logL"], nlive=self.nlive - i)
+            self.nested_samples.append(point.copy())
+        self.state.finalise()
+        self.condition = 0.0
+        self.finalised = True
+
+    def nested_sampling_loop(self):
+        """The main loop. Returns (logZ, nested_samples).
+
+        Reference: ``nessai/samplers/nestedsampler.py:1313-1397``.
+        """
+        self.sampling_start_time = datetime.datetime.now()
+        if not self.initialised:
+            self.initialise(live_points=True)
+
+        if self.prior_sampling:
+            for i, point in enumerate(self.live_points):
+                self.nested_samples.append(point.copy())
+            logger.info("Prior sampling only; skipping NS loop")
+            return self.state.logZ, np.array(self.nested_samples)
+
+        self._yield_iter = self.yield_sample(
+            self.live_points[0] if self.live_points is not None else None
+        )
+
+        while self.condition > self.tolerance:
+            self.check_state()
+            self.consume_sample()
+            self.iteration += 1
+            self.block_iteration += 1
+            self.update_state()
+            self.periodically_log_state()
+            if self.max_iteration and self.iteration >= self.max_iteration:
+                logger.warning(
+                    "Reached max iteration (%s)", self.max_iteration
+                )
+                break
+
+        self.finalise()
+        self.check_insertion_indices(rolling=False)
+        logger.info(
+            "Final logZ: %.4f +/- %.4f (%d iterations, %d likelihood "
+            "evaluations)",
+            self.state.logZ,
+            self.state.log_evidence_error,
+            self.iteration,
+            self.total_likelihood_evaluations,
+        )
+        self.sampling_time += (
+            datetime.datetime.now() - self.sampling_start_time
+        )
+        self.sampling_start_time = datetime.datetime.now()
+        self.checkpoint(force=True) if self.checkpointing else None
+        return self.state.logZ, np.array(self.nested_samples)
+
+    # ------------------------------------------------------------------
+    def plot_state(self, filename: Optional[str] = None):
+        """Multi-panel state plot. Reference:
+        ``nessai/samplers/nestedsampler.py:994``."""
+        try:
+            from ..plot import plot_sampler_state
+
+            return plot_sampler_state(self, filename=filename)
+        except Exception as e:  # pragma: no cover - plotting is best effort
+            logger.warning("Could not produce state plot: %s", e)
+
+    def plot_trace(self, filename: Optional[str] = None):
+        try:
+            from ..plot import plot_trace
+
+            ns = np.asarray(self.nested_samples)
+            return plot_trace(
+                self.state.log_vols[1:],
+                ns,
+                filename=filename,
+            )
+        except Exception as e:  # pragma: no cover
+            logger.warning("Could not produce trace plot: %s", e)
+
+    def plot_insertion_indices(self, filename: Optional[str] = None):
+        try:
+            from ..plot import plot_indices
+
+            return plot_indices(
+                self.insertion_indices, self.nlive, filename=filename
+            )
+        except Exception as e:  # pragma: no cover
+            logger.warning("Could not produce indices plot: %s", e)
+
+    # ------------------------------------------------------------------
+    def get_result_dictionary(self) -> dict:
+        """Reference: ``nessai/samplers/nestedsampler.py:1399-1413``."""
+        d = super().get_result_dictionary()
+        ns = np.asarray(self.nested_samples)
+        d.update(
+            dict(
+                log_evidence=self.state.logZ,
+                log_evidence_error=self.state.log_evidence_error,
+                information=self.information,
+                nested_samples=ns,
+                log_posterior_weights=self.state.log_posterior_weights(),
+                insertion_indices=self.insertion_indices,
+                rolling_p=self.rolling_p,
+                final_p_value=self.final_p_value,
+                final_ks_statistic=self.final_ks_statistic,
+                training_time=self.training_time.total_seconds(),
+                population_time=(
+                    self._flow_proposal.population_time.total_seconds()
+                ),
+                likelihood_evaluations=self.total_likelihood_evaluations,
+                iteration=self.iteration,
+                seed=self.seed,
+            )
+        )
+        return d
+
+    # ------------------------------------------------------------------
+    def __getstate__(self):
+        state = super().__getstate__()
+        state.pop("_yield_iter", None)
+        return state
+
+    @classmethod
+    def resume_from_pickled_sampler(
+        cls,
+        sampler,
+        model,
+        flow_config=None,
+        training_config=None,
+        weights_path=None,
+        rng=None,
+        **kwargs,
+    ):
+        """Reference: ``nessai/samplers/nestedsampler.py:1415-1446``."""
+        sampler = super().resume_from_pickled_sampler(
+            sampler, model, rng=rng, **kwargs
+        )
+        sampler._uninformed_proposal.resume(model)
+        sampler._flow_proposal.resume(
+            model,
+            flow_config=flow_config,
+            training_config=training_config,
+            weights_file=weights_path,
+        )
+        if sampler.uninformed_sampling:
+            sampler.proposal = sampler._uninformed_proposal
+        else:
+            sampler.proposal = sampler._flow_proposal
+        return sampler
