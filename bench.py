@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: standard nested sampling on the 2-D Gaussian.
+
+Mirrors the reference's flagship config (``examples/2d_gaussian.py``:
+uniform [-10,10]^2 prior, unit-normal likelihood, nlive=1000, analytic
+logZ = -log(400) ~= -5.9915) and measures end-to-end wall time on the
+default device (TPU under the driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+
+``vs_baseline`` is the speedup relative to BASELINE_WALL_S — the wall
+time of this same benchmark measured at round 1 on one TPU v5e chip
+(the reference publishes no numbers and its torch stack is not
+installable here; see BASELINE.md). Values > 1 mean faster than round 1.
+The run is only reported if logZ lands within 5 sigma of the analytic
+value, so speed can't be bought with a broken sampler.
+"""
+
+import json
+import logging
+import sys
+import time
+
+import numpy as np
+
+#: Round-1 wall time of this benchmark on one TPU v5e chip (seconds),
+#: measured 2026-08-16 (logZ -5.9815 +/- 0.056, 6491 iterations).
+BASELINE_WALL_S = 320.7
+
+
+def main():
+    logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
+
+    from nessai_tpu.flowsampler import FlowSampler
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    import os
+    import tempfile
+
+    output = tempfile.mkdtemp(prefix="nessai_tpu_bench_")
+    model = IntegrationTestModel(2)
+    analytic = model.analytic_log_evidence
+
+    start = time.perf_counter()
+    fs = FlowSampler(
+        model,
+        output=output,
+        nlive=1000,
+        seed=1234,
+        resume=False,
+        plot=False,
+        checkpointing=False,
+        flow_config=dict(n_blocks=4, n_neurons="auto", n_layers=2),
+        training_config=dict(max_epochs=100, patience=20, batch_size=1000),
+        poolsize=1000,
+    )
+    fs.run(plot=False, save=False)
+    wall = time.perf_counter() - start
+
+    logZ = float(fs.logZ)
+    err = float(fs.log_evidence_error)
+    n_sigma = float(abs(logZ - analytic) / max(err, 1e-6))
+    ok = bool(n_sigma < 5.0)
+    result = {
+        "metric": "2d_gaussian_ns_wall_time",
+        "value": round(float(wall), 2),
+        "unit": "s",
+        "vs_baseline": round(float(BASELINE_WALL_S / wall), 3),
+        "logZ": round(logZ, 4),
+        "logZ_err": round(err, 4),
+        "analytic_logZ": round(float(analytic), 4),
+        "n_sigma": round(n_sigma, 2),
+        "likelihood_evaluations": int(fs.ns.total_likelihood_evaluations),
+        "iterations": int(fs.ns.iteration),
+        "accuracy_ok": ok,
+    }
+    print(json.dumps(result))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,29 @@ def _get_optimiser(name: str, lr, clip_grad_norm: float, **kwargs):
     return tx
 
 
+def _bucket_size(n: int, minimum: int = 256) -> int:
+    """Round n up to a power of two (>= minimum).
+
+    All device entry points pad their batch to bucketed sizes so XLA
+    compiles O(log n) programs instead of one per distinct batch size —
+    critical on TPU where each compile costs tens of seconds and the
+    sampler's adaptive poolsize produces many distinct sizes.
+    """
+    if n <= minimum:
+        return minimum
+    return 1 << (n - 1).bit_length()
+
+
+def _pad_rows(arr, bucket: int):
+    """Pad a [n, ...] array to [bucket, ...] by repeating the last row."""
+    n = arr.shape[0]
+    if n == bucket:
+        return arr
+    reps = [1] * arr.ndim
+    pad = jnp.repeat(arr[-1:], bucket - n, axis=0)
+    return jnp.concatenate([arr, pad], axis=0)
+
+
 def _partition_params(params):
     """Split a params pytree into (float leaves, aux) — integer leaves
     (e.g. permutation indices) are not differentiable/optimisable."""
@@ -196,9 +219,12 @@ class FlowModel:
         """
         bs = self.training_config.batch_size
         if bs == "all" or bs is None:
-            return n_train
+            return _bucket_size(n_train, minimum=32)
         bs = int(bs)
-        return min(bs, n_train)
+        if n_train < bs:
+            # bucket small datasets so the batch shape is stable
+            return _bucket_size(n_train, minimum=32)
+        return bs
 
     def prep_data(self, samples, val_size, weights=None, conditional=None):
         """Shuffle, split, pad to whole batches.
@@ -234,6 +260,10 @@ class FlowModel:
         def pad_to(x_arr, w_arr, c_arr, sig, size):
             n_cur = len(x_arr)
             n_batches = max(int(np.ceil(n_cur / size)), 1)
+            # bucket the batch count to a power of two so the jitted
+            # scan-over-batches epoch compiles O(log n) times as the
+            # training-set size varies (e.g. INS levels)
+            n_batches = 1 << (n_batches - 1).bit_length()
             n_pad = n_batches * size - n_cur
             if n_pad:
                 idx = self.rng.integers(0, n_cur, n_pad)
@@ -258,7 +288,13 @@ class FlowModel:
         data = {"train": jax.tree.map(jnp.asarray, train)}
         if n_val > 0:
             c_val = conditional[n_train:] if conditional is not None else None
-            val = pad_to(samples[n_train:], w[n_train:], c_val, None, n_val)
+            val = pad_to(
+                samples[n_train:],
+                w[n_train:],
+                c_val,
+                None,
+                _bucket_size(n_val, minimum=32),
+            )
             data["val"] = jax.tree.map(jnp.asarray, val)
         return data
 
@@ -468,41 +504,53 @@ class FlowModel:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _run_bucketed(self, name, fn, x, *extra):
+        """Run a jitted fn over [n, d] input, padded to a bucketed batch
+        size so compile counts stay O(log n); outputs sliced back to n."""
+        x = jnp.asarray(x, jnp.float32)
+        n = x.shape[0]
+        bucket = _bucket_size(n)
+        x = _pad_rows(x, bucket)
+        out = self._jit(name, fn)(self.params, x, *extra)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o, np.float64)[:n] for o in out)
+        return np.asarray(out, np.float64)[:n]
+
     def forward_and_log_prob(self, x, conditional=None):
         """x -> (z, log_prob(x)). Reference:
         ``nessai/flowmodel/base.py:782``."""
-        fn = self._jit(
-            "fwd_lp", lambda p, x, c: self.flow.forward_and_log_prob(p, x, c)
+        return self._run_bucketed(
+            "fwd_lp",
+            lambda p, x, c: self.flow.forward_and_log_prob(p, x, c),
+            x,
+            conditional,
         )
-        z, lp = fn(self.params, jnp.asarray(x, jnp.float32), conditional)
-        return np.asarray(z, np.float64), np.asarray(lp, np.float64)
 
     def forward(self, x, conditional=None):
-        fn = self._jit("fwd", lambda p, x, c: self.flow.forward(p, x, c))
-        z, lj = fn(self.params, jnp.asarray(x, jnp.float32), conditional)
-        return np.asarray(z, np.float64), np.asarray(lj, np.float64)
+        return self._run_bucketed(
+            "fwd", lambda p, x, c: self.flow.forward(p, x, c), x, conditional
+        )
 
     def inverse(self, z, conditional=None):
         """z -> (x, log|dx/dz|). Reference:
         ``nessai/flowmodel/base.py:824``."""
-        fn = self._jit("inv", lambda p, z, c: self.flow.inverse(p, z, c))
-        x, lj = fn(self.params, jnp.asarray(z, jnp.float32), conditional)
-        return np.asarray(x, np.float64), np.asarray(lj, np.float64)
+        return self._run_bucketed(
+            "inv", lambda p, z, c: self.flow.inverse(p, z, c), z, conditional
+        )
 
     def log_prob(self, x, conditional=None):
-        fn = self._jit("lp", lambda p, x, c: self.flow.log_prob(p, x, c))
-        return np.asarray(
-            fn(self.params, jnp.asarray(x, jnp.float32), conditional),
-            np.float64,
+        return self._run_bucketed(
+            "lp", lambda p, x, c: self.flow.log_prob(p, x, c), x, conditional
         )
 
     def sample(self, n: int = 1, conditional=None):
-        # cache keyed by n (n changes rarely)
+        bucket = _bucket_size(int(n))
         fn = self._jit(
-            ("sample", int(n)),
-            lambda p, k, c: self.flow.sample(p, k, int(n), c),
+            ("sample", bucket),
+            lambda p, k, c: self.flow.sample(p, k, bucket, c),
         )
-        return np.asarray(fn(self.params, self.next_key(), conditional), np.float64)
+        out = fn(self.params, self.next_key(), conditional)
+        return np.asarray(out, np.float64)[:n]
 
     def sample_and_log_prob(self, N: int = 1, z=None, alt_dist=None, conditional=None):
         """Sample and return (x, log_prob). If ``z`` is given, transform
@@ -511,22 +559,26 @@ class FlowModel:
         truncated sampling). Reference: ``nessai/flowmodel/base.py:861``.
         """
         if z is None:
+            bucket = _bucket_size(int(N))
             fn = self._jit(
-                ("sample_lp", int(N)),
-                lambda p, k, c: self.flow.sample_and_log_prob(p, k, int(N), c),
+                ("sample_lp", bucket),
+                lambda p, k, c: self.flow.sample_and_log_prob(p, k, bucket, c),
             )
             x, lp = fn(self.params, self.next_key(), conditional)
-        else:
-            z = jnp.asarray(z, jnp.float32)
-            fn = self._jit(
-                "transform_lp",
-                lambda p, z, c: self._transform_and_log_prob(p, z, c),
+            return (
+                np.asarray(x, np.float64)[:N],
+                np.asarray(lp, np.float64)[:N],
             )
-            x, lp, log_j = fn(self.params, z, conditional)
-            if alt_dist is not None:
-                lp = np.asarray(alt_dist.log_prob(z)) - np.asarray(log_j)
-                return np.asarray(x, np.float64), np.asarray(lp, np.float64)
-        return np.asarray(x, np.float64), np.asarray(lp, np.float64)
+        n = len(z)
+        x, lp, log_j = self._run_bucketed(
+            "transform_lp",
+            lambda p, z, c: self._transform_and_log_prob(p, z, c),
+            z,
+            conditional,
+        )
+        if alt_dist is not None:
+            lp = np.asarray(alt_dist.log_prob(np.asarray(z))) - log_j
+        return x, lp
 
     def _transform_and_log_prob(self, params, z, context):
         log_p_z = self.flow.base_log_prob(params, z)
@@ -536,15 +588,17 @@ class FlowModel:
     def sample_latent_distribution(self, n: int = 1):
         """Sample the latent/base distribution. Reference:
         ``nessai/flowmodel/base.py:940``."""
+        bucket = _bucket_size(int(n))
         fn = self._jit(
-            ("sample_base", int(n)),
-            lambda p, k: self.flow.sample_base(p, k, int(n)),
+            ("sample_base", bucket),
+            lambda p, k: self.flow.sample_base(p, k, bucket),
         )
-        return np.asarray(fn(self.params, self.next_key()), np.float64)
+        return np.asarray(fn(self.params, self.next_key()), np.float64)[:n]
 
     def base_log_prob(self, z):
-        fn = self._jit("base_lp", lambda p, z: self.flow.base_log_prob(p, z))
-        return np.asarray(fn(self.params, jnp.asarray(z, jnp.float32)), np.float64)
+        return self._run_bucketed(
+            "base_lp", lambda p, z: self.flow.base_log_prob(p, z), z
+        )
 
     # ------------------------------------------------------------------
     # Persistence

@@ -352,6 +352,23 @@ class Model(ABC):
             pool=self.pool if self.parallelise_prior else None,
         )
 
+    def batch_evaluate_log_prior_unit_hypercube(self, x) -> np.ndarray:
+        """Log prior density *in the unit hypercube* (zero for the
+        standard inverse-CDF mapping). Reference: ``nessai/model.py:700``.
+        """
+        out = np.zeros(len(x))
+        out[~self.in_unit_hypercube(x)] = -np.inf
+        return out
+
+    def sample_unit_hypercube(self, n: int = 1) -> np.ndarray:
+        """Uniform draws in the unit hypercube as live points.
+
+        Reference: ``nessai/model.py:540``.
+        """
+        rng = self._require_rng()
+        arr = rng.uniform(size=(n, self.dims))
+        return numpy_array_to_live_points(arr, self.names)
+
     def batch_evaluate_dtype(self):  # pragma: no cover - trivial
         return config.livepoints.default_float_dtype
 

@@ -1,0 +1,336 @@
+"""Meta-proposal for the importance nested sampler.
+
+Reference: ``nessai/proposal/importance.py:35`` — an ordered list of
+flows plus the prior, each with a weight; operates in the unit hypercube
+with a global logit/sigmoid reparameterisation; trains a new flow per
+level; meta-density ``log_Q = logsumexp(log_q, b=weights)``.
+"""
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.special import logsumexp
+
+from .. import config as global_config
+from ..flowmodel.importance import ImportanceFlowModel
+from ..livepoint import (
+    empty_structured_array,
+    get_dtype,
+    live_points_to_array,
+    numpy_array_to_live_points,
+)
+from ..utils.rescaling import logit, sigmoid
+from .base import Proposal
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ImportanceFlowProposal"]
+
+
+class ImportanceFlowProposal(Proposal):
+    """Meta-proposal: prior + one flow per level, with weights."""
+
+    def __init__(
+        self,
+        model,
+        output: str = "./",
+        flow_config: Optional[dict] = None,
+        training_config: Optional[dict] = None,
+        reparameterisation: str = "logit",
+        weighted_kl: bool = False,
+        reset_flow: bool = True,
+        clip: bool = False,
+        rng=None,
+    ):
+        super().__init__(model, rng=rng)
+        self.output = output
+        self.level_count = -1
+        self.weighted_kl = weighted_kl
+        self._reset_flow = reset_flow
+        self.clip = clip
+        if reparameterisation not in ("logit", None, "none"):
+            raise ValueError(
+                f"Unknown reparameterisation: {reparameterisation}"
+            )
+        self.reparameterisation = reparameterisation
+        self.flow_config = dict(flow_config or {})
+        self.flow_config["n_inputs"] = model.dims
+        self.training_config = training_config
+        self.flow = ImportanceFlowModel(
+            flow_config=self.flow_config,
+            training_config=training_config,
+            output=output,
+            rng=self.rng,
+        )
+        #: proposal weights keyed by level (-1 = prior)
+        self._weights = {-1: 1.0}
+        self.dtype = get_dtype(model.names)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_proposals(self) -> int:
+        return self.flow.n_models + 1
+
+    @property
+    def weights(self) -> dict:
+        return self._weights
+
+    @property
+    def weights_array(self) -> np.ndarray:
+        w = np.array(
+            [self._weights[i] for i in range(-1, self.level_count + 1)]
+        )
+        return w
+
+    def update_proposal_weights(self, weights: dict) -> None:
+        """Reference: ``nessai/proposal/importance.py:279``."""
+        self._weights.update(weights)
+        total = sum(self._weights.values())
+        if not np.isclose(total, 1.0):
+            logger.debug("Normalising proposal weights (sum=%s)", total)
+            self._weights = {k: v / total for k, v in self._weights.items()}
+
+    def initialise(self) -> None:
+        os.makedirs(self.output, exist_ok=True)
+        self.flow.initialise()
+        super().initialise()
+
+    # ------------------------------------------------------------------
+    # Unit-hypercube <-> prime (logit) space
+    # ------------------------------------------------------------------
+    def to_prime(self, x_hypercube: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """[n, d] hypercube -> logit space with log|dx'/dx|.
+
+        Reference: ``nessai/proposal/importance.py:203``.
+        """
+        if self.reparameterisation is None or self.reparameterisation == "none":
+            return x_hypercube.copy(), np.zeros(len(x_hypercube))
+        x_prime, log_j = logit(x_hypercube, eps=global_config.general.eps)
+        return x_prime, log_j.sum(axis=-1)
+
+    def from_prime(self, x_prime: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """logit space -> hypercube with log|dx/dx'|.
+
+        Reference: ``nessai/proposal/importance.py:231``.
+        """
+        if self.reparameterisation is None or self.reparameterisation == "none":
+            return x_prime.copy(), np.zeros(len(x_prime))
+        x, log_j = sigmoid(x_prime)
+        return x, log_j.sum(axis=-1)
+
+    def rescale(self, samples) -> Tuple[np.ndarray, np.ndarray]:
+        """Structured hypercube samples -> prime array + log_j."""
+        arr = live_points_to_array(samples, self.model.names)
+        return self.to_prime(arr)
+
+    def inverse_rescale(self, x_prime: np.ndarray):
+        arr, log_j = self.from_prime(x_prime)
+        samples = numpy_array_to_live_points(arr, self.model.names)
+        return samples, log_j
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        samples: np.ndarray,
+        plot: bool = False,
+        output: Optional[str] = None,
+        weights: Optional[np.ndarray] = None,
+        **kwargs,
+    ) -> None:
+        """Train a new flow level. Reference:
+        ``nessai/proposal/importance.py:292-380``.
+        """
+        self.level_count += 1
+        self._weights[self.level_count] = np.nan
+        training_data = samples.copy()
+        x_prime, _ = self.rescale(training_data)
+
+        if self.weighted_kl or weights is not None:
+            if weights is not None:
+                weights = np.asarray(weights, dtype=float)
+                weights = weights / np.sum(weights)
+            else:
+                log_w = np.asarray(training_data["logW"], dtype=float).copy()
+                log_w -= logsumexp(log_w)
+                weights = np.exp(log_w)
+            if not np.isfinite(weights).all():
+                raise ValueError("Training weights contain non-finite values")
+        else:
+            weights = None
+
+        self.flow.add_new_flow(reset=self._reset_flow)
+        logger.debug("Training level %d with %d samples", self.level_count, len(x_prime))
+        self.flow.train(x_prime, weights=weights, **kwargs)
+        self.training_count += 1
+
+    # ------------------------------------------------------------------
+    def compute_log_Q(
+        self, x_prime: np.ndarray, log_j: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Meta-proposal density (in the hypercube) for prime samples.
+
+        Returns (log_Q, log_q_all [n, n_proposals]). Column 0 is the
+        prior (uniform hypercube → 0); flow columns are
+        ``flow.log_prob(x') + log|dx'/dx|``.
+        Reference: ``nessai/proposal/importance.py:382-441``.
+        """
+        n = len(x_prime)
+        log_q_all = np.zeros((n, self.n_proposals))
+        n_flows = self.flow.n_models
+        if n_flows >= 1:
+            if log_j is None:
+                raise RuntimeError(
+                    "Must specify log_j when the meta-proposal includes flows"
+                )
+            log_q_all[:, 1:] = self.flow.log_prob_all(x_prime) + log_j[:, None]
+        if np.isnan(log_q_all).any():
+            raise ValueError("log_q contains NaNs")
+        w = self.weights_array
+        if np.isnan(w).any():
+            raise RuntimeError("Some proposal weights are not set")
+        log_Q = logsumexp(log_q_all, b=w[None, :], axis=1)
+        return log_Q, log_q_all
+
+    def compute_meta_proposal_from_log_q(self, log_q: np.ndarray) -> np.ndarray:
+        """Reference: ``nessai/proposal/importance.py:545``."""
+        return logsumexp(log_q, b=self.weights_array[None, :], axis=1)
+
+    def compute_meta_proposal_samples(self, samples) -> Tuple[np.ndarray, np.ndarray]:
+        x_prime, log_j = self.rescale(samples)
+        return self.compute_log_Q(x_prime, log_j)
+
+    # ------------------------------------------------------------------
+    def draw(self, n: int, flow_number: Optional[int] = None, update_counts: bool = True):
+        """Draw n hypercube samples from the newest flow (with finiteness
+        rejection) and compute their meta-proposal density.
+
+        Returns (samples struct, log_q [n, n_proposals]).
+        Reference: ``nessai/proposal/importance.py:443-526``.
+        """
+        if flow_number is None:
+            flow_number = self.flow.n_models - 1
+        samples = empty_structured_array(0, names=self.model.names)
+        log_q = np.empty((0, self.n_proposals))
+        n_accepted = 0
+        n_draws = 0
+        while n_accepted < n:
+            prime, _ = self.flow.sample_and_log_prob_ith(flow_number, N=n)
+            n_draws += n
+            x_arr, _ = self.from_prime(prime)
+            finite = (
+                np.isfinite(prime).all(axis=1)
+                & np.isfinite(x_arr).all(axis=1)
+                & (x_arr > 0.0).all(axis=1)
+                & (x_arr < 1.0).all(axis=1)
+            )
+            prime = prime[finite]
+            if not len(prime):
+                if n_draws > 100 * n:
+                    raise RuntimeError("Failed to draw finite samples")
+                continue
+            # log|dx'/dx| = -log|dx/dx'|
+            _, log_j_from = self.from_prime(prime)
+            log_Q_batch, log_q_batch = self.compute_log_Q(
+                prime, log_j=-log_j_from
+            )
+            ok = np.isfinite(log_Q_batch)
+            x_batch, _ = self.from_prime(prime[ok])
+            new = numpy_array_to_live_points(x_batch, self.model.names)
+            new["logQ"] = log_Q_batch[ok]
+            new["logU"] = self.model.batch_evaluate_log_prior_unit_hypercube(
+                new
+            )
+            new["logW"] = new["logU"] - new["logQ"]
+            samples = np.concatenate([samples, new])
+            log_q = np.concatenate([log_q, log_q_batch[ok]])
+            n_accepted += len(new)
+            if n_draws > 100 * n:
+                logger.warning("Drawing is very inefficient")
+                break
+        samples = samples[:n]
+        log_q = log_q[:n]
+        return samples, log_q
+
+    def update_log_q(self, samples: np.ndarray, log_q: np.ndarray) -> np.ndarray:
+        """Append the newest flow's log_q column for existing samples.
+
+        Reference: ``nessai/proposal/importance.py:528``.
+        """
+        x_prime, log_j = self.rescale(samples)
+        new_col = self.flow.log_prob_ith(x_prime, self.flow.n_models - 1) + log_j
+        return np.concatenate([log_q, new_col[:, None]], axis=1)
+
+    def draw_from_prior(self, n: int):
+        """Uniform hypercube draws with their log_q matrix."""
+        arr = self.rng.uniform(size=(n, self.model.dims))
+        samples = numpy_array_to_live_points(arr, self.model.names)
+        x_prime, log_j = self.to_prime(arr)
+        log_Q, log_q = self.compute_log_Q(x_prime, log_j)
+        samples["logQ"] = log_Q
+        samples["logU"] = 0.0
+        samples["logW"] = -log_Q
+        return samples, log_q
+
+    def draw_from_flows(
+        self, n: int, weights: Optional[np.ndarray] = None, counts=None
+    ):
+        """Draw from the whole mixture (multinomial over proposals) —
+        used for the final unbiased redraw and bootstrap.
+
+        Reference: ``nessai/proposal/importance.py:642-745``.
+        """
+        if weights is None:
+            weights = self.weights_array
+        weights = np.asarray(weights, dtype=float)
+        weights = weights / weights.sum()
+        if counts is None:
+            counts = self.rng.multinomial(n, weights)
+        all_prime = []
+        for i, c in enumerate(counts):
+            if c == 0:
+                continue
+            if i == 0:
+                u = self.rng.uniform(size=(int(c), self.model.dims))
+                prime, _ = self.to_prime(u)
+            else:
+                prime, _ = self.flow.sample_and_log_prob_ith(i - 1, N=int(c))
+            all_prime.append(prime)
+        prime = np.concatenate(all_prime, axis=0)
+        x_arr, _ = self.from_prime(prime)
+        finite = (
+            np.isfinite(x_arr).all(axis=1)
+            & (x_arr > 0).all(axis=1)
+            & (x_arr < 1).all(axis=1)
+        )
+        prime = prime[finite]
+        x_arr = x_arr[finite]
+        _, log_j = self.to_prime(x_arr)
+        log_Q, log_q = self.compute_log_Q(prime, log_j)
+        samples = numpy_array_to_live_points(x_arr, self.model.names)
+        samples["logQ"] = log_Q
+        samples["logU"] = 0.0
+        samples["logW"] = -log_Q
+        return samples, log_q
+
+    # ------------------------------------------------------------------
+    def resume(self, model, flow_config=None, weights_path=None) -> None:
+        """Reference: ``nessai/proposal/importance.py`` resume logic."""
+        super().resume(model)
+        if flow_config is not None:
+            self.flow_config = dict(flow_config)
+            self.flow_config["n_inputs"] = model.dims
+        self.flow = ImportanceFlowModel(
+            flow_config=self.flow_config,
+            training_config=self.training_config,
+            output=self.output,
+            rng=self.rng,
+        )
+        self.flow.initialise()
+        self.flow.load_all_weights(weights_path or self.output)
+
+    def __getstate__(self):
+        state = super().__getstate__()
+        state["flow"] = None
+        return state

@@ -63,7 +63,6 @@ class BaseNestedSampler(ABC):
         self.sampling_start_time = datetime.datetime.now()
         self.sampling_time = datetime.timedelta()
         self.finalised = False
-        self.live_points = None
         self.history = None
 
         self.output = self.configure_output(output, resume_file)

@@ -1,0 +1,1026 @@
+"""Importance nested sampler (i-nessai, arXiv:2302.08526).
+
+Reference: ``nessai/samplers/importancesampler.py`` (2366 LoC):
+``OrderedSamples`` container (logL-sorted samples + per-flow log_q
+matrix, ``:39-277``), the level-based loop (``:1498-1565``), threshold
+determination via entropy/quantile of the logW CDF (``:856-982``),
+meta-proposal weight bookkeeping (``:1444-1496``), the final unbiased
+redraw (``draw_final_samples:1633``) and bootstrap error estimation.
+
+TPU notes: the heavy step per level — the new flow's log-prob over every
+stored sample and ``log_prob_all`` for redraws — runs as single vmapped
+device programs via :class:`ImportanceFlowModel`.
+"""
+
+import datetime
+import logging
+import os
+from typing import Any, Callable, List, Literal, Optional
+
+import numpy as np
+from scipy.special import logsumexp
+
+from .. import config as global_config
+from ..evidence import _INSIntegralState
+from ..livepoint import add_extra_parameters_to_live_points, get_dtype
+from ..model import Model
+from ..proposal.importance import ImportanceFlowProposal
+from ..stopping_criteria import CriterionGroup, StoppingCriterionRegistry
+from ..utils.information import differential_entropy
+from ..utils.stats import effective_sample_size, weighted_quantile
+from .base import BaseNestedSampler
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["OrderedSamples", "ImportanceNestedSampler"]
+
+
+class OrderedSamples:
+    """logL-sorted sample store with live/nested split and the
+    [n, n_proposals] log_q matrix.
+
+    Reference: ``nessai/samplers/importancesampler.py:39-277``.
+    """
+
+    def __init__(self, strict_threshold: bool = False, replace_all: bool = False):
+        self.samples = None
+        self.log_q = None
+        #: boolean mask: True where a sample has been moved to the nested set
+        self.is_nested = None
+        self.strict_threshold = strict_threshold
+        self.replace_all = replace_all
+        self.log_likelihood_threshold = -np.inf
+        self.state = _INSIntegralState()
+
+    @property
+    def live_points(self):
+        if self.samples is None:
+            return None
+        return self.samples[~self.is_nested]
+
+    @property
+    def nested_samples(self):
+        if self.samples is None:
+            return None
+        return self.samples[self.is_nested]
+
+    def add_initial_samples(self, samples, log_q) -> None:
+        order = np.argsort(samples, order="logL")
+        self.samples = samples[order]
+        self.log_q = log_q[order]
+        self.is_nested = np.zeros(len(samples), dtype=bool)
+
+    def add_samples(self, samples, log_q) -> None:
+        """Merge new samples keeping global logL order.
+
+        In strict mode, new samples below the threshold go straight to
+        the nested set; otherwise all new samples are live.
+        Reference: ``importancesampler.py:127-170``.
+        """
+        if self.strict_threshold:
+            new_nested = samples["logL"] < self.log_likelihood_threshold
+        else:
+            new_nested = np.zeros(len(samples), dtype=bool)
+        all_samples = np.concatenate([self.samples, samples])
+        all_log_q = np.concatenate([self.log_q, log_q], axis=0)
+        all_nested = np.concatenate([self.is_nested, new_nested])
+        order = np.argsort(all_samples, order="logL")
+        self.samples = all_samples[order]
+        self.log_q = all_log_q[order]
+        self.is_nested = all_nested[order]
+
+    def update_log_likelihood_threshold(self, threshold: float) -> None:
+        self.log_likelihood_threshold = float(threshold)
+
+    def remove_samples(self) -> int:
+        """Move live points below the threshold into the nested set.
+
+        Reference: ``importancesampler.py:181``.
+        """
+        to_nest = (~self.is_nested) & (
+            self.samples["logL"] < self.log_likelihood_threshold
+        )
+        n_removed = int(to_nest.sum())
+        self.is_nested |= to_nest
+        return n_removed
+
+    def update_evidence(self) -> None:
+        self.state.update_evidence(
+            self.nested_samples, live_points=self.live_points
+        )
+
+    def finalise(self) -> None:
+        self.is_nested[:] = True
+        self.state.update_evidence(self.samples, live_points=None)
+
+    def compute_importance(self, importance_ratio: float = 0.5):
+        """Relative importance of each proposal level.
+
+        Reference: ``importancesampler.py:230``.
+        """
+        log_imp_post = self.samples["logW"] + self.samples["logL"]
+        log_imp_z = self.samples["logW"]
+        its = self.samples["it"]
+        levels = np.unique(its)
+        imp = {}
+        for lvl in levels:
+            m = its == lvl
+            post = np.exp(logsumexp(log_imp_post[m]) - logsumexp(log_imp_post))
+            z = np.exp(logsumexp(log_imp_z[m]) - logsumexp(log_imp_z))
+            imp[int(lvl)] = importance_ratio * post + (1 - importance_ratio) * z
+        return imp
+
+
+class ImportanceNestedSampler(BaseNestedSampler):
+    """The importance nested sampler.
+
+    Reference: ``nessai/samplers/importancesampler.py:280``.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        nlive: int = 5000,
+        n_initial: Optional[int] = None,
+        output: Optional[str] = None,
+        seed: Optional[int] = None,
+        rng: Optional[np.random.Generator] = None,
+        checkpointing: bool = True,
+        checkpoint_interval: int = 600,
+        checkpoint_on_iteration: bool = False,
+        checkpoint_callback: Optional[Callable] = None,
+        save_log_q: bool = False,
+        logging_interval: Optional[int] = None,
+        log_on_iteration: bool = True,
+        resume_file: Optional[str] = None,
+        plot: bool = True,
+        plotting_frequency: int = 5,
+        min_iteration: Optional[int] = None,
+        max_iteration: Optional[int] = None,
+        min_samples: int = 500,
+        min_remove: int = 1,
+        max_samples: Optional[int] = None,
+        stopping_criterion="ratio",
+        tolerance=0.0,
+        n_update: Optional[int] = None,
+        plot_pool: bool = False,
+        plot_trace: bool = True,
+        plot_training_data: bool = False,
+        replace_all: bool = False,
+        threshold_method: Literal["entropy", "quantile"] = "entropy",
+        threshold_kwargs: Optional[dict] = None,
+        n_pool: Optional[int] = None,
+        pool: Optional[Any] = None,
+        check_criteria: Literal["any", "all"] = "any",
+        weighted_kl: bool = False,
+        draw_constant: bool = True,
+        train_final_flow: bool = False,
+        bootstrap: bool = False,
+        close_pool: bool = False,
+        strict_threshold: bool = False,
+        draw_iid_live: bool = True,
+        flow_config: Optional[dict] = None,
+        training_config: Optional[dict] = None,
+        reset_flow: bool = True,
+        **kwargs: Any,
+    ):
+        self.add_fields()
+        super().__init__(
+            model,
+            nlive,
+            output=output,
+            seed=seed,
+            rng=rng,
+            checkpointing=checkpointing,
+            checkpoint_interval=checkpoint_interval,
+            checkpoint_on_iteration=checkpoint_on_iteration,
+            checkpoint_callback=checkpoint_callback,
+            logging_interval=logging_interval,
+            log_on_iteration=log_on_iteration,
+            resume_file=resume_file,
+            plot=plot,
+        )
+        if n_pool is not None or pool is not None:
+            self.model.configure_pool(pool=pool, n_pool=n_pool)
+        self.n_initial = n_initial or nlive
+        self.min_iteration = min_iteration if min_iteration is not None else -1
+        self.max_iteration = (
+            max_iteration if max_iteration is not None else np.inf
+        )
+        self.min_samples = min_samples
+        self.min_remove = min_remove
+        self.max_samples = max_samples
+        self.n_update = n_update
+        self.draw_constant = draw_constant
+        self.replace_all = replace_all
+        self.strict_threshold = strict_threshold
+        self.draw_iid_live = draw_iid_live
+        self.threshold_method = threshold_method
+        self.threshold_kwargs = dict(threshold_kwargs or {})
+        self._train_final_flow = train_final_flow
+        self.bootstrap = bootstrap
+        self.close_pool = close_pool
+        self.save_log_q = save_log_q
+        self.plotting_frequency = plotting_frequency
+        self._plot_pool = plot_pool
+        self._plot_trace = plot_trace
+        self.plot_training_data = plot_training_data
+
+        self.configure_stopping_criterion(
+            stopping_criterion, tolerance, check_criteria
+        )
+
+        self.proposal = ImportanceFlowProposal(
+            self.model,
+            output=os.path.join(self.output, "levels", ""),
+            flow_config=flow_config,
+            training_config=training_config,
+            weighted_kl=weighted_kl,
+            reset_flow=reset_flow,
+            rng=self.rng,
+        )
+
+        self.training_samples = OrderedSamples(
+            strict_threshold=strict_threshold, replace_all=replace_all
+        )
+        self.iid_samples = (
+            OrderedSamples(strict_threshold=strict_threshold)
+            if draw_iid_live
+            else None
+        )
+
+        self.initialised = False
+        self.finalised = False
+        self.log_likelihood_threshold = -np.inf
+        self.logX = 0.0
+        self.logL = -np.inf
+        self.gradient = np.nan
+        self.criterion = {}
+        self.importance = {}
+        self.sample_counts = {}
+        self.live_points_ess = np.nan
+        self.final_samples = None
+        self.final_log_w = None
+        self.training_time = datetime.timedelta()
+        self.draw_samples_time = datetime.timedelta()
+        self.add_and_update_samples_time = datetime.timedelta()
+        self.draw_final_samples_time = datetime.timedelta()
+        self.current_training_samples = None
+        self.current_training_log_q = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def add_fields() -> None:
+        """Register the INS live-point fields (logW, logQ, logU).
+
+        Reference: ``nessai/samplers/importancesampler.py`` module setup.
+        """
+        add_extra_parameters_to_live_points(
+            ["logW", "logQ", "logU"], [np.nan, np.nan, np.nan]
+        )
+
+    def configure_stopping_criterion(
+        self, stopping_criterion, tolerance, check_criteria
+    ) -> None:
+        """Reference: ``importancesampler.py:560``."""
+        if isinstance(stopping_criterion, str):
+            stopping_criterion = [stopping_criterion]
+        if not isinstance(tolerance, (list, tuple)):
+            tolerance = [tolerance]
+        criteria = [
+            StoppingCriterionRegistry.get(name, tolerance=tol)
+            for name, tol in zip(stopping_criterion, tolerance)
+        ]
+        self.combined_criterion = CriterionGroup(
+            criteria, mode="and" if check_criteria == "all" else "or"
+        )
+        self.stopping_criteria = self.combined_criterion.names
+
+    # map criterion names to evidence-state attributes
+    _CRITERION_ATTRS = {
+        "ratio": "log_evidence_ratio",
+        "ratio_ns": "log_evidence_ratio",
+        "ess": "effective_n_posterior_samples",
+        "Z_err": "log_evidence_error",
+        "fractional_error": "log_evidence_error",
+        "dlogZ": "log_evidence_ratio",
+    }
+
+    # ------------------------------------------------------------------
+    @property
+    def live_points_unit(self):
+        return self.training_samples.live_points
+
+    @property
+    def nested_samples_unit(self):
+        return self.training_samples.nested_samples
+
+    @property
+    def samples_unit(self):
+        return self.training_samples.samples
+
+    @property
+    def samples(self):
+        """All samples mapped back to the model space."""
+        return self.model.from_unit_hypercube(self.samples_unit)
+
+    @property
+    def posterior_samples_set(self):
+        """The sample set used for posterior estimation: the i.i.d. set
+        when drawn, otherwise the training set."""
+        return self.iid_samples or self.training_samples
+
+    @property
+    def state(self) -> _INSIntegralState:
+        return self.posterior_samples_set.state
+
+    @property
+    def log_evidence(self) -> float:
+        return self.state.log_evidence
+
+    @property
+    def log_evidence_error(self) -> float:
+        return self.state.log_evidence_error
+
+    @property
+    def reached_tolerance(self) -> bool:
+        return self.combined_criterion.is_met(self.criterion)
+
+    @property
+    def live_points(self):
+        return self.live_points_unit
+
+    @property
+    def nested_samples(self):
+        ns = self.nested_samples_unit
+        if ns is None or not len(ns):
+            return np.empty(0)
+        return self.model.from_unit_hypercube(ns)
+
+    # ------------------------------------------------------------------
+    def populate_live_points(self) -> None:
+        """Initial prior draws in the unit hypercube.
+
+        Reference: ``importancesampler.py:727-781``.
+        """
+        target = 2 * self.n_initial if self.draw_iid_live else self.n_initial
+        points = self.model.sample_unit_hypercube(target)
+        points["logP"] = self.model.batch_evaluate_log_prior(
+            points, unit_hypercube=True
+        )
+        finite = np.isfinite(points["logP"])
+        while not finite.all():
+            n_bad = int((~finite).sum())
+            extra = self.model.sample_unit_hypercube(n_bad)
+            extra["logP"] = self.model.batch_evaluate_log_prior(
+                extra, unit_hypercube=True
+            )
+            points[np.flatnonzero(~finite)[: len(extra)]] = extra
+            finite = np.isfinite(points["logP"])
+        points["logL"] = self.model.batch_evaluate_log_likelihood(
+            points, unit_hypercube=True
+        )
+        if np.any(points["logL"] == np.inf):
+            raise RuntimeError("Live points contain +inf log-likelihoods")
+        points["it"] = -1
+        points["logQ"] = 0.0
+        points["logU"] = self.model.batch_evaluate_log_prior_unit_hypercube(
+            points
+        )
+        points["logW"] = points["logU"] - points["logQ"]
+        log_q = np.zeros((target, 1))
+        if self.draw_iid_live:
+            self.training_samples.add_initial_samples(
+                points[: self.n_initial], log_q[: self.n_initial]
+            )
+            self.iid_samples.add_initial_samples(
+                points[self.n_initial :], log_q[self.n_initial :]
+            )
+        else:
+            self.training_samples.add_initial_samples(points, log_q)
+        self.sample_counts[-1] = self.n_initial
+
+    def initialise(self) -> None:
+        """Reference: ``importancesampler.py:783``."""
+        if self.initialised:
+            return
+        if self.training_samples.samples is None:
+            self.populate_live_points()
+        self.initialise_history()
+        self.proposal.initialise()
+        self.initialised = True
+
+    # ------------------------------------------------------------------
+    # Threshold determination
+    # ------------------------------------------------------------------
+    def determine_threshold_quantile(
+        self, samples, q: float = 0.8, include_likelihood: bool = False
+    ) -> int:
+        """Number of live points to discard via a weighted quantile.
+
+        Reference: ``importancesampler.py:856``.
+        """
+        a = samples["logL"]
+        if include_likelihood:
+            log_weights = samples["logW"] + samples["logL"]
+        else:
+            log_weights = samples["logW"].copy()
+        cutoff = weighted_quantile(
+            a, q, log_weights=log_weights, values_sorted=True
+        )
+        if not np.isfinite(cutoff):
+            raise RuntimeError("Could not determine valid quantile")
+        return int(np.argmax(a >= cutoff))
+
+    def determine_threshold_entropy(
+        self,
+        samples,
+        q: float = 0.5,
+        include_likelihood: bool = False,
+        use_log_weights: bool = True,
+    ) -> int:
+        """Shrink the level by fraction q of the (log-)weight CDF.
+
+        Reference: ``importancesampler.py:895``.
+        """
+        if include_likelihood:
+            log_weights = samples["logW"] + samples["logL"]
+        else:
+            log_weights = samples["logW"]
+        p = log_weights if use_log_weights else np.exp(log_weights)
+        cdf = np.cumsum(p)
+        if cdf[-1] == 0:
+            cdf = np.arange(len(p), dtype=float)
+        cdf = cdf / cdf[-1]
+        return int(np.argmax(cdf >= q))
+
+    def determine_log_likelihood_threshold(
+        self, samples, method="entropy", **kwargs
+    ) -> float:
+        """Reference: ``importancesampler.py:983``."""
+        if method == "quantile":
+            n = self.determine_threshold_quantile(samples, **kwargs)
+        elif method == "entropy":
+            n = self.determine_threshold_entropy(samples, **kwargs)
+        else:
+            raise ValueError(method)
+        if n == 0:
+            if self.min_remove < 1:
+                return -np.inf
+            n = 1
+        if (samples.size - n) < self.min_samples:
+            n = max(0, samples.size - self.min_samples)
+        elif n < self.min_remove:
+            n = self.min_remove
+        if (
+            self.draw_constant
+            and self.max_samples
+            and ((samples.size - n) + self.nlive) > self.max_samples
+        ):
+            n = samples.size - self.max_samples + self.nlive
+        return float(samples[n]["logL"])
+
+    def update_log_likelihood_threshold(self, threshold: float) -> None:
+        self.log_likelihood_threshold = threshold
+        self.training_samples.update_log_likelihood_threshold(threshold)
+        if self.iid_samples:
+            self.iid_samples.update_log_likelihood_threshold(threshold)
+
+    # ------------------------------------------------------------------
+    # Level construction
+    # ------------------------------------------------------------------
+    def add_new_proposal(self) -> None:
+        """Train the next flow level on samples above the threshold.
+
+        Reference: ``importancesampler.py:1054-1110``.
+        """
+        st = datetime.datetime.now()
+        n_train = min(
+            int(
+                np.argmax(
+                    self.training_samples.samples["logL"]
+                    >= self.log_likelihood_threshold
+                )
+            ),
+            self.training_samples.samples.size - self.min_samples,
+        )
+        self.current_training_samples = self.training_samples.samples[
+            n_train:
+        ].copy()
+        self.current_training_log_q = self.training_samples.log_q[
+            n_train:, :
+        ].copy()
+        logger.info(
+            "Training next proposal with %d samples",
+            len(self.current_training_samples),
+        )
+        if self.replace_all:
+            weights = -np.exp(self.current_training_log_q[:, -1])
+        else:
+            weights = None
+        self.proposal.train(
+            self.current_training_samples,
+            plot=self.plot_training_data,
+            weights=weights,
+        )
+        self.training_time += datetime.datetime.now() - st
+
+    def add_new_proposal_weight(self, iteration: int, n_new: int) -> None:
+        """Reference: ``importancesampler.py:1481``."""
+        if self.sample_counts.get(iteration):
+            raise RuntimeError(
+                f"Samples already drawn from proposal {iteration}"
+            )
+        n_total = len(self.samples_unit) + n_new
+        if self.iid_samples is not None:
+            n_total = len(self.samples_unit) + n_new
+        self.sample_counts[iteration] = n_new
+        new_weights = {
+            k: v / n_total for k, v in self.sample_counts.items()
+        }
+        self.proposal.update_proposal_weights(new_weights)
+
+    def draw_n_samples(self, n: int, **kwargs):
+        """Reference: ``importancesampler.py:1112``."""
+        st = datetime.datetime.now()
+        new_points, log_q = self.proposal.draw(n, **kwargs)
+        new_points["logL"] = self.model.batch_evaluate_log_likelihood(
+            new_points, unit_hypercube=True
+        )
+        if np.any(new_points["logL"] == -np.inf):
+            logger.warning("New points contain zero-likelihood samples")
+        self.draw_samples_time += datetime.datetime.now() - st
+        return new_points, log_q
+
+    def _refresh_ordered_samples(self, ordered: OrderedSamples) -> None:
+        """Recompute log_q, logQ and logW after adding a proposal."""
+        ordered.log_q = self.proposal.update_log_q(
+            ordered.samples, ordered.log_q
+        )
+        ordered.samples["logQ"] = (
+            self.proposal.compute_meta_proposal_from_log_q(ordered.log_q)
+        )
+        ordered.samples["logW"] = (
+            ordered.samples["logU"] - ordered.samples["logQ"]
+        )
+
+    def add_and_update_points(self, n: int) -> None:
+        """Draw n new samples, update all stored log_q/logQ/logW.
+
+        Reference: ``importancesampler.py:1170-1248``.
+        """
+        st = datetime.datetime.now()
+        new_samples, log_q = self.draw_n_samples(n)
+        new_samples["it"] = self.iteration
+        self._current_proposal_entropy = differential_entropy(
+            -log_q[:, -1]
+        )
+        self._refresh_ordered_samples(self.training_samples)
+        self.training_samples.add_samples(new_samples, log_q)
+
+        if self.draw_iid_live:
+            iid_samples, iid_log_q = self.draw_n_samples(n)
+            iid_samples["it"] = self.iteration
+            self._refresh_ordered_samples(self.iid_samples)
+            self.iid_samples.add_samples(iid_samples, iid_log_q)
+
+        self.live_points_ess = effective_sample_size(
+            self.live_points_unit["logW"]
+        )
+        self.add_and_update_samples_time += datetime.datetime.now() - st
+
+    def remove_samples(self) -> int:
+        """Reference: ``importancesampler.py:1250``."""
+        n_removed = self.training_samples.remove_samples()
+        if self.draw_iid_live:
+            n_removed = self.iid_samples.remove_samples()
+        return n_removed
+
+    def update_evidence(self) -> None:
+        self.training_samples.update_evidence()
+        if self.draw_iid_live:
+            self.iid_samples.update_evidence()
+
+    def compute_stopping_criterion(self) -> dict:
+        """Reference: ``importancesampler.py:1392``."""
+        values = {}
+        for name in self.combined_criterion.names:
+            attr = self._CRITERION_ATTRS.get(name, name)
+            values[name] = getattr(self.state, attr, None)
+        return values
+
+    def _compute_gradient(self) -> None:
+        """dlogL/dlogX diagnostic. Reference:
+        ``importancesampler.py:1421``."""
+        logX_pre, logL_pre = self.logX, self.logL
+        self.logX = logsumexp(self.live_points_unit["logW"]) - np.log(
+            max(len(self.samples_unit), 1)
+        )
+        self.logL = logsumexp(
+            self.live_points_unit["logL"] + self.live_points_unit["logW"]
+        ) - logsumexp(self.live_points_unit["logW"])
+        dX = self.logX - logX_pre
+        self.gradient = (self.logL - logL_pre) / dX if dX else np.nan
+
+    def compute_leakage(self, samples) -> float:
+        """Fraction of weight below the current threshold.
+
+        Reference: ``importancesampler.py:1137``."""
+        below = samples["logL"] < self.log_likelihood_threshold
+        if not below.any():
+            return 0.0
+        return float(
+            np.exp(
+                logsumexp(samples["logW"][below])
+                - logsumexp(samples["logW"])
+            )
+        )
+
+    def samples_entropy(self) -> float:
+        """Reference: ``importancesampler.py:531``."""
+        return differential_entropy(self.samples_unit["logQ"])
+
+    # ------------------------------------------------------------------
+    # History / logging
+    # ------------------------------------------------------------------
+    def initialise_history(self) -> None:
+        super().initialise_history()
+        self.history.update(
+            dict(
+                logZ=[],
+                min_log_likelihood=[],
+                max_log_likelihood=[],
+                logL_threshold=[],
+                logX=[],
+                gradients=[],
+                n_live=[],
+                n_added=[],
+                n_removed=[],
+                live_points_ess=[],
+                leakage_live_points=[],
+                leakage_new_points=[],
+                samples_entropy=[],
+                proposal_entropy=[],
+                stopping_criteria={
+                    k: [] for k in self.stopping_criteria
+                },
+            )
+        )
+
+    def update_history(self) -> None:
+        super().update_history()
+        lp = self.live_points_unit
+        self.history["logZ"].append(self.state.log_evidence)
+        self.history["min_log_likelihood"].append(float(np.min(lp["logL"])))
+        self.history["max_log_likelihood"].append(float(np.max(lp["logL"])))
+        self.history["logL_threshold"].append(self.log_likelihood_threshold)
+        self.history["logX"].append(self.logX)
+        self.history["gradients"].append(self.gradient)
+        self.history["n_live"].append(len(lp))
+        self.history["live_points_ess"].append(self.live_points_ess)
+        self.history["leakage_live_points"].append(self.compute_leakage(lp))
+        self.history["samples_entropy"].append(self.samples_entropy())
+        self.history["proposal_entropy"].append(
+            getattr(self, "_current_proposal_entropy", np.nan)
+        )
+        for k, v in self.criterion.items():
+            self.history["stopping_criteria"][k].append(v)
+
+    def log_state(self) -> None:
+        lp = self.live_points_unit
+        logger.info(
+            "Update %d - log Z: %.3f +/- %.3f ESS: %.1f logL min: %.3f "
+            "median: %.3f max: %.3f",
+            self.iteration,
+            self.state.log_evidence,
+            self.state.log_evidence_error,
+            self.state.effective_n_posterior_samples,
+            lp["logL"].min(),
+            float(np.nanmedian(lp["logL"])),
+            lp["logL"].max(),
+        )
+
+    # ------------------------------------------------------------------
+    # Main loop
+    # ------------------------------------------------------------------
+    def nested_sampling_loop(self):
+        """Reference: ``importancesampler.py:1498-1565``."""
+        if self.finalised:
+            logger.warning("Sampler has already finished sampling")
+            return self.log_evidence, self.nested_samples_unit
+        self.initialise()
+        self.sampling_start_time = datetime.datetime.now()
+
+        while True:
+            if self.reached_tolerance and self.iteration >= self.min_iteration:
+                break
+            self._compute_gradient()
+            if self.n_update is None:
+                threshold = self.determine_log_likelihood_threshold(
+                    self.live_points_unit,
+                    method=self.threshold_method,
+                    **self.threshold_kwargs,
+                )
+            else:
+                threshold = float(
+                    self.live_points_unit[self.n_update]["logL"]
+                )
+            self.update_log_likelihood_threshold(threshold)
+            n_removed = self.remove_samples()
+            self.add_new_proposal()
+            n_add = (
+                self.nlive
+                if (self.draw_constant or self.replace_all)
+                else n_removed
+            )
+            self.add_new_proposal_weight(self.iteration, n_add)
+            self.add_and_update_points(n_add)
+            self.update_evidence()
+            self.importance = self.compute_importance()
+            self.criterion = self.compute_stopping_criterion()
+            self.log_state()
+            self.update_history()
+            self.iteration += 1
+            if self.checkpointing:
+                self.checkpoint(periodic=True)
+            if self.iteration >= self.max_iteration:
+                logger.warning("Reached max iteration")
+                break
+
+        logger.info(
+            "Finished INS loop after %d iterations with %s",
+            self.iteration,
+            self.criterion,
+        )
+        self.finalise()
+        self.sampling_time += (
+            datetime.datetime.now() - self.sampling_start_time
+        )
+        self.sampling_start_time = datetime.datetime.now()
+        return self.log_evidence, self.samples_unit
+
+    def compute_importance(self, importance_ratio: float = 0.5):
+        return self.training_samples.compute_importance(importance_ratio)
+
+    def finalise(self) -> None:
+        """Reference: ``importancesampler.py:1350``."""
+        if self.finalised:
+            return
+        if self._train_final_flow:
+            self.train_final_flow()
+        self.training_samples.finalise()
+        if self.draw_iid_live:
+            self.iid_samples.finalise()
+        if self.bootstrap:
+            self.adjust_final_samples()
+        logger.info(
+            "Final log Z: %.3f +/- %.3f (ESS %.1f)",
+            self.state.log_evidence,
+            self.state.log_evidence_error,
+            self.state.effective_n_posterior_samples,
+        )
+        self.finalised = True
+        if self.checkpointing:
+            self.checkpoint(periodic=True, force=True)
+
+    # ------------------------------------------------------------------
+    # Final redraw / bootstrap / posterior
+    # ------------------------------------------------------------------
+    def draw_final_samples(
+        self,
+        n_post: Optional[int] = None,
+        n_draw: Optional[int] = None,
+        max_its: int = 100,
+        max_batch_size: int = 20_000,
+        use_counts: bool = False,
+        optimise_weights: bool = False,
+        optimise_kwargs: Optional[dict] = None,
+    ):
+        """Unbiased redraw from the full meta-proposal until the target
+        posterior ESS is reached. Reference:
+        ``importancesampler.py:1633-1845``.
+        """
+        st = datetime.datetime.now()
+        if n_post and n_draw:
+            raise RuntimeError("Specify at most one of n_post / n_draw")
+        if not n_post and not n_draw:
+            n_post = int(self.state.effective_n_posterior_samples)
+
+        weights = self.proposal.weights_array.copy()
+        if optimise_weights:
+            from ..utils.optimise import optimise_meta_proposal_weights
+
+            weights = optimise_meta_proposal_weights(
+                self.samples_unit["logL"],
+                self.training_samples.log_q,
+                weights,
+                **(optimise_kwargs or {}),
+            )
+
+        batch = min(
+            max_batch_size, n_draw if n_draw else max(2 * n_post, 1000)
+        )
+        samples = None
+        log_evidences = []
+        for it in range(max_its):
+            new, _ = self.proposal.draw_from_flows(batch, weights=weights)
+            new["logL"] = self.model.batch_evaluate_log_likelihood(
+                new, unit_hypercube=True
+            )
+            new["it"] = -2
+            samples = (
+                new if samples is None else np.concatenate([samples, new])
+            )
+            log_w = samples["logL"] + samples["logW"]
+            ess = effective_sample_size(log_w)
+            log_evidences.append(
+                logsumexp(log_w) - np.log(len(samples))
+            )
+            if n_draw and len(samples) >= n_draw:
+                break
+            if n_post and ess >= n_post:
+                break
+        else:
+            logger.warning(
+                "Failed to reach target ESS in %d batches", max_its
+            )
+        self.final_samples = samples
+        self.final_log_w = samples["logL"] + samples["logW"]
+        self.final_log_evidence = float(
+            logsumexp(self.final_log_w) - np.log(len(samples))
+        )
+        self.draw_final_samples_time += datetime.datetime.now() - st
+        logger.info(
+            "Redraw: %d samples, ESS %.1f, logZ %.3f",
+            len(samples),
+            effective_sample_size(self.final_log_w),
+            self.final_log_evidence,
+        )
+        return samples
+
+    def adjust_final_samples(self, n_batches: int = 5) -> None:
+        """Bootstrap estimate of the evidence error by resampling the
+        proposal counts. Reference: ``importancesampler.py:1258-1348``.
+        """
+        log_evidences = []
+        counts_orig = np.array(
+            [
+                self.sample_counts.get(k, 0)
+                for k in range(-1, self.proposal.level_count + 1)
+            ]
+        )
+        n = counts_orig.sum()
+        for _ in range(n_batches):
+            p = counts_orig / counts_orig.sum()
+            counts = self.rng.multinomial(n, p)
+            samples, _ = self.proposal.draw_from_flows(
+                n, counts=counts
+            )
+            samples["logL"] = self.model.batch_evaluate_log_likelihood(
+                samples, unit_hypercube=True
+            )
+            log_w = samples["logL"] + samples["logW"]
+            log_evidences.append(logsumexp(log_w) - np.log(len(samples)))
+        self.bootstrap_log_evidence = float(np.mean(log_evidences))
+        self.bootstrap_log_evidence_error = float(np.std(log_evidences))
+        logger.info(
+            "Bootstrap logZ: %.3f +/- %.3f",
+            self.bootstrap_log_evidence,
+            self.bootstrap_log_evidence_error,
+        )
+
+    def train_final_flow(self) -> None:
+        """Train a flow on posterior-weighted samples.
+
+        Reference: ``importancesampler.py:1847``."""
+        log_w = self.samples_unit["logL"] + self.samples_unit["logW"]
+        log_w = log_w - logsumexp(log_w)
+        self.proposal.train(
+            self.samples_unit, weights=np.exp(log_w)
+        )
+
+    def draw_posterior_samples(
+        self,
+        sampling_method: str = "importance_sampling",
+        n: Optional[int] = None,
+        use_final_samples: bool = True,
+    ):
+        """Reference: ``importancesampler.py:1594``."""
+        if use_final_samples and self.final_samples is not None:
+            samples = self.final_samples
+            log_w = self.final_log_w
+        else:
+            samples = self.posterior_samples_set.samples
+            log_w = samples["logL"] + samples["logW"]
+        from ..posterior import draw_posterior_samples as _draw
+
+        post = _draw(
+            samples,
+            log_w=log_w - logsumexp(log_w),
+            method=sampling_method,
+            n=n,
+            rng=self.rng,
+        )
+        return self.model.from_unit_hypercube(post)
+
+    # ------------------------------------------------------------------
+    def produce_plots(self, override: bool = False) -> None:
+        """State + trace plots. Reference:
+        ``importancesampler.py:1877``."""
+        if not (self.plot or override):
+            return
+        try:
+            import matplotlib.pyplot as plt
+
+            h = self.history
+            if not h or not h["logZ"]:
+                return
+            fig, axs = plt.subplots(4, 1, figsize=(8, 10), sharex=True)
+            its = np.arange(len(h["logZ"]))
+            axs[0].plot(its, h["logZ"])
+            axs[0].set_ylabel("logZ")
+            axs[1].plot(its, h["min_log_likelihood"], label="min logL")
+            axs[1].plot(its, h["max_log_likelihood"], label="max logL")
+            axs[1].plot(its, h["logL_threshold"], label="threshold")
+            axs[1].legend()
+            axs[2].plot(its, h["live_points_ess"])
+            axs[2].set_ylabel("live ESS")
+            for k, v in h["stopping_criteria"].items():
+                axs[3].plot(its, v, label=k)
+            axs[3].legend()
+            axs[3].set_xlabel("iteration")
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.output, "state.png"))
+            plt.close(fig)
+        except Exception as e:  # pragma: no cover
+            logger.warning("Could not produce INS plots: %s", e)
+
+    # ------------------------------------------------------------------
+    def get_result_dictionary(self) -> dict:
+        """Reference: ``importancesampler.py`` result assembly."""
+        d = super().get_result_dictionary()
+        d.update(
+            dict(
+                log_evidence=self.log_evidence,
+                log_evidence_error=self.log_evidence_error,
+                nested_samples=np.asarray(self.samples_unit),
+                sample_counts=self.sample_counts,
+                iterations=self.iteration,
+                stopping_criteria=self.criterion,
+                effective_n_posterior_samples=(
+                    self.state.effective_n_posterior_samples
+                ),
+                training_time=self.training_time.total_seconds(),
+                draw_samples_time=self.draw_samples_time.total_seconds(),
+                add_and_update_samples_time=(
+                    self.add_and_update_samples_time.total_seconds()
+                ),
+                draw_final_samples_time=(
+                    self.draw_final_samples_time.total_seconds()
+                ),
+            )
+        )
+        if self.final_samples is not None:
+            d["final_samples"] = self.final_samples
+            d["final_log_evidence"] = self.final_log_evidence
+        return d
+
+    # ------------------------------------------------------------------
+    def __getstate__(self):
+        import copy as _copy
+
+        state = super().__getstate__()
+        if not self.save_log_q:
+            # log_q matrices can be recomputed on resume from the flows
+            for key in ("training_samples", "iid_samples"):
+                obj = state.get(key)
+                if obj is not None:
+                    obj = _copy.copy(obj)
+                    obj.log_q = None
+                    state[key] = obj
+        return state
+
+    @classmethod
+    def resume_from_pickled_sampler(
+        cls, sampler, model, flow_config=None, training_config=None, rng=None, **kwargs
+    ):
+        """Reference: ``importancesampler.py:2284-2365``."""
+        cls.add_fields()
+        sampler = super().resume_from_pickled_sampler(
+            sampler, model, rng=rng, **kwargs
+        )
+        sampler.proposal.resume(model, flow_config=flow_config)
+        if sampler.training_samples.log_q is None:
+            # recompute log_q for all samples
+            x_prime, log_j = sampler.proposal.rescale(
+                sampler.training_samples.samples
+            )
+            _, log_q = sampler.proposal.compute_log_Q(x_prime, log_j)
+            sampler.training_samples.log_q = log_q
+            if sampler.iid_samples is not None:
+                x_prime, log_j = sampler.proposal.rescale(
+                    sampler.iid_samples.samples
+                )
+                _, log_q = sampler.proposal.compute_log_Q(x_prime, log_j)
+                sampler.iid_samples.log_q = log_q
+        return sampler

@@ -124,6 +124,7 @@ class NestedSampler(BaseNestedSampler):
         self.training_frequency = training_frequency
 
         # state
+        self.live_points = None
         self.accepted = 0
         self.rejected = 1
         self.initialised = False
