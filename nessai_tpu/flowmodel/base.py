@@ -378,6 +378,149 @@ class FlowModel:
         self._jit_cache[cache_key] = fns
         return fns
 
+    def _fused_train_fn(self, with_context, with_sigma, max_epochs, patience):
+        """The whole training run — epochs, validation, early stopping and
+        best-parameter tracking — as ONE jitted device program
+        (``lax.while_loop`` over epochs, ``lax.scan`` over batches).
+
+        This removes the per-epoch host↔device roundtrip of the reference's
+        torch loop (``nessai/flowmodel/base.py:365-452``); through the TPU
+        tunnel those roundtrips dominate training wall-time.
+        """
+        cache_key = ("fused_train", with_context, with_sigma, max_epochs, patience)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+        flow = self.flow
+        optimiser = self.optimiser
+
+        def loss_fn(diff, aux, x, w, context):
+            params = _combine_params(diff, aux)
+            log_p = flow.log_prob(params, x, context)
+            return -jnp.sum(w * log_p) / jnp.maximum(jnp.sum(w), 1e-12)
+
+        def run(params, opt_state, train_batches, val_batches, key):
+            diff, aux = _partition_params(params)
+
+            def one_epoch(diff, opt_state, key):
+                n_batches = train_batches["x"].shape[0]
+                keys = jax.random.split(key, n_batches)
+
+                def step(carry, inp):
+                    diff, opt_state = carry
+                    x = inp["x"]
+                    if with_sigma:
+                        x = x + inp["sigma"] * jax.random.normal(
+                            inp["key"], x.shape, x.dtype
+                        )
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        diff, aux, x, inp["w"], inp.get("context")
+                    )
+                    updates, opt_state = optimiser.update(
+                        grads, opt_state, diff
+                    )
+                    diff = optax.apply_updates(diff, updates)
+                    return (diff, opt_state), loss
+
+                inputs = dict(train_batches)
+                inputs["key"] = keys
+                (diff, opt_state), losses = jax.lax.scan(
+                    step, (diff, opt_state), inputs
+                )
+                return diff, opt_state, jnp.mean(losses)
+
+            def val_fn(diff):
+                if val_batches is None:
+                    return jnp.nan
+
+                def one(_, inp):
+                    return None, loss_fn(
+                        diff, aux, inp["x"], inp["w"], inp.get("context")
+                    )
+
+                _, losses = jax.lax.scan(one, None, dict(val_batches))
+                return jnp.mean(losses)
+
+            def cond(state):
+                epoch, _, _, _, _, best_it, _, done, _, _ = state
+                return (epoch < max_epochs) & (~done)
+
+            def body(state):
+                (
+                    epoch,
+                    diff,
+                    opt_state,
+                    best_diff,
+                    best_val,
+                    best_it,
+                    key,
+                    done,
+                    loss_hist,
+                    val_hist,
+                ) = state
+                key, ekey = jax.random.split(key)
+                diff, opt_state, loss = one_epoch(diff, opt_state, ekey)
+                val = val_fn(diff)
+                metric = jnp.where(jnp.isnan(val), loss, val)
+                improved = metric < best_val
+                best_diff = jax.tree.map(
+                    lambda b, c: jnp.where(improved, c, b), best_diff, diff
+                )
+                best_val = jnp.where(improved, metric, best_val)
+                best_it = jnp.where(improved, epoch, best_it)
+                loss_hist = loss_hist.at[epoch].set(loss)
+                val_hist = val_hist.at[epoch].set(metric)
+                bad = ~jnp.isfinite(loss)
+                done = bad | ((epoch - best_it) > patience)
+                return (
+                    epoch + 1,
+                    diff,
+                    opt_state,
+                    best_diff,
+                    best_val,
+                    best_it,
+                    key,
+                    done,
+                    loss_hist,
+                    val_hist,
+                )
+
+            init = (
+                jnp.asarray(0),
+                diff,
+                opt_state,
+                diff,
+                jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(0),
+                key,
+                jnp.asarray(False),
+                jnp.full((max_epochs,), jnp.nan, jnp.float32),
+                jnp.full((max_epochs,), jnp.nan, jnp.float32),
+            )
+            (
+                n_epochs,
+                diff,
+                opt_state,
+                best_diff,
+                best_val,
+                best_it,
+                _,
+                _,
+                loss_hist,
+                val_hist,
+            ) = jax.lax.while_loop(cond, body, init)
+            return (
+                _combine_params(best_diff, aux),
+                opt_state,
+                n_epochs,
+                best_it,
+                loss_hist,
+                val_hist,
+            )
+
+        fn = jax.jit(run)
+        self._jit_cache[cache_key] = fn
+        return fn
+
     def _maybe_init_actnorm(self, x: np.ndarray) -> None:
         """Data-dependent actnorm initialisation (Glow-style): walk the
         chain once on the host, whitening at each ActNorm."""
@@ -446,44 +589,69 @@ class FlowModel:
             }
         with_context = "context" in data["train"]
         with_sigma = "sigma" in data["train"]
-        train_epoch, val_loss_fn = self._epoch_fns(with_context, with_sigma)
-
-        params, opt_state = self.params, self.opt_state
-        best_params = params
-        best_val = np.inf
-        best_it = 0
-        history = {"loss": [], "val_loss": []}
         is_lars = isinstance(self.flow.base, ResampledGaussian)
+        history = {"loss": [], "val_loss": []}
 
-        for epoch in range(1, max_epochs + 1):
-            params, opt_state, loss = train_epoch(
-                params, opt_state, data["train"], self.next_key()
+        if is_lars:
+            # LARS needs a host-side MC update of the normalisation
+            # constant between epochs — use the per-epoch path.
+            train_epoch, val_loss_fn = self._epoch_fns(
+                with_context, with_sigma
             )
-            loss = float(loss)
-            history["loss"].append(loss)
-            if is_lars:
+            params, opt_state = self.params, self.opt_state
+            best_params = params
+            best_val = np.inf
+            best_it = 0
+            for epoch in range(1, max_epochs + 1):
+                params, opt_state, loss = train_epoch(
+                    params, opt_state, data["train"], self.next_key()
+                )
+                loss = float(loss)
+                history["loss"].append(loss)
                 params = dict(params)
                 params["base"] = self.flow.base.update_log_z(
                     params["base"], self.next_key()
                 )
-            if "val" in data:
-                v = float(val_loss_fn(params, data["val"]))
-            else:
-                v = loss
-            history["val_loss"].append(v)
-            if not np.isfinite(loss):
-                logger.warning("Training loss is not finite at epoch %d", epoch)
-                break
-            if v < best_val:
-                best_val = v
-                best_it = epoch
-                best_params = params
-            if epoch - best_it > patience:
-                logger.debug("Early stopping at epoch %d", epoch)
-                break
-
-        self.params = best_params
-        self.opt_state = opt_state
+                if "val" in data:
+                    v = float(val_loss_fn(params, data["val"]))
+                else:
+                    v = loss
+                history["val_loss"].append(v)
+                if not np.isfinite(loss):
+                    logger.warning(
+                        "Training loss is not finite at epoch %d", epoch
+                    )
+                    break
+                if v < best_val:
+                    best_val = v
+                    best_it = epoch
+                    best_params = params
+                if epoch - best_it > patience:
+                    break
+            self.params = best_params
+            self.opt_state = opt_state
+        else:
+            # Fully fused: one device call for the entire training run.
+            run = self._fused_train_fn(
+                with_context, with_sigma, int(max_epochs), int(patience)
+            )
+            params, opt_state, n_epochs, best_it, loss_hist, val_hist = run(
+                self.params,
+                self.opt_state,
+                data["train"],
+                data.get("val"),
+                self.next_key(),
+            )
+            n_epochs = int(n_epochs)
+            history["loss"] = np.asarray(loss_hist)[:n_epochs].tolist()
+            history["val_loss"] = np.asarray(val_hist)[:n_epochs].tolist()
+            if history["loss"] and not np.isfinite(history["loss"][-1]):
+                logger.warning("Training loss is not finite")
+            logger.debug(
+                "Trained %d epochs (best %d)", n_epochs, int(best_it)
+            )
+            self.params = params
+            self.opt_state = opt_state
         if is_lars:
             # Final, larger MC estimate of the normalisation constant.
             self.params = dict(self.params)

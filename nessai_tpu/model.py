@@ -331,11 +331,19 @@ class Model(ABC):
 
     def _jax_batch_log_likelihood(self, x) -> np.ndarray:
         import jax
+        import jax.numpy as jnp
 
         arr = live_points_to_array(x, self.names)
+        n = len(arr)
+        # Bucket the batch to powers of two: each distinct shape costs a
+        # full XLA compile on TPU, and pool sizes vary between populates.
+        bucket = max(256, 1 << (n - 1).bit_length()) if n else 256
+        if n < bucket:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, axis=0)])
         if not hasattr(self, "_jax_ll_jit"):
             self._jax_ll_jit = jax.jit(lambda a: self.jax_log_likelihood(a))
-        return np.asarray(self._jax_ll_jit(arr), dtype=float)
+        out = self._jax_ll_jit(jnp.asarray(arr, jnp.float32))
+        return np.asarray(out, dtype=float)[:n]
 
     def batch_evaluate_log_prior(
         self, x: np.ndarray, unit_hypercube: bool = False
