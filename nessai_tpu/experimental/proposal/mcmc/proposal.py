@@ -1,0 +1,147 @@
+"""MCMC flow proposal: populate the pool with ensemble MCMC in the
+flow's prime space instead of rejection sampling.
+
+Reference: ``nessai/experimental/proposal/mcmc/proposal.py:19`` (populate
+``:93-233``).
+
+All walkers step together: each MCMC iteration is one batched flow pass +
+one batched likelihood call — ideal for the TPU (no per-walker python).
+"""
+
+import datetime
+import logging
+from typing import Optional
+
+import numpy as np
+
+from ....proposal.flowproposal.base import BaseFlowProposal
+from .steps import KNOWN_STEPS
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["MCMCFlowProposal"]
+
+
+class MCMCFlowProposal(BaseFlowProposal):
+    """Flow proposal population via ensemble MCMC.
+
+    Walkers are seeded from the current live points; moves are proposed in
+    the flow's latent space and accepted with the Metropolis-Hastings
+    ratio of prior over pushforward density (+ proposal asymmetry),
+    subject to the hard likelihood threshold.
+    """
+
+    def __init__(
+        self,
+        model,
+        n_steps: int = 10,
+        step_type: str = "diff",
+        step_kwargs: Optional[dict] = None,
+        **kwargs,
+    ):
+        super().__init__(model, **kwargs)
+        self.n_steps = int(n_steps)
+        if step_type not in KNOWN_STEPS:
+            raise ValueError(
+                f"Unknown step type: {step_type}. Known: {sorted(KNOWN_STEPS)}"
+            )
+        self.step_type = step_type
+        self.step_kwargs = dict(step_kwargs or {})
+        self._step = None
+
+    def initialise(self, resume: bool = False) -> None:
+        super().initialise(resume=resume)
+        if self._step is None:
+            self._step = KNOWN_STEPS[self.step_type](
+                self.rescaled_dims, rng=self.rng, **self.step_kwargs
+            )
+
+    def _backward_nofilter(self, z):
+        """Backward pass keeping every walker (alignment preserved);
+        out-of-bounds walkers are rejected via the prior."""
+        x_prime_array, log_j_flow = self.flow.inverse(z)
+        log_q = self.flow.base_log_prob(z) - log_j_flow
+        x_prime = np.zeros(len(x_prime_array), dtype=self.x_prime_dtype)
+        for i, p in enumerate(self.prime_parameters):
+            x_prime[p] = x_prime_array[:, i]
+        x, log_j_inv = self.inverse_rescale(x_prime)
+        return x, log_q - log_j_inv
+
+    def _masked_log_prior(self, x):
+        if self.map_to_unit_hypercube:
+            in_b = self.model.in_unit_hypercube(x)
+        else:
+            in_b = self.model.in_bounds(x)
+        log_p = np.full(len(x), -np.inf)
+        if in_b.any():
+            with np.errstate(all="ignore"):
+                lp = self.log_prior(x)
+            log_p[in_b] = np.asarray(lp)[in_b]
+        return np.nan_to_num(log_p, nan=-np.inf)
+
+    def populate(self, worst_point, n_samples=10000, plot=True, r=None) -> None:
+        """Reference: ``mcmc/proposal.py:93-233``."""
+        st = datetime.datetime.now()
+        if not self.initialised:
+            raise RuntimeError("Proposal has not been initialised")
+        logL_threshold = (
+            float(np.atleast_1d(worst_point["logL"])[0])
+            if worst_point is not None
+            else -np.inf
+        )
+        if self.training_data is None:
+            raise RuntimeError("MCMC proposal requires training data")
+        x_start = self._convert_to_x(self.training_data.copy())
+        idx = self.rng.integers(0, len(x_start), n_samples)
+        x_start = x_start[idx]
+        z_walkers, _ = self.forward_pass(x_start)
+        x_cur, log_q_cur = self._backward_nofilter(z_walkers)
+        log_p = self._masked_log_prior(x_cur)
+        logL = self.model.batch_evaluate_log_likelihood(
+            x_cur, unit_hypercube=self.map_to_unit_hypercube
+        )
+
+        n_accept_total = 0
+        n_prop_total = 0
+        for _ in range(self.n_steps):
+            z_new, log_ratio = self._step.propose(z_walkers)
+            x_new, log_q_new = self._backward_nofilter(z_new)
+            log_p_new = self._masked_log_prior(x_new)
+            logL_new = self.model.batch_evaluate_log_likelihood(
+                x_new, unit_hypercube=self.map_to_unit_hypercube
+            )
+            with np.errstate(invalid="ignore"):
+                log_alpha = (
+                    (log_p_new - log_q_new)
+                    - (log_p - log_q_cur)
+                    + log_ratio
+                )
+            u = np.log(self.rng.random(len(z_walkers)))
+            accept = (
+                (u < np.nan_to_num(log_alpha, nan=-np.inf))
+                & np.isfinite(log_p_new)
+                & (logL_new > logL_threshold)
+            )
+            z_walkers = np.where(accept[:, None], z_new, z_walkers)
+            x_cur[accept] = x_new[accept]
+            log_p = np.where(accept, log_p_new, log_p)
+            log_q_cur = np.where(accept, log_q_new, log_q_cur)
+            logL = np.where(accept, logL_new, logL)
+            n_accept_total += int(accept.sum())
+            n_prop_total += len(accept)
+            self._step.update(float(accept.mean()))
+
+        samples = x_cur.copy()
+        samples["logP"] = log_p
+        samples["logL"] = logL
+        self.x = samples
+        self.samples = self.convert_to_samples(samples, plot=plot)
+        self.samples["logL"] = logL
+        self.population_time += datetime.datetime.now() - st
+        self.population_acceptance = (
+            n_accept_total / n_prop_total if n_prop_total else np.nan
+        )
+        self.indices = self.rng.permutation(len(self.samples)).tolist()
+        self.populated_count += 1
+        self.populated = True
+        self._checked_population = False

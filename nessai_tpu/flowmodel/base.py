@@ -521,7 +521,7 @@ class FlowModel:
         self._jit_cache[cache_key] = fn
         return fn
 
-    def _maybe_init_actnorm(self, x: np.ndarray) -> None:
+    def _maybe_init_actnorm(self, x: np.ndarray, conditional=None) -> None:
         """Data-dependent actnorm initialisation (Glow-style): walk the
         chain once on the host, whitening at each ActNorm."""
         if self._actnorm_done or not self.training_config.use_actnorm_init:
@@ -530,11 +530,16 @@ class FlowModel:
             self._actnorm_done = True
             return
         h = jnp.asarray(x, jnp.float32)
+        context = (
+            jnp.asarray(conditional, jnp.float32)
+            if conditional is not None
+            else None
+        )
         params = list(self.params["bijector"])
         for i, b in enumerate(self.flow.bijector.bijectors):
             if isinstance(b, ActNorm):
                 params[i] = ActNorm.data_init(h)
-            h, _ = b.forward(params[i], h)
+            h, _ = b.forward(params[i], h, context)
         self.params = {"bijector": params, "base": self.params["base"]}
         self._actnorm_done = True
 
@@ -564,7 +569,7 @@ class FlowModel:
         if val_size is None:
             val_size = self.training_config.val_size
 
-        self._maybe_init_actnorm(samples)
+        self._maybe_init_actnorm(samples, conditional=conditional)
         data = self.prep_data(
             samples, val_size, weights=weights, conditional=conditional
         )
@@ -674,11 +679,19 @@ class FlowModel:
 
     def _run_bucketed(self, name, fn, x, *extra):
         """Run a jitted fn over [n, d] input, padded to a bucketed batch
-        size so compile counts stay O(log n); outputs sliced back to n."""
+        size so compile counts stay O(log n); outputs sliced back to n.
+        Array extras with a matching leading axis (e.g. conditionals) are
+        padded alongside."""
         x = jnp.asarray(x, jnp.float32)
         n = x.shape[0]
         bucket = _bucket_size(n)
         x = _pad_rows(x, bucket)
+        extra = tuple(
+            _pad_rows(jnp.asarray(e, jnp.float32), bucket)
+            if e is not None and np.ndim(e) >= 1 and len(e) == n
+            else e
+            for e in extra
+        )
         out = self._jit(name, fn)(self.params, x, *extra)
         if isinstance(out, tuple):
             return tuple(np.asarray(o, np.float64)[:n] for o in out)
