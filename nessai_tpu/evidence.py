@@ -128,12 +128,14 @@ class _NSIntegralState:
 
         Reference: ``nessai/evidence.py:258``.
         """
-        # trapezoid-consistent: w_i = L_i * (X_{i-1} - X_{i+1}) / 2
+        # trapezoid-consistent: w_i = L_i * (X_{i-1} - X_{i+1}) / 2,
+        # normalised over the weights themselves (the final interval
+        # extends to X=0, which the truncated logZ integral excludes)
         logLs = np.array(self.logLs)
         log_vols = np.concatenate([np.array(self.log_vols), [-np.inf]])
         log_dX = logsubexp(log_vols[:-2], log_vols[2:]) - np.log(2)
         log_wts = logLs[1:] + log_dX
-        return log_wts - self.logZ
+        return log_wts - logsumexp(log_wts)
 
     def plot(self, filename=None):
         """logX vs logL diagnostic plot. Reference:

@@ -46,7 +46,10 @@ def compute_weights(samples, nlive, expectation: str = "logt"):
     )
     log_vols_padded = np.concatenate([log_vols, [-np.inf]])
     log_dX = logsubexp(log_vols_padded[:-2], log_vols_padded[2:]) - np.log(2)
-    log_w = samples + log_dX - log_z
+    log_w = samples + log_dX
+    # normalise over the weights (the final interval extends to X=0,
+    # which the truncated trapezoid logZ excludes)
+    log_w = log_w - logsumexp(log_w)
     return float(log_z), log_w
 
 

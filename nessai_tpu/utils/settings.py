@@ -14,12 +14,32 @@ __all__ = [
 
 
 def _get_kwargs(func) -> Dict[str, Any]:
-    sig = inspect.signature(func)
-    return {
-        name: p.default
-        for name, p in sig.parameters.items()
-        if p.default is not inspect.Parameter.empty
-    }
+    """Default-kwargs of a function, walking the MRO for ``__init__``
+    methods so parent-class kwargs (reached via **kwargs) are included."""
+    out: Dict[str, Any] = {}
+    funcs = [func]
+    owner = getattr(func, "__qualname__", "").split(".")[0]
+    if getattr(func, "__name__", "") == "__init__":
+        import sys
+
+        mod = sys.modules.get(func.__module__)
+        cls = getattr(mod, owner, None)
+        if cls is not None:
+            funcs = [
+                k.__init__
+                for k in inspect.getmro(cls)
+                if "__init__" in k.__dict__
+            ]
+    for f in reversed(funcs):
+        sig = inspect.signature(f)
+        out.update(
+            {
+                name: p.default
+                for name, p in sig.parameters.items()
+                if p.default is not inspect.Parameter.empty
+            }
+        )
+    return out
 
 
 def get_standard_methods():

@@ -1,0 +1,75 @@
+"""Tests for the Pallas kernels (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nessai_tpu.flows.rqs import rational_quadratic_spline
+from nessai_tpu.ops import affine_coupling_transform, rqs_pallas
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_rqs_pallas_matches_reference(rng, inverse):
+    n, d, K = 300, 3, 8
+    x = jnp.asarray(rng.uniform(-6, 6, (n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, d, K)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(n, d, K)), jnp.float32)
+    dd = jnp.asarray(rng.normal(size=(n, d, K - 1)), jnp.float32)
+    ref_out, ref_ld = rational_quadratic_spline(x, w, h, dd, inverse=inverse)
+    out, ld = rqs_pallas(x, w, h, dd, inverse=inverse, interpret=True)
+    # float32 bin-edge rounding can differ between the two layouts
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ld), np.asarray(ref_ld), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_rqs_pallas_roundtrip(rng):
+    n, d, K = 128, 2, 6
+    x = jnp.asarray(rng.uniform(-4, 4, (n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, d, K)), jnp.float32)
+    h = jnp.asarray(rng.normal(size=(n, d, K)), jnp.float32)
+    dd = jnp.asarray(rng.normal(size=(n, d, K - 1)), jnp.float32)
+    z, ld = rqs_pallas(x, w, h, dd, interpret=True)
+    x2, ld_inv = rqs_pallas(z, w, h, dd, inverse=True, interpret=True)
+    # float32 bin-edge roundtrip precision
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(ld + ld_inv), 0.0, atol=5e-3
+    )
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_affine_coupling_pallas(rng, inverse):
+    n, d = 200, 4
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    out, ld = affine_coupling_transform(
+        x, s, t, inverse=inverse, interpret=True
+    )
+    s_c = 5.0 * jnp.tanh(s / 5.0)
+    if inverse:
+        expected = (x - t) * jnp.exp(-s_c)
+        expected_ld = -jnp.sum(s_c, axis=1)
+    else:
+        expected = x * jnp.exp(s_c) + t
+        expected_ld = jnp.sum(s_c, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ld), np.asarray(expected_ld), atol=1e-4
+    )
+
+
+def test_affine_coupling_roundtrip(rng):
+    n, d = 100, 3
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    z, ld = affine_coupling_transform(x, s, t, interpret=True)
+    x2, ld_inv = affine_coupling_transform(z, s, t, inverse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-5)
