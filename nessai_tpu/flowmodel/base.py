@@ -667,6 +667,18 @@ class FlowModel:
         self.history["val_loss"].extend(history["val_loss"])
         if self.output is not None:
             self.save_weights(os.path.join(self.output, "model.pkl"))
+            if plot and history["loss"]:
+                try:
+                    from ..plot import plot_loss
+
+                    best = int(np.argmin(history["val_loss"]))
+                    plot_loss(
+                        best,
+                        history,
+                        filename=os.path.join(self.output, "loss.png"),
+                    )
+                except Exception as e:  # pragma: no cover
+                    logger.warning("Could not plot loss: %s", e)
         return history
 
     # ------------------------------------------------------------------

@@ -164,6 +164,11 @@ def dataframe_to_live_points(df: pd.DataFrame):
     return dict_to_live_points({c: df[c].to_numpy() for c in df.columns})
 
 
+def live_points_to_dataframe(live_points, names=None) -> pd.DataFrame:
+    """Reference: ``nessai/livepoint.py:350``."""
+    return pd.DataFrame(live_points_to_dict(live_points, names=names))
+
+
 def unstructured_view(x, names=None, dtype=None):
     """Zero-copy view of the parameter fields as an unstructured array.
 

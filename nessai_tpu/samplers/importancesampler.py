@@ -640,6 +640,17 @@ class ImportanceNestedSampler(BaseNestedSampler):
         """Reference: ``importancesampler.py:531``."""
         return differential_entropy(self.samples_unit["logQ"])
 
+    def kl_divergence(self, samples=None) -> float:
+        """KL divergence between the posterior implied by the samples and
+        the meta-proposal. Reference: ``importancesampler.py:1580``."""
+        if samples is None:
+            samples = self.samples_unit
+        log_w = samples["logL"] + samples["logW"]
+        log_w = log_w - logsumexp(log_w)
+        log_p = log_w  # normalised posterior weights
+        log_q = -np.log(len(samples)) * np.ones(len(samples))
+        return float(np.sum(np.exp(log_p) * (log_p - log_q)))
+
     # ------------------------------------------------------------------
     # History / logging
     # ------------------------------------------------------------------
@@ -773,6 +784,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
             self.iid_samples.finalise()
         if self.bootstrap:
             self.adjust_final_samples()
+        logger.info("Final KL divergence: %.3f", self.kl_divergence())
         logger.info(
             "Final log Z: %.3f +/- %.3f (ESS %.1f)",
             self.state.log_evidence,
