@@ -1,0 +1,171 @@
+"""Unit tests for NestedSampler internals (cf. reference
+tests/test_samplers/test_nested_sampler/)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nessai_tpu.livepoint import empty_structured_array
+from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+
+@pytest.fixture()
+def sampler(model, tmp_path, flow_config, training_config):
+    return NestedSampler(
+        model,
+        nlive=50,
+        output=str(tmp_path),
+        seed=1,
+        plot=False,
+        checkpointing=False,
+        maximum_uninformed=100,
+        cooldown=10,
+        flow_config=flow_config,
+        training_config=training_config,
+        poolsize=50,
+    )
+
+
+def _fake_live_points(sampler, n=50):
+    lp = empty_structured_array(n, names=sampler.model.names)
+    arr = np.linspace(-1, 1, n)
+    for name in sampler.model.names:
+        lp[name] = arr
+    lp["logL"] = np.sort(np.random.default_rng(0).normal(size=n))
+    lp["logP"] = 0.0
+    sampler.live_points = np.sort(lp, order="logL")
+    return sampler.live_points
+
+
+def test_insert_live_point_indices(sampler):
+    lp = _fake_live_points(sampler)
+    new = lp[25].copy()
+    new["logL"] = (lp["logL"][30] + lp["logL"][31]) / 2
+    index = sampler.insert_live_point(new)
+    assert index == 30
+    # still sorted
+    assert np.all(np.diff(sampler.live_points["logL"]) >= 0)
+
+
+def test_insert_live_point_at_end(sampler):
+    lp = _fake_live_points(sampler)
+    new = lp[0].copy()
+    new["logL"] = lp["logL"][-1] + 1.0
+    index = sampler.insert_live_point(new)
+    assert index == sampler.nlive - 1
+    assert sampler.live_points["logL"][-1] == new["logL"]
+
+
+def test_check_proposal_switch_by_iteration(sampler):
+    sampler.iteration = 101
+    assert sampler.check_proposal_switch() is True
+    assert sampler.proposal is sampler._flow_proposal
+    assert not sampler.uninformed_sampling
+
+
+def test_check_proposal_switch_by_acceptance(sampler):
+    sampler.mean_block_acceptance = 0.01
+    assert sampler.check_proposal_switch() is True
+
+
+def test_no_switch_when_healthy(sampler):
+    sampler.iteration = 10
+    sampler.mean_block_acceptance = 0.9
+    assert sampler.check_proposal_switch() is False
+    assert sampler.uninformed_sampling
+
+
+def test_check_training_on_empty(sampler):
+    sampler.proposal = sampler._flow_proposal
+    sampler.proposal.populated = False
+    train, force = sampler.check_training()
+    assert train and force
+
+
+def test_check_training_cooldown_blocks(sampler):
+    sampler.proposal = sampler._flow_proposal
+    sampler.proposal.populated = True
+    sampler.train_on_empty = False
+    sampler.training_frequency = 5
+    sampler.iteration = 8
+    sampler.last_updated = 4
+    # frequency met but cooldown (10) not elapsed
+    train, force = sampler.check_training()
+    assert not train
+
+
+def test_check_flow_model_reset(sampler):
+    sampler._flow_proposal.initialise()
+    sampler._flow_proposal.training_count = 2
+    sampler.reset_weights = 2.0
+    before = sampler._flow_proposal.flow.params
+    sampler.check_flow_model_reset()
+    after = sampler._flow_proposal.flow.params
+    import jax
+
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after))
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+    )
+    assert changed
+
+
+def test_populate_live_points(sampler):
+    sampler._uninformed_proposal.initialise()
+    sampler.populate_live_points()
+    assert len(sampler.live_points) == 50
+    assert np.all(np.diff(sampler.live_points["logL"]) >= 0)
+    assert np.isfinite(sampler.live_points["logL"]).all()
+
+
+def test_prior_sampling(model, tmp_path, flow_config, training_config):
+    ns = NestedSampler(
+        model,
+        nlive=30,
+        output=str(tmp_path),
+        seed=2,
+        plot=False,
+        checkpointing=False,
+        prior_sampling=True,
+        flow_config=flow_config,
+        training_config=training_config,
+    )
+    logZ, samples = ns.nested_sampling_loop()
+    assert len(samples) == 30
+
+
+def test_resume_fallback_to_old(model, tmp_path, flow_config, training_config):
+    """Corrupt resume file falls back to .old."""
+    from nessai_tpu.flowsampler import FlowSampler
+
+    fs = FlowSampler(
+        model,
+        output=str(tmp_path),
+        nlive=50,
+        seed=3,
+        resume=False,
+        plot=False,
+        max_iteration=20,
+        maximum_uninformed=10000,
+        flow_config=flow_config,
+        training_config=training_config,
+    )
+    fs.run(plot=False, save=False)
+    fs.ns.checkpoint(force=True)
+    fs.ns.checkpoint(force=True)  # rotates the first file to .old
+    resume_file = os.path.join(str(tmp_path), "nested_sampler_resume.pkl")
+    with open(resume_file, "wb") as f:
+        f.write(b"corrupt")
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    fs2 = FlowSampler(
+        IntegrationTestModel(2),
+        output=str(tmp_path),
+        resume=True,
+        plot=False,
+        flow_config=flow_config,
+        training_config=training_config,
+    )
+    assert fs2.ns.iteration == 20
