@@ -59,8 +59,7 @@ class MCMCFlowProposal(BaseFlowProposal):
     def _backward_nofilter(self, z):
         """Backward pass keeping every walker (alignment preserved);
         out-of-bounds walkers are rejected via the prior."""
-        x_prime_array, log_j_flow = self.flow.inverse(z)
-        log_q = self.flow.base_log_prob(z) - log_j_flow
+        x_prime_array, log_q = self.flow.inverse_and_log_prob(z)
         x_prime = np.zeros(len(x_prime_array), dtype=self.x_prime_dtype)
         for i, p in enumerate(self.prime_parameters):
             x_prime[p] = x_prime_array[:, i]

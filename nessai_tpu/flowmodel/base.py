@@ -731,6 +731,17 @@ class FlowModel:
             "inv", lambda p, z, c: self.flow.inverse(p, z, c), z, conditional
         )
 
+    def inverse_and_log_prob(self, z, conditional=None):
+        """z -> (x, log q(x)) fused into one device program (the hot
+        path of :meth:`FlowProposal.populate`): inverse pass, base
+        log-prob and the Jacobian correction together."""
+
+        def fn(p, z, c):
+            x, log_j = self.flow.inverse(p, z, c)
+            return x, self.flow.base_log_prob(p, z) - log_j
+
+        return self._run_bucketed("inv_lp", fn, z, conditional)
+
     def log_prob(self, x, conditional=None):
         return self._run_bucketed(
             "lp", lambda p, x, c: self.flow.log_prob(p, x, c), x, conditional

@@ -90,7 +90,10 @@ class FlowProposal(BaseFlowProposal):
 
     @property
     def _draw_n(self) -> int:
-        return int(self.drawsize or self.poolsize)
+        # NB: defaults to the *unscaled* poolsize so the latent batch
+        # shape is constant across populates — the adaptive poolsize
+        # scaling otherwise forces a fresh XLA compile per scale.
+        return int(self.drawsize or self._poolsize)
 
     def sample_latent_distribution(self, n: int):
         """Latent draws, honouring the truncation scheme's sampler and the
