@@ -13,15 +13,29 @@ the host over NumPy structured arrays, matching the reference API.
 
 __version__ = "0.1.0"
 
+_LAZY = {
+    "FlowSampler": ("nessai_tpu.flowsampler", "FlowSampler"),
+    "Model": ("nessai_tpu.model", "Model"),
+    "NestedSampler": ("nessai_tpu.samplers", "NestedSampler"),
+    "ImportanceNestedSampler": (
+        "nessai_tpu.samplers",
+        "ImportanceNestedSampler",
+    ),
+    "FlowModel": ("nessai_tpu.flowmodel", "FlowModel"),
+    "FlowProposal": ("nessai_tpu.proposal", "FlowProposal"),
+    "configure_logger": ("nessai_tpu.utils", "configure_logger"),
+}
+
 
 def __getattr__(name):
     # Lazy imports keep `import nessai_tpu` light.
-    if name == "FlowSampler":
-        from .flowsampler import FlowSampler
+    if name in _LAZY:
+        import importlib
 
-        return FlowSampler
-    if name == "Model":
-        from .model import Model
-
-        return Model
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module 'nessai_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

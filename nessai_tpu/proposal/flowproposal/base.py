@@ -493,6 +493,28 @@ class BaseFlowProposal(RejectionProposal):
         out["logP"] = self.model.batch_evaluate_log_prior(out)
         return out
 
+    def plot_pool(self, samples) -> None:
+        """Plot the populated pool against the training data.
+
+        Reference: ``flowproposal/base.py:1210``."""
+        try:
+            from ...plot import plot_1d_comparison
+
+            sets = [samples]
+            labels = ["pool"]
+            if self.training_data is not None:
+                sets.insert(0, self.training_data)
+                labels.insert(0, "training")
+            plot_1d_comparison(
+                *sets,
+                labels=labels,
+                filename=os.path.join(
+                    self.output, f"pool_{self.populated_count}.png"
+                ),
+            )
+        except Exception as e:  # pragma: no cover - best effort
+            logger.warning("Could not plot pool: %s", e)
+
     def compute_acceptance(self, logL_threshold) -> float:
         """Fraction of the pool above the likelihood threshold.
 

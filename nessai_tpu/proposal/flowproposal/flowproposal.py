@@ -217,6 +217,8 @@ class FlowProposal(BaseFlowProposal):
             )
 
         self.samples = self.convert_to_samples(self.x, plot=plot)
+        if self._plot_pool and plot:
+            self.plot_pool(self.samples)
         self.population_time += datetime.datetime.now() - st
         if not self._truncation_scheme.requires_log_likelihood:
             self.samples["logL"] = self.model.batch_evaluate_log_likelihood(
