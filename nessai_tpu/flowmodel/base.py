@@ -89,6 +89,23 @@ def _pad_rows(arr, bucket: int):
     return jnp.concatenate([arr, pad], axis=0)
 
 
+def _host_cpu_context():
+    """Context that pins *eager* jax ops (parameter init, actnorm walks,
+    PRNG splits) to the host CPU backend.
+
+    Under the axon TPU backend every tiny eager op is a separate remote
+    compile (~seconds each); initialisation issues dozens of them. The
+    jitted hot paths are unaffected — they fetch the (tiny) parameter
+    arrays from host memory on first use."""
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def _partition_params(params):
     """Split a params pytree into (float leaves, aux) — integer leaves
     (e.g. permutation indices) are not differentiable/optimisable."""
@@ -151,7 +168,8 @@ class FlowModel:
         return self._key
 
     def next_key(self):
-        self._key, sub = jax.random.split(self.key)
+        with _host_cpu_context():
+            self._key, sub = jax.random.split(self.key)
         return sub
 
     # ------------------------------------------------------------------
@@ -164,26 +182,32 @@ class FlowModel:
             return
         cfg_dict = flow_config_to_dict(self.flow_config)
         cfg_dict["seed"] = int(self.rng.integers(0, 2**31 - 1))
-        self.flow, self.params, _ = configure_model(cfg_dict)
-        self.optimiser = _get_optimiser(
-            self.training_config.optimiser,
-            self.training_config.lr,
-            self.training_config.clip_grad_norm,
-            **self.training_config.optimiser_kwargs,
-        )
-        self.opt_state = self.optimiser.init(_partition_params(self.params)[0])
+        with _host_cpu_context():
+            self.flow, self.params, _ = configure_model(cfg_dict)
+            self.optimiser = _get_optimiser(
+                self.training_config.optimiser,
+                self.training_config.lr,
+                self.training_config.clip_grad_norm,
+                **self.training_config.optimiser_kwargs,
+            )
+            self.opt_state = self.optimiser.init(
+                _partition_params(self.params)[0]
+            )
         self.initialised = True
 
     def reset_optimiser(self, lr=None) -> None:
         if lr is None:
             lr = self.training_config.lr
-        self.optimiser = _get_optimiser(
-            self.training_config.optimiser,
-            lr,
-            self.training_config.clip_grad_norm,
-            **self.training_config.optimiser_kwargs,
-        )
-        self.opt_state = self.optimiser.init(_partition_params(self.params)[0])
+        with _host_cpu_context():
+            self.optimiser = _get_optimiser(
+                self.training_config.optimiser,
+                lr,
+                self.training_config.clip_grad_norm,
+                **self.training_config.optimiser_kwargs,
+            )
+            self.opt_state = self.optimiser.init(
+                _partition_params(self.params)[0]
+            )
         # Drop cached epoch fns that close over the old optimiser.
         self._jit_cache = {
             k: v
@@ -199,13 +223,16 @@ class FlowModel:
         if not self.initialised:
             self.initialise()
             return
-        if weights:
-            self.params = reset_weights(self.flow, self.params, self.next_key())
-            self._actnorm_done = False
-        if permutations:
-            self.params = reset_permutations(
-                self.flow, self.params, self.next_key()
-            )
+        with _host_cpu_context():
+            if weights:
+                self.params = reset_weights(
+                    self.flow, self.params, self.next_key()
+                )
+                self._actnorm_done = False
+            if permutations:
+                self.params = reset_permutations(
+                    self.flow, self.params, self.next_key()
+                )
         self.reset_optimiser()
         self._jit_cache.clear()
 
@@ -529,18 +556,19 @@ class FlowModel:
         if not isinstance(self.flow.bijector, Chain):
             self._actnorm_done = True
             return
-        h = jnp.asarray(x, jnp.float32)
-        context = (
-            jnp.asarray(conditional, jnp.float32)
-            if conditional is not None
-            else None
-        )
-        params = list(self.params["bijector"])
-        for i, b in enumerate(self.flow.bijector.bijectors):
-            if isinstance(b, ActNorm):
-                params[i] = ActNorm.data_init(h)
-            h, _ = b.forward(params[i], h, context)
-        self.params = {"bijector": params, "base": self.params["base"]}
+        with _host_cpu_context():
+            h = jnp.asarray(x, jnp.float32)
+            context = (
+                jnp.asarray(conditional, jnp.float32)
+                if conditional is not None
+                else None
+            )
+            params = list(self.params["bijector"])
+            for i, b in enumerate(self.flow.bijector.bijectors):
+                if isinstance(b, ActNorm):
+                    params[i] = ActNorm.data_init(h)
+                h, _ = b.forward(params[i], h, context)
+            self.params = {"bijector": params, "base": self.params["base"]}
         self._actnorm_done = True
 
     def train(

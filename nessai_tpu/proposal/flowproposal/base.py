@@ -386,7 +386,7 @@ class BaseFlowProposal(RejectionProposal):
         x_prime_array = live_points_to_array(
             x_prime, self.prime_parameters
         )
-        self.flow.train(x_prime_array)
+        self.flow.train(x_prime_array, plot=self._plot_training and plot)
         # Cache latent images + log_q of the training data for the
         # truncation rules (adaptive radius, min_log_q).
         z, log_q_prime = self.flow.forward_and_log_prob(x_prime_array)
