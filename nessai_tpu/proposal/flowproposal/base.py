@@ -60,6 +60,7 @@ class BaseFlowProposal(RejectionProposal):
         reverse_reparameterisations: bool = False,
         map_to_unit_hypercube: bool = False,
         accept_all: bool = False,
+        precompile: bool = True,
     ):
         super().__init__(model, rng=rng)
         self._poolsize = poolsize if poolsize is not None else 1000
@@ -77,6 +78,7 @@ class BaseFlowProposal(RejectionProposal):
         self.reverse_reparameterisations = reverse_reparameterisations
         self.map_to_unit_hypercube = map_to_unit_hypercube
         self.accept_all = accept_all
+        self.precompile = precompile
 
         self._plot_pool = plot in (True, "all")
         self._plot_training = plot in (True, "all")
@@ -360,6 +362,109 @@ class BaseFlowProposal(RejectionProposal):
         return x, log_j
 
     # ------------------------------------------------------------------
+    # Pre-compilation
+    # ------------------------------------------------------------------
+    def precompile_async(self, n_train: int) -> None:
+        """Warm the hot device programs in a background thread.
+
+        Remote XLA compiles cost seconds to minutes each; the initial
+        live-point population is host/likelihood-bound, so overlapping
+        the flow-program compiles with it removes most of the cold-start
+        cost. Training is warmed on throwaway parameter copies (results
+        discarded); inference programs are warmed with zeros.
+        """
+        if not self.initialised or not self.precompile:
+            return
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        from ...flowmodel.base import _bucket_size
+
+        fm = self.flow
+        dims = self.rescaled_dims
+        # Pin the thread to the main thread's current default device —
+        # jax device contexts are thread-local.
+        try:
+            device = jnp.zeros(()).device
+        except Exception:  # pragma: no cover
+            device = None
+
+        def _warm():
+            ctx = None
+            try:
+                if device is not None:
+                    ctx = jax.default_device(device)
+                    ctx.__enter__()
+                tc = fm.training_config
+                n = int(n_train)
+                n_val = int(round((tc.val_size or 0.0) * n))
+                rows = n - n_val
+                bs = fm.check_batch_size(rows)
+                n_batches = max(int(np.ceil(rows / bs)), 1)
+                n_batches = 1 << (n_batches - 1).bit_length()
+                train = {
+                    "x": jnp.zeros((n_batches, bs, dims), jnp.float32),
+                    "w": jnp.ones((n_batches, bs), jnp.float32),
+                }
+                val = None
+                if n_val > 0:
+                    vb = _bucket_size(n_val, minimum=32)
+                    val = {
+                        "x": jnp.zeros((1, vb, dims), jnp.float32),
+                        "w": jnp.ones((1, vb), jnp.float32),
+                    }
+                with_sigma = bool(
+                    (fm.noise_type or tc.noise_type) and
+                    (fm.noise_scale or tc.noise_scale)
+                )
+                run = fm._fused_train_fn(
+                    False,
+                    with_sigma,
+                    int(tc.max_epochs),
+                    int(tc.patience),
+                )
+                params = jax.tree.map(jnp.copy, fm.params)
+                opt_state = jax.tree.map(jnp.copy, fm.opt_state)
+                if with_sigma:
+                    train["sigma"] = jnp.zeros(
+                        (n_batches, bs, 1), jnp.float32
+                    )
+                out = run(
+                    params, opt_state, train, val, jax.random.PRNGKey(0)
+                )
+                jax.block_until_ready(out)
+                # populate path: fused inverse + log-prob at the draw size
+                draw_n = int(getattr(self, "drawsize", None) or self._poolsize)
+                z = np.zeros((draw_n, dims), np.float32)
+                fm.inverse_and_log_prob(z)
+                # training-latent cache: forward at the training size
+                fm.forward_and_log_prob(np.zeros((n, dims), np.float32))
+                logger.debug("Device-program precompilation complete")
+            except Exception as e:  # pragma: no cover - best effort
+                logger.debug("Precompilation failed (non-fatal): %s", e)
+            finally:
+                if ctx is not None:
+                    try:
+                        ctx.__exit__(None, None, None)
+                    except Exception:  # pragma: no cover
+                        pass
+
+        self._precompile_thread = threading.Thread(
+            target=_warm, name="nessai-precompile", daemon=True
+        )
+        self._precompile_thread.start()
+
+    def _join_precompile(self) -> None:
+        """Wait for any in-flight precompilation (called before training
+        and on teardown so the process never exits mid-compile)."""
+        t = getattr(self, "_precompile_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._precompile_thread = None
+
+    # ------------------------------------------------------------------
     # Training
     # ------------------------------------------------------------------
     def train(self, x, plot: bool = True) -> None:
@@ -369,6 +474,7 @@ class BaseFlowProposal(RejectionProposal):
         """
         if not self.initialised:
             raise RuntimeError("Proposal must be initialised before training")
+        self._join_precompile()
         x = np.asarray(x).copy()
         if self.map_to_unit_hypercube:
             x = self.model.to_unit_hypercube(x)
@@ -555,6 +661,7 @@ class BaseFlowProposal(RejectionProposal):
         Reference: ``flowproposal/base.py:1286``."""
         state = self.__dict__.copy()
         state["model"] = None
+        state["_precompile_thread"] = None
         state["_reparameterisation"] = None
         state["training_data"] = None
         state["training_latent"] = None

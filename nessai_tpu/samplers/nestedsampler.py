@@ -263,6 +263,12 @@ class NestedSampler(BaseNestedSampler):
         flags = [False] * 3
         if not self._flow_proposal.initialised:
             self._flow_proposal.initialise(resume=False)
+            # overlap the expensive device-program compiles with the
+            # (host-bound) initial live-point population
+            n_train = self.nlive + (
+                int(self.memory) if self.memory else 0
+            )
+            self._flow_proposal.precompile_async(n_train)
             flags[0] = True
         if not self._uninformed_proposal.initialised:
             self._uninformed_proposal.initialise()
@@ -572,6 +578,10 @@ class NestedSampler(BaseNestedSampler):
 
         Reference: ``nessai/samplers/nestedsampler.py:1228``.
         """
+        # keep the proposal's view of the NS acceptance fresh — it drives
+        # the adaptive poolsize (reference ``nestedsampler.py:1228``)
+        if not self.uninformed_sampling:
+            self._flow_proposal.ns_acceptance = self.mean_block_acceptance
         if not (self.iteration % max(self.nlive // 10, 1)) or force:
             self.update_history()
         if not (self.iteration % self.nlive) or force:
