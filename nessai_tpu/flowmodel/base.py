@@ -80,13 +80,16 @@ def _bucket_size(n: int, minimum: int = 256) -> int:
 
 
 def _pad_rows(arr, bucket: int):
-    """Pad a [n, ...] array to [bucket, ...] by repeating the last row."""
+    """Pad a [n, ...] array to [bucket, ...] by repeating the last row.
+
+    Runs in numpy on the host: padding as eager jnp ops would dispatch a
+    device program per call (tunnel latency on TPU)."""
+    arr = np.asarray(arr, np.float32)
     n = arr.shape[0]
     if n == bucket:
         return arr
-    reps = [1] * arr.ndim
-    pad = jnp.repeat(arr[-1:], bucket - n, axis=0)
-    return jnp.concatenate([arr, pad], axis=0)
+    pad = np.repeat(arr[-1:], bucket - n, axis=0)
+    return np.concatenate([arr, pad], axis=0)
 
 
 def _host_cpu_context():
@@ -722,12 +725,12 @@ class FlowModel:
         size so compile counts stay O(log n); outputs sliced back to n.
         Array extras with a matching leading axis (e.g. conditionals) are
         padded alongside."""
-        x = jnp.asarray(x, jnp.float32)
+        x = np.asarray(x, np.float32)
         n = x.shape[0]
         bucket = _bucket_size(n)
         x = _pad_rows(x, bucket)
         extra = tuple(
-            _pad_rows(jnp.asarray(e, jnp.float32), bucket)
+            _pad_rows(e, bucket)
             if e is not None and np.ndim(e) >= 1 and len(e) == n
             else e
             for e in extra

@@ -113,7 +113,7 @@ class ImportanceFlowModel(FlowModel):
             return self.log_prob_ith(x, 0)[:, None]
         from .base import _bucket_size, _pad_rows
 
-        x = jnp.asarray(x, jnp.float32)
+        x = np.asarray(x, np.float32)
         n = x.shape[0]
         x = _pad_rows(x, _bucket_size(n))
         fn = self._jit(
@@ -128,7 +128,7 @@ class ImportanceFlowModel(FlowModel):
     def log_prob_ith(self, x: np.ndarray, i: int) -> np.ndarray:
         from .base import _bucket_size, _pad_rows
 
-        x = jnp.asarray(x, jnp.float32)
+        x = np.asarray(x, np.float32)
         n = x.shape[0]
         x = _pad_rows(x, _bucket_size(n))
         fn = self._jit("lp_ith", lambda p, x: self.flow.log_prob(p, x))
