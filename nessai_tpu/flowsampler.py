@@ -222,6 +222,9 @@ class FlowSampler:
                 self.ns.state.plot(
                     filename=os.path.join(self.output, "logXlogL.png")
                 )
+            self.ns.plot_trace(
+                filename=os.path.join(self.output, "trace.png")
+            )
         if close_pool:
             self.ns.model.close_pool()
         return self.logZ, self._ns_samples
@@ -268,7 +271,10 @@ class FlowSampler:
     @property
     def result(self) -> dict:
         if self._result is None:
+            from . import __version__
+
             self._result = self.ns.get_result_dictionary()
+            self._result["version"] = __version__
             if hasattr(self, "posterior_samples"):
                 self._result["posterior_samples"] = self.posterior_samples
         return self._result
