@@ -140,8 +140,6 @@ class _NSIntegralState:
     def plot(self, filename=None):
         """logX vs logL diagnostic plot. Reference:
         ``nessai/evidence.py:230``."""
-        from .plot import nessai_style
-
         import matplotlib.pyplot as plt
 
         fig = plt.figure()

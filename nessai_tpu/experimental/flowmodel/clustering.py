@@ -10,8 +10,6 @@ iteration (batched distance matrix on device).
 """
 
 import logging
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,6 @@ import logging
 
 import numpy as np
 
-from ...flowmodel.base import FlowModel
 from ...livepoint import live_points_to_array
 from ...proposal.flowproposal import FlowProposal
 from ..flowmodel.clustering import ClusteringFlowModel

@@ -23,14 +23,12 @@ import logging
 import os
 import pickle
 import shutil
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .. import config as global_config
 from ..flows import configure_model, reset_permutations, reset_weights
 from ..flows.bijectors import ActNorm, Chain
 from ..flows.distributions import ResampledGaussian
@@ -139,7 +137,14 @@ class FlowModel:
     noise_scale = None
     noise_type = None
 
-    def __init__(self, flow_config=None, training_config=None, output=None, rng=None):
+    def __init__(
+        self,
+        flow_config=None,
+        training_config=None,
+        output=None,
+        rng=None,
+        mesh=None,
+    ):
         self.output = output
         if self.output is not None:
             os.makedirs(self.output, exist_ok=True)
@@ -157,6 +162,55 @@ class FlowModel:
         self._jit_cache = {}
         self.history = {"loss": [], "val_loss": []}
         self._actnorm_done = False
+        #: optional 1-D jax.sharding.Mesh: training batches and bucketed
+        #: inference batches are sharded over its data axis (params
+        #: replicated; XLA inserts the grad psum over ICI).
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    # Sharding helpers (no-ops when mesh is None)
+    # ------------------------------------------------------------------
+    def _data_sharding(self, batch_axes: int = 1):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        (axis,) = self.mesh.axis_names
+        # shard the *sample* axis; for per-batch training data that is
+        # the second axis of [n_batches, batch, d]
+        spec = [None] * batch_axes
+        spec[-1] = axis
+        return NamedSharding(self.mesh, P(*spec))
+
+    def _replicated(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P())
+
+    def _shard_inference_input(self, x):
+        """Device-put a bucketed [n, d] batch sharded over the mesh."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(jnp.asarray(x), self._data_sharding(1))
+
+    def _shard_train_data(self, data):
+        """Shard prepped training batches [n_batches, bs, ...] over the
+        batch (second) axis; replicate nothing else."""
+        if self.mesh is None:
+            return data
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        (axis,) = self.mesh.axis_names
+
+        def put(leaf):
+            spec = [None] * leaf.ndim
+            if leaf.ndim >= 2:
+                spec[1] = axis
+            return jax.device_put(leaf, NamedSharding(self.mesh, P(*spec)))
+
+        return jax.tree.map(put, data)
 
     # ------------------------------------------------------------------
     @property
@@ -195,6 +249,11 @@ class FlowModel:
             )
             self.opt_state = self.optimiser.init(
                 _partition_params(self.params)[0]
+            )
+        if self.mesh is not None:
+            self.params = jax.device_put(self.params, self._replicated())
+            self.opt_state = jax.device_put(
+                self.opt_state, self._replicated()
             )
         self.initialised = True
 
@@ -249,11 +308,15 @@ class FlowModel:
         """
         bs = self.training_config.batch_size
         if bs == "all" or bs is None:
-            return _bucket_size(n_train, minimum=32)
-        bs = int(bs)
-        if n_train < bs:
-            # bucket small datasets so the batch shape is stable
-            return _bucket_size(n_train, minimum=32)
+            bs = _bucket_size(n_train, minimum=32)
+        else:
+            bs = int(bs)
+            if n_train < bs:
+                # bucket small datasets so the batch shape is stable
+                bs = _bucket_size(n_train, minimum=32)
+        if self.mesh is not None:
+            n_dev = int(self.mesh.devices.size)
+            bs = ((bs + n_dev - 1) // n_dev) * n_dev
         return bs
 
     def prep_data(self, samples, val_size, weights=None, conditional=None):
@@ -604,6 +667,8 @@ class FlowModel:
         data = self.prep_data(
             samples, val_size, weights=weights, conditional=conditional
         )
+        if self.mesh is not None:
+            data = {k: self._shard_train_data(v) for k, v in data.items()}
         if self.training_config.annealing:
             # Cosine-anneal the lr over the maximum number of optimiser
             # steps (reference: CosineAnnealingLR,
@@ -735,6 +800,14 @@ class FlowModel:
             else e
             for e in extra
         )
+        if self.mesh is not None:
+            x = self._shard_inference_input(x)
+            extra = tuple(
+                self._shard_inference_input(e)
+                if e is not None and np.ndim(e) >= 1
+                else e
+                for e in extra
+            )
         out = self._jit(name, fn)(self.params, x, *extra)
         if isinstance(out, tuple):
             return tuple(np.asarray(o, np.float64)[:n] for o in out)

@@ -6,7 +6,7 @@ val 0.1, adamw, grad-clip 5.0).
 """
 
 from dataclasses import asdict, dataclass, field
-from typing import Any, Optional, Union
+from typing import Optional, Union
 
 __all__ = [
     "FlowConfig",

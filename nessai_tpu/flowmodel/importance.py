@@ -30,12 +30,20 @@ __all__ = ["ImportanceFlowModel"]
 class ImportanceFlowModel(FlowModel):
     """FlowModel managing a stack of per-level flows."""
 
-    def __init__(self, flow_config=None, training_config=None, output=None, rng=None):
+    def __init__(
+        self,
+        flow_config=None,
+        training_config=None,
+        output=None,
+        rng=None,
+        mesh=None,
+    ):
         super().__init__(
             flow_config=flow_config,
             training_config=training_config,
             output=output,
             rng=rng,
+            mesh=mesh,
         )
         #: Finalised per-level parameter pytrees.
         self.params_list: List = []

@@ -12,7 +12,6 @@ def update_config(d):
     training_config). Reference: ``nessai/flowmodel/utils.py:70``.
     """
     from .config import (
-        FlowConfig,
         TrainingConfig,
         update_flow_config,
         update_training_config,

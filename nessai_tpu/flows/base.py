@@ -14,12 +14,10 @@ Everything is jit-compatible; ``vmap`` over a stacked params pytree gives
 the multi-flow ``log_prob_all`` used by the importance sampler.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from .bijectors import Bijector, Chain
+from .bijectors import Bijector
 
 __all__ = ["Flow"]
 

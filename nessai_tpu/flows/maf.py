@@ -4,8 +4,6 @@ Mirrors the reference MAF (``nessai/flows/maf.py:25-104``): stacked masked
 affine autoregressive transforms with permutations between blocks.
 """
 
-from typing import Optional
-
 from .bijectors import ActNorm, Chain, MaskedAffineAutoregressive, Permutation
 
 __all__ = ["build_maf_bijector"]

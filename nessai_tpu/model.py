@@ -27,7 +27,6 @@ from .livepoint import (
     numpy_array_to_live_points,
     unstructured_view as _unstructured_view,
 )
-from .utils.errors import RNGNotSetError
 from .utils.multiprocessing import (
     batch_evaluate_function,
     check_vectorised_function,

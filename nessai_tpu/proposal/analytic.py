@@ -6,8 +6,6 @@ Reference: ``nessai/proposal/analytic.py:38-84``.
 import datetime
 import logging
 
-import numpy as np
-
 from .base import Proposal
 
 logger = logging.getLogger(__name__)

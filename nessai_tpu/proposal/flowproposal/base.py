@@ -10,7 +10,6 @@ host (structured numpy) → device (jitted flow) → host exactly once per
 batch; everything between is fused XLA.
 """
 
-import datetime
 import logging
 import os
 import re
@@ -24,7 +23,6 @@ from ...livepoint import (
     empty_structured_array,
     get_dtype,
     live_points_to_array,
-    numpy_array_to_live_points,
 )
 from ...reparameterisations import (
     CombinedReparameterisation,
@@ -61,6 +59,7 @@ class BaseFlowProposal(RejectionProposal):
         map_to_unit_hypercube: bool = False,
         accept_all: bool = False,
         precompile: bool = True,
+        mesh=None,
     ):
         super().__init__(model, rng=rng)
         self._poolsize = poolsize if poolsize is not None else 1000
@@ -79,6 +78,7 @@ class BaseFlowProposal(RejectionProposal):
         self.map_to_unit_hypercube = map_to_unit_hypercube
         self.accept_all = accept_all
         self.precompile = precompile
+        self.mesh = mesh
 
         self._plot_pool = plot in (True, "all")
         self._plot_training = plot in (True, "all")
@@ -163,6 +163,7 @@ class BaseFlowProposal(RejectionProposal):
             training_config=self.training_config,
             output=self.output,
             rng=self.rng,
+            mesh=self.mesh,
         )
         self.flow.initialise()
         self.initialised = True
@@ -661,6 +662,7 @@ class BaseFlowProposal(RejectionProposal):
         Reference: ``flowproposal/base.py:1286``."""
         state = self.__dict__.copy()
         state["model"] = None
+        state["mesh"] = None
         state["_precompile_thread"] = None
         state["_reparameterisation"] = None
         state["training_data"] = None

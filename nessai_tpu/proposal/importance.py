@@ -43,6 +43,7 @@ class ImportanceFlowProposal(Proposal):
         reset_flow: bool = True,
         clip: bool = False,
         rng=None,
+        mesh=None,
     ):
         super().__init__(model, rng=rng)
         self.output = output
@@ -58,11 +59,13 @@ class ImportanceFlowProposal(Proposal):
         self.flow_config = dict(flow_config or {})
         self.flow_config["n_inputs"] = model.dims
         self.training_config = training_config
+        self.mesh = mesh
         self.flow = ImportanceFlowModel(
             flow_config=self.flow_config,
             training_config=training_config,
             output=output,
             rng=self.rng,
+            mesh=mesh,
         )
         #: proposal weights keyed by level (-1 = prior)
         self._weights = {-1: 1.0}

@@ -7,7 +7,7 @@ the (device-side) flow; signature
 """
 
 import logging
-from typing import List, Optional, Union
+from typing import List
 
 import numpy as np
 

@@ -4,7 +4,6 @@ reparameterisations. Reference:
 """
 
 import logging
-from collections import OrderedDict
 
 from ..utils.sorting import sort_reparameterisations
 from .base import Reparameterisation

@@ -1,8 +1,6 @@
 """Pass-through reparameterisation. Reference:
 ``nessai/reparameterisations/null.py:13``."""
 
-import numpy as np
-
 from .base import Reparameterisation
 
 __all__ = ["NullReparameterisation"]

@@ -13,7 +13,6 @@ import numpy as np
 from ..utils.rescaling import (
     configure_edge_detection,
     detect_edge,
-    determine_rescaled_bounds,
     rescaling_functions,
 )
 from .base import Reparameterisation

@@ -7,7 +7,6 @@ Reference: ``nessai/reparameterisations/utils.py`` (``KnownReparameterisation
 
 import copy
 import logging
-import re
 from dataclasses import dataclass, field
 from typing import Type
 

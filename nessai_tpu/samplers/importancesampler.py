@@ -15,14 +15,13 @@ device programs via :class:`ImportanceFlowModel`.
 import datetime
 import logging
 import os
-from typing import Any, Callable, List, Literal, Optional
+from typing import Any, Callable, Literal, Optional
 
 import numpy as np
 from scipy.special import logsumexp
 
-from .. import config as global_config
 from ..evidence import _INSIntegralState
-from ..livepoint import add_extra_parameters_to_live_points, get_dtype
+from ..livepoint import add_extra_parameters_to_live_points
 from ..model import Model
 from ..proposal.importance import ImportanceFlowProposal
 from ..stopping_criteria import CriterionGroup, StoppingCriterionRegistry

@@ -16,7 +16,6 @@ from typing import Optional
 
 import numpy as np
 
-from .. import config as global_config
 from ..evidence import _NSIntegralState
 from ..livepoint import empty_structured_array
 from ..proposal import AnalyticProposal, RejectionProposal

@@ -3,7 +3,7 @@
 Reference: ``nessai/utils/sorting.py:12``.
 """
 
-from typing import List, Tuple
+from typing import List
 
 __all__ = ["sort_reparameterisations"]
 
