@@ -98,6 +98,9 @@ class ComputeConfig:
     data_axis: str = "data"
     #: Whether to jit host-facing flow ops (disable for debugging).
     jit: bool = True
+    #: Use the Pallas TPU kernels (ops/) inside the bijectors. Only valid
+    #: on TPU backends; leave False on CPU.
+    use_pallas: bool = False
 
 
 livepoints = LivepointsConfig()

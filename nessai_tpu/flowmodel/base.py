@@ -622,6 +622,11 @@ class FlowModel:
         if not isinstance(self.flow.bijector, Chain):
             self._actnorm_done = True
             return
+        if not any(
+            isinstance(b, ActNorm) for b in self.flow.bijector.bijectors
+        ):
+            self._actnorm_done = True
+            return
         with _host_cpu_context():
             h = jnp.asarray(x, jnp.float32)
             context = (

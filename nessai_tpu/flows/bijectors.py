@@ -236,9 +236,21 @@ class RQSCoupling(Bijector):
         x_id = x[..., list(self.identity_idx)]
         x_tr = x[..., list(self.transform_idx)]
         w, h, d = self._spline_params(params, x_id, context)
-        z_tr, log_det = rational_quadratic_spline(
-            x_tr, w, h, d, inverse=inverse, tail_bound=self.tail_bound
-        )
+        from .. import config as _config
+
+        if _config.compute.use_pallas:
+            # Pallas TPU kernel with an autodiff backward (see
+            # nessai_tpu/ops/rqs_pallas.py); enable via
+            # nessai_tpu.config.compute.use_pallas = True on TPU.
+            from ..ops.rqs_pallas import rqs_pallas_vjp
+
+            z_tr, log_det = rqs_pallas_vjp(
+                x_tr, w, h, d, inverse, float(self.tail_bound)
+            )
+        else:
+            z_tr, log_det = rational_quadratic_spline(
+                x_tr, w, h, d, inverse=inverse, tail_bound=self.tail_bound
+            )
         return self._scatter(x_id, z_tr, x.dtype), jnp.sum(log_det, axis=-1)
 
     def forward(self, params, x, context=None):

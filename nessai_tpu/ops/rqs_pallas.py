@@ -201,3 +201,35 @@ def rqs_pallas(
     out = out[0, :n].reshape(orig_shape)
     ld = ld[0, :n].reshape(orig_shape)
     return out, ld
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def rqs_pallas_vjp(inputs, w, h, d, inverse=False, tail_bound=5.0):
+    """RQS with the Pallas forward and an autodiff backward (via the jnp
+    reference implementation), so the kernel can sit on the training
+    path."""
+    return rqs_pallas(inputs, w, h, d, inverse=inverse, tail_bound=tail_bound)
+
+
+def _rqs_fwd(inputs, w, h, d, inverse, tail_bound):
+    out = rqs_pallas(inputs, w, h, d, inverse=inverse, tail_bound=tail_bound)
+    return out, (inputs, w, h, d)
+
+
+def _rqs_bwd(inverse, tail_bound, residuals, cotangents):
+    from ..flows.rqs import rational_quadratic_spline
+
+    inputs, w, h, d = residuals
+    _, vjp = jax.vjp(
+        lambda x, w_, h_, d_: rational_quadratic_spline(
+            x, w_, h_, d_, inverse=inverse, tail_bound=tail_bound
+        ),
+        inputs,
+        w,
+        h,
+        d,
+    )
+    return vjp(cotangents)
+
+
+rqs_pallas_vjp.defvjp(_rqs_fwd, _rqs_bwd)
