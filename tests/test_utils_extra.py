@@ -1,0 +1,223 @@
+"""Additional per-module unit tests (mirroring the reference's
+tests/test_utils/* coverage)."""
+
+import numpy as np
+import pytest
+
+from nessai_tpu.utils.multiprocessing import (
+    batch_evaluate_function,
+    check_vectorised_function,
+    get_n_pool,
+)
+from nessai_tpu.utils.rescaling import (
+    configure_edge_detection,
+    determine_rescaled_bounds,
+    gaussian_cdf,
+    inverse_gaussian_cdf,
+)
+from nessai_tpu.utils.sorting import sort_reparameterisations
+from nessai_tpu.utils.hist import auto_bins
+from nessai_tpu.utils.distance import compute_minimum_distances
+from nessai_tpu.utils.errors import RNGNotSetError, RNGSetError
+
+
+def test_check_vectorised_function_detects():
+    assert check_vectorised_function(lambda x: np.sum(x, axis=-1), np.ones((4, 2)))
+    # scalar-only function (returns a scalar for the whole batch)
+    assert not check_vectorised_function(
+        lambda x: float(np.sum(x)), np.ones((4, 2))
+    )
+    with pytest.raises(ValueError):
+        check_vectorised_function(lambda x: x, np.ones((1, 2)))
+
+
+def test_batch_evaluate_function_paths():
+    f = lambda x: np.sum(np.atleast_2d(x), axis=-1)
+    x = np.arange(10, dtype=float).reshape(5, 2)
+    out_vec = batch_evaluate_function(f, x, True)
+    out_chunked = batch_evaluate_function(f, x, True, chunksize=2)
+    out_scalar = batch_evaluate_function(
+        lambda xx: np.sum(xx), x, False
+    )
+    np.testing.assert_allclose(out_vec, out_chunked)
+    np.testing.assert_allclose(out_vec, out_scalar)
+
+
+def test_get_n_pool():
+    class FakePool:
+        _processes = 3
+
+    class FakeExecutor:
+        _max_workers = 5
+
+    assert get_n_pool(FakePool()) == 3
+    assert get_n_pool(FakeExecutor()) == 5
+    assert get_n_pool(object()) is None
+    assert get_n_pool(None) is None
+
+
+def test_gaussian_cdf_roundtrip():
+    x = np.linspace(-3, 3, 20)
+    y, lj = gaussian_cdf(x)
+    x2, lj_inv = inverse_gaussian_cdf(y)
+    np.testing.assert_allclose(x, x2, atol=1e-8)
+    np.testing.assert_allclose(lj + lj_inv, 0.0, atol=1e-8)
+
+
+def test_determine_rescaled_bounds():
+    lo, hi = determine_rescaled_bounds(0, 10, 2, 8)
+    # prior bounds wider than data bounds -> prime bounds outside [-1,1]
+    assert lo < -1 and hi > 1
+    with pytest.raises(RuntimeError):
+        determine_rescaled_bounds(0, 10, 5, 5)
+
+
+def test_configure_edge_detection():
+    d = configure_edge_detection(None, True)
+    assert d["allow_none"] is True
+    d = configure_edge_detection({}, False)
+    assert d["allow_none"] is False
+    assert d["cutoff"] == 0.0
+
+
+class _FakeReparam:
+    def __init__(self, name, parameters, requires=None, prime=None):
+        self.name = name
+        self.parameters = parameters
+        self.requires = requires or []
+        self.prime_parameters = prime or [p + "_prime" for p in parameters]
+
+    def __repr__(self):
+        return self.name
+
+
+def test_sort_reparameterisations_orders_dependencies():
+    a = _FakeReparam("a", ["x"])
+    b = _FakeReparam("b", ["y"], requires=["x_prime"])
+    ordered = sort_reparameterisations([b, a])
+    assert [r.name for r in ordered] == ["a", "b"]
+
+
+def test_sort_reparameterisations_unsatisfiable():
+    b = _FakeReparam("b", ["y"], requires=["nope"])
+    with pytest.raises(ValueError):
+        sort_reparameterisations([b])
+
+
+def test_auto_bins_max():
+    assert auto_bins(np.random.default_rng(0).normal(size=100000), max_bins=50) == 50
+
+
+def test_compute_minimum_distances():
+    x = np.array([[0.0], [1.0], [10.0]])
+    d = compute_minimum_distances(x)
+    np.testing.assert_allclose(d, [1.0, 1.0, 9.0])
+
+
+def test_rng_errors():
+    with pytest.raises(RNGNotSetError):
+        raise RNGNotSetError()
+    with pytest.raises(RNGSetError):
+        raise RNGSetError()
+
+
+def test_weighted_quantile_invalid():
+    from nessai_tpu.utils.stats import weighted_quantile
+
+    with pytest.raises(ValueError):
+        weighted_quantile(np.arange(5.0), 1.5)
+
+
+def test_bonferroni():
+    from nessai_tpu.utils.indices import bonferroni_correction
+
+    rejected, corrected, alpha = bonferroni_correction([0.001, 0.5])
+    assert alpha == 0.025
+    assert rejected[0] and not rejected[1]
+
+
+def test_entry_points_loader():
+    from nessai_tpu.utils.entry_points import get_entry_points
+
+    eps = get_entry_points("console_scripts")
+    assert isinstance(eps, dict)
+
+
+def test_model_counters_and_chunksize(model):
+    x = model.new_point(10)
+    before_n = model.likelihood_evaluations
+    model.likelihood_chunksize = 3
+    out = model.batch_evaluate_log_likelihood(x)
+    assert out.shape == (10,)
+    assert model.likelihood_evaluations == before_n + 10
+    assert model.likelihood_evaluation_time.total_seconds() >= 0
+
+
+def test_model_new_point_log_prob(model):
+    x = model.new_point(5)
+    lp = model.new_point_log_prob(x)
+    np.testing.assert_allclose(lp, model.log_prior(x))
+
+
+def test_model_sample_unit_hypercube(model):
+    u = model.sample_unit_hypercube(7)
+    assert model.in_unit_hypercube(u).all()
+    lp = model.batch_evaluate_log_prior_unit_hypercube(u)
+    np.testing.assert_allclose(lp, 0.0)
+
+
+def test_combined_check_order_failure(rng):
+    from nessai_tpu.reparameterisations import CombinedReparameterisation
+    from nessai_tpu.reparameterisations.base import Reparameterisation
+
+    class NeedsMissing(Reparameterisation):
+        requires = ["not_there"]
+
+        def reparameterise(self, x, x_prime, log_j, **kw):
+            return x, x_prime, log_j
+
+        def inverse_reparameterise(self, x, x_prime, log_j, **kw):
+            return x, x_prime, log_j
+
+    r = NeedsMissing(parameters=["a"])
+    with pytest.raises(ValueError):
+        CombinedReparameterisation([r])
+
+
+def test_truncation_registry_errors():
+    from nessai_tpu.proposal.flowproposal.truncation import (
+        TruncationScheme,
+        get_truncation_rule,
+    )
+
+    with pytest.raises(ValueError):
+        get_truncation_rule("nope")
+    scheme = TruncationScheme.from_config("min_log_q")
+    assert len(scheme.rules) == 1
+    scheme2 = TruncationScheme.from_config(["min_log_q", "likelihood_threshold"])
+    assert scheme2.requires_log_likelihood
+
+
+def test_flow_config_validation():
+    from nessai_tpu.flowmodel.config import update_training_config
+
+    with pytest.raises(ValueError):
+        update_training_config({"noise_type": "bogus"})
+    with pytest.raises(ValueError):
+        update_training_config({"batch_size": "bogus"})
+    cfg = update_training_config({"batch_size": "all"})
+    assert cfg.batch_size == "all"
+
+
+def test_flow_registry_unknown():
+    from nessai_tpu.flows.utils import get_native_flow_class
+
+    with pytest.raises(ValueError):
+        get_native_flow_class("not-a-flow")
+
+
+def test_configure_model_requires_n_inputs():
+    from nessai_tpu.flows import configure_model
+
+    with pytest.raises(TypeError):
+        configure_model(dict(n_blocks=2))
