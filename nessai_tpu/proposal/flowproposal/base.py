@@ -420,28 +420,62 @@ class BaseFlowProposal(RejectionProposal):
                     (fm.noise_type or tc.noise_type) and
                     (fm.noise_scale or tc.noise_scale)
                 )
-                run = fm._fused_train_fn(
-                    False,
-                    with_sigma,
-                    int(tc.max_epochs),
-                    int(tc.patience),
-                )
-                params = jax.tree.map(jnp.copy, fm.params)
-                opt_state = jax.tree.map(jnp.copy, fm.opt_state)
                 if with_sigma:
                     train["sigma"] = jnp.zeros(
                         (n_batches, bs, 1), jnp.float32
                     )
-                out = run(
-                    params, opt_state, train, val, jax.random.PRNGKey(0)
-                )
-                jax.block_until_ready(out)
-                # populate path: fused inverse + log-prob at the draw size
-                draw_n = int(getattr(self, "drawsize", None) or self._poolsize)
-                z = np.zeros((draw_n, dims), np.float32)
-                fm.inverse_and_log_prob(z)
-                # training-latent cache: forward at the training size
-                fm.forward_and_log_prob(np.zeros((n, dims), np.float32))
+
+                def warm_train():
+                    run = fm._fused_train_fn(
+                        False,
+                        with_sigma,
+                        int(tc.max_epochs),
+                        int(tc.patience),
+                    )
+                    params = jax.tree.map(jnp.copy, fm.params)
+                    opt_state = jax.tree.map(jnp.copy, fm.opt_state)
+                    out = run(
+                        params, opt_state, train, val, jax.random.PRNGKey(0)
+                    )
+                    jax.block_until_ready(out)
+
+                def warm_populate():
+                    # fused inverse + log-prob at the draw size
+                    draw_n = int(
+                        getattr(self, "drawsize", None) or self._poolsize
+                    )
+                    fm.inverse_and_log_prob(
+                        np.zeros((draw_n, dims), np.float32)
+                    )
+
+                def warm_forward():
+                    # training-latent cache: forward at the training size
+                    fm.forward_and_log_prob(
+                        np.zeros((n, dims), np.float32)
+                    )
+
+                def with_device(f):
+                    # executor workers are new threads; re-pin the device
+                    # (jax device contexts are thread-local)
+                    def g():
+                        if device is None:
+                            return f()
+                        with jax.default_device(device):
+                            return f()
+
+                    return g
+
+                # the compile service parallelises independent programs
+                # (~2x measured) — warm them concurrently
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=3) as ex:
+                    futures = [
+                        ex.submit(with_device(f))
+                        for f in (warm_train, warm_populate, warm_forward)
+                    ]
+                    for fut in futures:
+                        fut.result()
                 logger.debug("Device-program precompilation complete")
             except Exception as e:  # pragma: no cover - best effort
                 logger.debug("Precompilation failed (non-fatal): %s", e)
