@@ -574,6 +574,11 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self._current_proposal_entropy = differential_entropy(
             -log_q[:, -1]
         )
+        if self.history is not None:
+            self.history["leakage_new_points"].append(
+                self.compute_leakage(new_samples)
+            )
+            self.history["n_added"].append(len(new_samples))
         self._refresh_ordered_samples(self.training_samples)
         self.training_samples.add_samples(new_samples, log_q)
 
@@ -593,6 +598,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         n_removed = self.training_samples.remove_samples()
         if self.draw_iid_live:
             n_removed = self.iid_samples.remove_samples()
+        if self.history is not None:
+            self.history["n_removed"].append(n_removed)
         return n_removed
 
     def update_evidence(self) -> None:
@@ -936,7 +943,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     # ------------------------------------------------------------------
     def produce_plots(self, override: bool = False) -> None:
-        """State + trace plots. Reference:
+        """8-panel state plot + trace plot. Reference:
         ``importancesampler.py:1877``."""
         if not (self.plot or override):
             return
@@ -946,23 +953,50 @@ class ImportanceNestedSampler(BaseNestedSampler):
             h = self.history
             if not h or not h["logZ"]:
                 return
-            fig, axs = plt.subplots(4, 1, figsize=(8, 10), sharex=True)
+            fig, axs = plt.subplots(4, 2, figsize=(12, 12), sharex=True)
+            axs = axs.ravel()
             its = np.arange(len(h["logZ"]))
+
             axs[0].plot(its, h["logZ"])
             axs[0].set_ylabel("logZ")
             axs[1].plot(its, h["min_log_likelihood"], label="min logL")
             axs[1].plot(its, h["max_log_likelihood"], label="max logL")
             axs[1].plot(its, h["logL_threshold"], label="threshold")
+            axs[1].set_ylabel("logL")
             axs[1].legend()
             axs[2].plot(its, h["live_points_ess"])
             axs[2].set_ylabel("live ESS")
+            axs[3].plot(its, h["logX"])
+            axs[3].set_ylabel("logX")
+            axs[4].plot(its, h["gradients"])
+            axs[4].set_ylabel("dlogL/dlogX")
+            axs[5].plot(its, h["leakage_live_points"], label="live")
+            axs[5].plot(its, h["leakage_new_points"][: len(its)], label="new")
+            axs[5].set_ylabel("leakage")
+            axs[5].legend()
+            axs[6].plot(its, h["samples_entropy"], label="samples")
+            axs[6].plot(its, h["proposal_entropy"], label="proposal")
+            axs[6].set_ylabel("entropy")
+            axs[6].legend()
             for k, v in h["stopping_criteria"].items():
-                axs[3].plot(its, v, label=k)
-            axs[3].legend()
-            axs[3].set_xlabel("iteration")
+                axs[7].plot(its, v, label=k)
+            axs[7].set_ylabel("criteria")
+            axs[7].legend()
+            axs[6].set_xlabel("iteration")
+            axs[7].set_xlabel("iteration")
             fig.tight_layout()
             fig.savefig(os.path.join(self.output, "state.png"))
             plt.close(fig)
+
+            if self._plot_trace and self.samples_unit is not None:
+                from ..plot import plot_trace as _plot_trace
+
+                ns = self.samples_unit
+                _plot_trace(
+                    -np.arange(len(ns)) / max(self.nlive, 1),
+                    ns,
+                    filename=os.path.join(self.output, "trace.png"),
+                )
         except Exception as e:  # pragma: no cover
             logger.warning("Could not produce INS plots: %s", e)
 

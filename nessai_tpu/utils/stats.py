@@ -56,8 +56,10 @@ def weighted_quantile(
     # normalised cumulative weights
     log_norm = logsumexp(log_weights)
     w = np.exp(log_weights - log_norm)
-    cdf = np.cumsum(w)
-    cdf_prev = cdf - w
+    # clip: the cumsum can overshoot 1 by float eps, which puts betainc
+    # outside its domain (returns nan)
+    cdf = np.clip(np.cumsum(w), 0.0, 1.0)
+    cdf_prev = np.clip(cdf - w, 0.0, 1.0)
     n = effective_sample_size(log_weights)
 
     out = np.empty(len(quantiles))
