@@ -54,6 +54,10 @@ class FlowSampler:
         **kwargs,
     ):
         configure_threads(max_threads or pytorch_threads)
+        # one-time per machine: persist XLA executables across processes
+        from .utils.compilation import enable_compilation_cache
+
+        enable_compilation_cache()
         self.exit_code = exit_code
         self.close_pool = close_pool
         self._result = None
