@@ -344,12 +344,18 @@ class Model(ABC):
         out = self._jax_ll_jit(jnp.asarray(arr, jnp.float32))
         return np.asarray(out, dtype=float)[:n]
 
+    @property
+    def has_jax_prior(self) -> bool:
+        return callable(self.jax_log_prior)
+
     def batch_evaluate_log_prior(
         self, x: np.ndarray, unit_hypercube: bool = False
     ) -> np.ndarray:
         """Reference: ``nessai/model.py:679``."""
         if unit_hypercube:
             x = self.from_unit_hypercube(x)
+        if self.has_jax_prior:
+            return self._jax_batch_log_prior(x)
         return batch_evaluate_function(
             self.log_prior,
             x,
@@ -358,6 +364,20 @@ class Model(ABC):
             n_pool=self.n_pool if self.parallelise_prior else None,
             pool=self.pool if self.parallelise_prior else None,
         )
+
+    def _jax_batch_log_prior(self, x) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        arr = live_points_to_array(x, self.names)
+        n = len(arr)
+        bucket = max(256, 1 << (n - 1).bit_length()) if n else 256
+        if n < bucket:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, axis=0)])
+        if not hasattr(self, "_jax_lp_jit"):
+            self._jax_lp_jit = jax.jit(lambda a: self.jax_log_prior(a))
+        out = self._jax_lp_jit(jnp.asarray(arr, jnp.float32))
+        return np.asarray(out, dtype=float)[:n]
 
     def batch_evaluate_log_prior_unit_hypercube(self, x) -> np.ndarray:
         """Log prior density *in the unit hypercube* (zero for the
@@ -436,4 +456,5 @@ class Model(ABC):
         state["pool"] = None
         state["_pool_configured"] = False
         state.pop("_jax_ll_jit", None)
+        state.pop("_jax_lp_jit", None)
         return state

@@ -93,3 +93,19 @@ def test_pool_evaluation(rng):
         np.testing.assert_allclose(logl, expected, rtol=1e-10)
     finally:
         m.close_pool()
+
+
+def test_jax_log_prior_hook(rng):
+    import jax.numpy as jnp
+
+    class JaxPriorModel(IntegrationTestModel):
+        def jax_log_prior(self, x):
+            inside = jnp.all((x >= -10) & (x <= 10), axis=-1)
+            return jnp.where(inside, -2 * jnp.log(20.0), -jnp.inf)
+
+    m = JaxPriorModel(2)
+    m.set_rng(rng)
+    assert m.has_jax_prior
+    x = m.new_point(10)
+    lp = m.batch_evaluate_log_prior(x)
+    np.testing.assert_allclose(lp, m.log_prior(x), rtol=1e-6)
