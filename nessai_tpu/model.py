@@ -38,7 +38,12 @@ from .utils.multiprocessing import (
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["Model", "ModelError", "OneDimensionalModelError"]
+__all__ = [
+    "Model",
+    "ModelError",
+    "OneDimensionalModelError",
+    "UniformPriorMixin",
+]
 
 
 class ModelError(RuntimeError):
@@ -458,3 +463,33 @@ class Model(ABC):
         state.pop("_jax_ll_jit", None)
         state.pop("_jax_lp_jit", None)
         return state
+
+
+class UniformPriorMixin:
+    """Provides ``log_prior`` and the unit-hypercube maps for models whose
+    prior is uniform inside ``bounds``.
+
+    Use as ``class MyModel(UniformPriorMixin, Model)``. Gives INS support
+    (hypercube maps) for free.
+    """
+
+    def log_prior(self, x):
+        with np.errstate(divide="ignore"):
+            log_p = np.log(self.in_bounds(x), dtype="float64")
+        for n in self.names:
+            log_p -= np.log(self.bounds[n][1] - self.bounds[n][0])
+        return log_p
+
+    def to_unit_hypercube(self, x):
+        x_out = x.copy()
+        for n in self.names:
+            lo, hi = self.bounds[n]
+            x_out[n] = (x[n] - lo) / (hi - lo)
+        return x_out
+
+    def from_unit_hypercube(self, x):
+        x_out = x.copy()
+        for n in self.names:
+            lo, hi = self.bounds[n]
+            x_out[n] = x[n] * (hi - lo) + lo
+        return x_out

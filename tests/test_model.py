@@ -109,3 +109,25 @@ def test_jax_log_prior_hook(rng):
     x = m.new_point(10)
     lp = m.batch_evaluate_log_prior(x)
     np.testing.assert_allclose(lp, m.log_prior(x), rtol=1e-6)
+
+
+def test_uniform_prior_mixin(rng):
+    from nessai_tpu.model import Model, UniformPriorMixin
+
+    class M(UniformPriorMixin, Model):
+        def __init__(self):
+            self.names = ["a", "b"]
+            self.bounds = {"a": [0, 2], "b": [-1, 1]}
+
+        def log_likelihood(self, x):
+            return np.zeros(np.atleast_1d(x).size)
+
+    m = M()
+    m.set_rng(rng)
+    m.verify_model()
+    x = m.new_point(8)
+    np.testing.assert_allclose(m.log_prior(x), -np.log(2) - np.log(2))
+    u = m.to_unit_hypercube(x)
+    assert m.in_unit_hypercube(u).all()
+    x2 = m.from_unit_hypercube(u)
+    np.testing.assert_allclose(x2["a"], x["a"], atol=1e-12)
