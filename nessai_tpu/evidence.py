@@ -168,39 +168,36 @@ class _INSIntegralState:
     """
 
     def __init__(self):
-        self._n = 0
-        self._logZ = -np.inf
-        self._logZ_live = -np.inf
-        self._n_live = 0
-        # second moment for the variance
-        self._log_sq_sum = -np.inf
         self._weights_nested = None
         self._weights_live = None
+        self._previous_logZ = -np.inf
 
     def update_evidence(self, nested_samples, live_points=None) -> None:
         """Recompute from the full sample sets.
 
         Reference: ``nessai/evidence.py:348``.
         """
+        self._previous_logZ = self.log_evidence if self.n else -np.inf
         log_z_nested = nested_samples["logL"] + nested_samples["logW"]
         self._weights_nested = np.asarray(log_z_nested, dtype=np.longdouble)
         if live_points is not None:
             log_z_live = live_points["logL"] + live_points["logW"]
             self._weights_live = np.asarray(log_z_live, dtype=np.longdouble)
-            self._n_live = len(live_points)
         else:
             self._weights_live = None
-            self._n_live = 0
 
     @property
     def _all_weights(self):
+        if self._weights_nested is None:
+            return None
         if self._weights_live is not None:
             return np.concatenate([self._weights_nested, self._weights_live])
         return self._weights_nested
 
     @property
     def n(self) -> int:
-        return len(self._all_weights) if self._all_weights is not None else 0
+        w = self._all_weights
+        return len(w) if w is not None else 0
 
     @property
     def log_evidence(self) -> float:
@@ -212,28 +209,54 @@ class _INSIntegralState:
     logZ = log_evidence
 
     @property
+    def evidence(self) -> float:
+        """Reference: ``nessai/evidence.py:298``."""
+        return float(np.exp(self.log_evidence))
+
+    @property
     def log_evidence_nested_samples(self) -> float:
+        """Per-part evidence normalised by the nested-sample count.
+
+        Reference: ``nessai/evidence.py:315``."""
         w = self._weights_nested
-        n = self.n
         if w is None or not len(w):
             return -np.inf
-        return float(logsumexp(w.astype(float)) - np.log(n))
+        return float(logsumexp(w.astype(float)) - np.log(len(w)))
 
     @property
     def log_evidence_live_points(self) -> float:
+        """Reference: ``nessai/evidence.py:308``."""
         w = self._weights_live
-        n = self.n
         if w is None or not len(w):
             return -np.inf
-        return float(logsumexp(w.astype(float)) - np.log(n))
+        return float(logsumexp(w.astype(float)) - np.log(len(w)))
 
     @property
     def log_evidence_error(self) -> float:
         return self.compute_uncertainty()
 
-    def compute_uncertainty(self, log_evidence: Optional[float] = None) -> float:
-        """Standard error of the MC evidence estimate in log space, using
-        longdouble accumulation. Reference: ``nessai/evidence.py:423``.
+    @property
+    def evidence_error(self) -> float:
+        """Linear-space standard error. Reference:
+        ``nessai/evidence.py:303``."""
+        return self.compute_uncertainty(log_evidence=False)
+
+    @property
+    def fractional_error(self) -> float:
+        """Reference: ``nessai/evidence.py:320``."""
+        return float(self.evidence_error / self.evidence)
+
+    @property
+    def difference_log_evidence(self) -> float:
+        """|logZ - previous logZ| across evidence updates.
+
+        Reference: ``nessai/evidence.py:325``."""
+        return float(np.abs(self.logZ - self._previous_logZ))
+
+    def compute_uncertainty(self, log_evidence: bool = True) -> float:
+        """Standard error of the MC evidence estimate (relative/log-space
+        if ``log_evidence``, else linear), longdouble accumulation.
+        Reference: ``nessai/evidence.py:423``.
         """
         w = self._all_weights
         if w is None or len(w) < 2:
@@ -241,16 +264,33 @@ class _INSIntegralState:
         n = len(w)
         Z_hat = np.exp(logsumexp(w) - np.log(n), dtype=np.longdouble)
         u = np.exp(w, dtype=np.longdouble)
-        var = np.sum((u - Z_hat) ** 2) / (n * (n - 1))
-        return float(np.sqrt(var) / Z_hat)
+        se = np.sqrt(np.sum((u - Z_hat) ** 2) / (n * (n - 1)))
+        if log_evidence:
+            return float(se / Z_hat)
+        return float(se)
+
+    def compute_log_evidence_ratio(self, ns_only: bool = False) -> float:
+        """log(Z_live / Z_nested-or-total). Reference:
+        ``nessai/evidence.py:380``."""
+        if ns_only:
+            return (
+                self.log_evidence_live_points
+                - self.log_evidence_nested_samples
+            )
+        return self.log_evidence_live_points - self.log_evidence
 
     @property
     def log_evidence_ratio(self) -> float:
-        """log(Z_live / Z_nested) — the INS stopping quantity.
+        """log(Z_live / Z_total) — the INS stopping quantity.
 
-        Reference: ``nessai/evidence.py:400``.
+        Reference: ``nessai/evidence.py:339``.
         """
-        return self.log_evidence_live_points - self.log_evidence_nested_samples
+        return float(self.compute_log_evidence_ratio(ns_only=False))
+
+    @property
+    def log_evidence_ratio_nested_samples(self) -> float:
+        """Reference: ``nessai/evidence.py:344``."""
+        return float(self.compute_log_evidence_ratio(ns_only=True))
 
     @property
     def effective_n_posterior_samples(self) -> float:

@@ -298,11 +298,11 @@ class ImportanceNestedSampler(BaseNestedSampler):
     # map criterion names to evidence-state attributes
     _CRITERION_ATTRS = {
         "ratio": "log_evidence_ratio",
-        "ratio_ns": "log_evidence_ratio",
+        "ratio_ns": "log_evidence_ratio_nested_samples",
         "ess": "effective_n_posterior_samples",
-        "Z_err": "log_evidence_error",
-        "fractional_error": "log_evidence_error",
-        "dlogZ": "log_evidence_ratio",
+        "Z_err": "evidence_error",
+        "fractional_error": "fractional_error",
+        "dlogZ": "difference_log_evidence",
     }
 
     # ------------------------------------------------------------------

@@ -98,7 +98,16 @@ def test_ins_evidence_ratio():
     live["logW"] = 0.0
     state = _INSIntegralState()
     state.update_evidence(x, live)
-    # equal logL+logW: ratio = log(n_live/n_total) - log(n_ns/n_total)
-    expected = np.log(50) - np.log(100)
-    assert np.isclose(state.log_evidence_ratio, expected)
+    # per-part evidences are normalised by their own counts (reference
+    # semantics): identical weights => both ratios are zero
+    assert np.isclose(state.log_evidence_ratio, 0.0)
+    assert np.isclose(state.log_evidence_ratio_nested_samples, 0.0)
+    # boost the live-point weights: ratios become positive
+    live["logW"] = 1.0
+    state.update_evidence(x, live)
+    assert state.log_evidence_ratio > 0
+    assert state.log_evidence_ratio_nested_samples > state.log_evidence_ratio
+    # difference_log_evidence tracks the update
+    assert state.difference_log_evidence > 0
+    assert np.isfinite(state.fractional_error)
     config.livepoints.reset()
