@@ -260,6 +260,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.live_points_ess = np.nan
         self.final_samples = None
         self.final_log_w = None
+        self.final_log_evidence = None
+        self.check_configuration()
         self.training_time = datetime.timedelta()
         self.draw_samples_time = datetime.timedelta()
         self.add_and_update_samples_time = datetime.timedelta()
@@ -778,6 +780,131 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     def compute_importance(self, importance_ratio: float = 0.5):
         return self.training_samples.compute_importance(importance_ratio)
+
+    # ------------------------------------------------------------------
+    # Properties mirroring the reference surface
+    # ------------------------------------------------------------------
+    @property
+    def posterior_effective_sample_size(self) -> float:
+        """Reference: ``importancesampler.py:700``."""
+        return self.state.effective_n_posterior_samples
+
+    @property
+    def log_posterior_weights(self) -> np.ndarray:
+        """Reference: ``importancesampler.py:690``."""
+        s = self.posterior_samples_set.samples
+        log_w = s["logL"] + s["logW"]
+        return log_w - logsumexp(log_w)
+
+    @property
+    def log_q(self) -> np.ndarray:
+        return self.training_samples.log_q
+
+    @property
+    def current_proposal_entropy(self) -> float:
+        return getattr(self, "_current_proposal_entropy", np.nan)
+
+    @property
+    def final_log_evidence_error(self) -> float:
+        if self.final_log_w is None:
+            return np.nan
+        n = len(self.final_log_w)
+        u = np.exp(np.asarray(self.final_log_w, dtype=np.longdouble))
+        z = u.mean()
+        return float(np.sqrt(((u - z) ** 2).sum() / (n * (n - 1))) / z)
+
+    @property
+    def final_log_posterior_weights(self) -> np.ndarray:
+        if self.final_log_w is None:
+            return None
+        return self.final_log_w - logsumexp(self.final_log_w)
+
+    @staticmethod
+    def sort_samples(samples, *arrays):
+        """Sort samples (and companion arrays) by logL.
+
+        Reference: ``importancesampler.py:640``."""
+        order = np.argsort(samples, order="logL")
+        out = [samples[order]] + [a[order] for a in arrays]
+        return out[0] if not arrays else tuple(out)
+
+    # ------------------------------------------------------------------
+    def check_configuration(self) -> bool:
+        """Validate nlive/min_samples/min_remove.
+
+        Reference: ``importancesampler.py:620``."""
+        if self.min_samples > self.nlive:
+            raise ValueError("min_samples must be <= nlive")
+        if self.min_remove > self.nlive:
+            raise ValueError("min_remove must be <= nlive")
+        return True
+
+    def update_output(self, output: str) -> None:
+        """Move the sampler to a new output directory (used when resuming
+        into a different path). Reference: ``importancesampler.py:760``."""
+        self.output = output
+        os.makedirs(output, exist_ok=True)
+        self.resume_file = os.path.join(
+            output, os.path.basename(self.resume_file)
+        )
+        self.proposal.output = os.path.join(output, "levels", "")
+        self.proposal.flow.update_weights_path(self.proposal.output)
+
+    def update_sample_counts(self) -> None:
+        """Recompute per-proposal sample counts from the stored samples.
+
+        Reference: ``importancesampler.py:1467``."""
+        counts = np.bincount(
+            np.asarray(self.samples_unit["it"], dtype=int) + 1,
+            minlength=self.proposal.n_proposals,
+        )
+        self.sample_counts = {it - 1: int(c) for it, c in enumerate(counts)}
+
+    def update_proposal_weights(self) -> None:
+        """Reference: ``importancesampler.py:1456``."""
+        n_total = len(self.samples_unit)
+        self.proposal.update_proposal_weights(
+            {k: v / n_total for k, v in self.sample_counts.items()}
+        )
+
+    def draw_more_nested_samples(self, n: int):
+        """Draw n additional samples from the full meta-proposal and add
+        them to the nested set. Reference: ``importancesampler.py:1620``."""
+        samples, log_q = self.proposal.draw_from_flows(n)
+        samples["logL"] = self.model.batch_evaluate_log_likelihood(
+            samples, unit_hypercube=True
+        )
+        samples["it"] = -2
+        self.training_samples.add_samples(samples, log_q)
+        self.training_samples.is_nested[:] = True
+        self.update_evidence()
+        return samples
+
+    def plot_likelihood_levels(self, filename: Optional[str] = None):
+        """Histogram of logL per level. Reference:
+        ``importancesampler.py:1950``."""
+        try:
+            import matplotlib.pyplot as plt
+
+            s = self.samples_unit
+            its = np.unique(s["it"])
+            fig = plt.figure()
+            for it in its:
+                vals = s["logL"][s["it"] == it]
+                vals = vals[np.isfinite(vals)]
+                if len(vals):
+                    plt.hist(
+                        vals, bins=30, histtype="step", label=f"level {it}"
+                    )
+            plt.xlabel("logL")
+            plt.legend(fontsize=6)
+            if filename:
+                fig.savefig(filename, bbox_inches="tight")
+                plt.close(fig)
+                return None
+            return fig
+        except Exception as e:  # pragma: no cover
+            logger.warning("Could not plot likelihood levels: %s", e)
 
     def finalise(self) -> None:
         """Reference: ``importancesampler.py:1350``."""
