@@ -130,6 +130,34 @@ class BaseFlowProposal(RejectionProposal):
     def flow_dims(self) -> int:
         return self.rescaled_dims
 
+    @property
+    def prime_dims(self) -> int:
+        """Alias kept for reference parity."""
+        return self.rescaled_dims
+
+    def latent_log_prob(self, z):
+        """Log-prob of latent samples under the base distribution.
+
+        Reference: ``flowproposal/base.py:401``."""
+        return self.flow.base_log_prob(z)
+
+    def reset_model_weights(self, weights: bool = True, permutations: bool = False):
+        """Reset the flow's weights/permutations. Reference:
+        ``flowproposal/base.py:840``."""
+        self.flow.reset_model(weights=weights, permutations=permutations)
+
+    def check_prior_bounds(self, x, *arrays):
+        """Filter out-of-bounds points (and companion arrays).
+
+        Reference: ``flowproposal/base.py:1020``."""
+        keep = (
+            self.model.in_unit_hypercube(x)
+            if self.map_to_unit_hypercube
+            else self.model.in_bounds(x)
+        )
+        out = [x[keep]] + [a[keep] for a in arrays]
+        return out[0] if not arrays else tuple(out)
+
     def update_poolsize_scale(self, acceptance: float) -> None:
         """Scale the poolsize by 1/acceptance up to ``max_poolsize_scale``.
 

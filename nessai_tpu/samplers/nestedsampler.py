@@ -219,6 +219,38 @@ class NestedSampler(BaseNestedSampler):
         return self._flow_proposal
 
     @property
+    def mean_acceptance(self) -> float:
+        """Rolling mean of the acceptance history. Reference:
+        ``nestedsampler.py:330``."""
+        if not self.acceptance_history:
+            return np.nan
+        from ..utils.stats import rolling_mean
+
+        return float(rolling_mean(np.asarray(self.acceptance_history))[-1])
+
+    @property
+    def proposal_population_time(self):
+        """Total population time across both proposals. Reference:
+        ``nestedsampler.py:350``."""
+        return (
+            self._uninformed_proposal.population_time
+            + self._flow_proposal.population_time
+        )
+
+    def update_output(self, output: str) -> None:
+        """Relocate the sampler's output directory.
+
+        Reference: ``nestedsampler.py:560``."""
+        self.output = output
+        os.makedirs(output, exist_ok=True)
+        self.resume_file = os.path.join(
+            output, os.path.basename(self.resume_file)
+        )
+        self._flow_proposal.output = os.path.join(output, "proposal", "")
+        if self._flow_proposal.flow is not None:
+            self._flow_proposal.flow.output = self._flow_proposal.output
+
+    @property
     def acceptance(self) -> float:
         return self.accepted / max(self.accepted + self.rejected, 1)
 
@@ -567,6 +599,7 @@ class NestedSampler(BaseNestedSampler):
         self.history["logLmin"].append(self.logLmin)
         self.history["logLmax"].append(self.logLmax)
         self.history["acceptance"].append(self.acceptance)
+        self.acceptance_history.append(self.mean_block_acceptance)
         self.history["mean_acceptance"].append(self.mean_block_acceptance)
         self.history["population_acceptance"].append(
             self.proposal.population_acceptance
