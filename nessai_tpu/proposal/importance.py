@@ -97,8 +97,57 @@ class ImportanceFlowProposal(Proposal):
 
     def initialise(self) -> None:
         os.makedirs(self.output, exist_ok=True)
+        self._check_fields()
         self.flow.initialise()
+        self.verify_rescaling()
         super().initialise()
+
+    @staticmethod
+    def _check_fields() -> None:
+        """Ensure the INS live-point fields are registered.
+
+        Reference: ``nessai/proposal/importance.py:60``."""
+        from .. import config as _config
+
+        for field in ("logQ", "logW", "logU"):
+            if field not in _config.livepoints.extra_parameters:
+                raise RuntimeError(
+                    f"The live-point field {field} is missing; call "
+                    "ImportanceNestedSampler.add_fields() first."
+                )
+
+    def verify_rescaling(self, n: int = 100) -> None:
+        """Check the logit/sigmoid pair round-trips.
+
+        Reference: ``nessai/proposal/importance.py:180``."""
+        x = self.rng.uniform(size=(n, self.model.dims))
+        prime, log_j = self.to_prime(x)
+        back, log_j_inv = self.from_prime(prime)
+        if not np.allclose(back, x, atol=1e-8):
+            raise RuntimeError("Rescaling is not invertible")
+        if not np.allclose(log_j, -log_j_inv, atol=1e-8):
+            raise RuntimeError("Rescaling Jacobian is not invertible")
+
+    def get_proposal_log_prob(self, it: int):
+        """Callable for the log-prob of the proposal at iteration ``it``.
+
+        Reference: ``nessai/proposal/importance.py:620``."""
+        if it == -1:
+            return lambda x_prime, log_j: np.zeros(len(x_prime))
+        if it > self.flow.n_models - 1:
+            raise ValueError(f"No proposal for iteration {it}")
+
+        def log_prob(x_prime, log_j):
+            return self.flow.log_prob_ith(x_prime, it) + log_j
+
+        return log_prob
+
+    def compute_kl_between_proposals(self, x_prime, log_j, p_it: int, q_it: int) -> float:
+        """MC KL divergence between two proposal levels evaluated on
+        samples. Reference: ``nessai/proposal/importance.py:590``."""
+        log_p = self.get_proposal_log_prob(p_it)(x_prime, log_j)
+        log_q = self.get_proposal_log_prob(q_it)(x_prime, log_j)
+        return float(np.mean(log_p - log_q))
 
     # ------------------------------------------------------------------
     # Unit-hypercube <-> prime (logit) space

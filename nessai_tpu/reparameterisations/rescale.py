@@ -284,6 +284,23 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
             for p in self.parameters
         }
 
+    def reset_inversion(self) -> None:
+        """Clear detected edges only. Reference:
+        ``nessai/reparameterisations/rescale.py:690``."""
+        self._edges = {p: None for p in self.parameters}
+
+    def set_bounds(self, prior_bounds: dict) -> None:
+        """Set bounds explicitly from prior bounds. Reference:
+        ``nessai/reparameterisations/rescale.py:700``."""
+        self.pre_prior_bounds = {
+            p: self._apply_pre(np.asarray(prior_bounds[p], dtype=float))[0]
+            for p in self.parameters
+        }
+        self.bounds = {
+            p: self.pre_prior_bounds[p] - self.offsets[p]
+            for p in self.parameters
+        }
+
     # ------------------------------------------------------------------
     def reparameterise(self, x, x_prime, log_j, compute_radius=False, **kwargs):
         for p, pp in zip(self.parameters, self.prime_parameters):
