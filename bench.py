@@ -62,6 +62,9 @@ def main():
     err = float(fs.log_evidence_error)
     n_sigma = float(abs(logZ - analytic) / max(err, 1e-6))
     ok = bool(n_sigma < 5.0)
+    train_s = fs.ns.training_time.total_seconds()
+    pop_s = fs.ns._flow_proposal.population_time.total_seconds()
+    lik_s = fs.ns.likelihood_evaluation_time.total_seconds()
     result = {
         "metric": "2d_gaussian_ns_wall_time",
         "value": round(float(wall), 2),
@@ -74,6 +77,12 @@ def main():
         "likelihood_evaluations": int(fs.ns.total_likelihood_evaluations),
         "iterations": int(fs.ns.iteration),
         "accuracy_ok": ok,
+        # Phase breakdown: wall minus these is mostly remote-XLA compile
+        # latency, which varies 5-40s/program with service load on this
+        # environment (steady-state wall is ~28 s; see VALIDATION.md).
+        "training_time_s": round(float(train_s), 2),
+        "population_time_s": round(float(pop_s), 2),
+        "likelihood_time_s": round(float(lik_s), 2),
     }
     print(json.dumps(result))
     if not ok:
