@@ -58,7 +58,7 @@ class BaseFlowProposal(RejectionProposal):
         reverse_reparameterisations: bool = False,
         map_to_unit_hypercube: bool = False,
         accept_all: bool = False,
-        precompile: bool = True,
+        precompile: bool = False,
         mesh=None,
     ):
         super().__init__(model, rng=rng)
@@ -394,13 +394,14 @@ class BaseFlowProposal(RejectionProposal):
     # Pre-compilation
     # ------------------------------------------------------------------
     def precompile_async(self, n_train: int) -> None:
-        """Warm the hot device programs in a background thread.
+        """Warm the hot device programs in a background thread (opt-in:
+        ``precompile=True``).
 
-        Remote XLA compiles cost seconds to minutes each; the initial
-        live-point population is host/likelihood-bound, so overlapping
-        the flow-program compiles with it removes most of the cold-start
-        cost. Training is warmed on throwaway parameter copies (results
-        discarded); inference programs are warmed with zeros.
+        NB: disabled by default — concurrent warm-up compiles can queue
+        ahead of the main thread's first likelihood compile on the shared
+        remote compile service (measured a 100+ s stall), and the
+        persistent compilation cache already makes compiles one-time per
+        machine. Enable when running fresh configs on a dedicated chip.
         """
         if not self.initialised or not self.precompile:
             return

@@ -38,7 +38,11 @@ def enable_compilation_cache(cache_dir=None) -> bool:
 
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Only cache expensive programs: caching the many tiny host-CPU
+        # programs stores server-compiled executables whose CPU features
+        # mismatch the local host (XLA:CPU AOT load failures + fallback
+        # churn). The big TPU programs are the ones worth persisting.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
         _enabled = True
         logger.debug("Persistent compilation cache at %s", cache_dir)
         return True
