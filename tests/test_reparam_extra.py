@@ -1,0 +1,159 @@
+"""Deeper reparameterisation coverage: duplicate modes, radial params,
+registry variants."""
+
+import numpy as np
+import pytest
+
+from nessai_tpu.livepoint import numpy_array_to_live_points
+from nessai_tpu.reparameterisations import (
+    Angle,
+    Dequantise,
+    RescaleToBounds,
+    ScaleAndShift,
+    ToCartesian,
+    get_reparameterisation,
+)
+
+
+def make_x(names, values):
+    return numpy_array_to_live_points(np.asarray(values, dtype=float), names)
+
+
+def make_prime(n, names):
+    return np.zeros(n, dtype=[(p, "f8") for p in names])
+
+
+def test_to_cartesian_duplicate_mode(rng):
+    r = ToCartesian(
+        parameters=["a"], prior_bounds={"a": [0, 1]}, mode="duplicate", rng=rng
+    )
+    x = make_x(["a"], rng.uniform(0, 1, (20, 1)))
+    x_prime = make_prime(20, r.prime_parameters)
+    x1, x_prime, log_j = r.reparameterise(x.copy(), x_prime, np.zeros(20))
+    # duplicate mode doubles the batch
+    assert len(x_prime) == 40
+    assert len(log_j) == 40
+    names = ["a", r.auxiliary_parameters[0]]
+    x_out = np.zeros(40, dtype=[(nm, "f8") for nm in names])
+    x_out, _, log_j_inv = r.inverse_reparameterise(x_out, x_prime, np.zeros(40))
+    np.testing.assert_allclose(x_out["a"][:20], x["a"], atol=1e-10)
+    np.testing.assert_allclose(x_out["a"][20:], x["a"], atol=1e-10)
+
+
+def test_angle_with_radial_parameter(rng):
+    r = Angle(
+        parameters=["phi", "r"],
+        prior_bounds={"phi": [0, 2 * np.pi], "r": [0.1, 5]},
+        scale=1.0,
+        rng=rng,
+    )
+    assert r.chi is None
+    assert not r.auxiliary_parameters
+    n = 25
+    vals = np.stack(
+        [rng.uniform(0, 2 * np.pi, n), rng.uniform(0.1, 5, n)], axis=1
+    )
+    x = make_x(["phi", "r"], vals)
+    x_prime = make_prime(n, r.prime_parameters)
+    x1, x_prime, log_j = r.reparameterise(x.copy(), x_prime, np.zeros(n))
+    x_out = np.zeros(n, dtype=x.dtype)
+    x_out, _, log_j_inv = r.inverse_reparameterise(x_out, x_prime, np.zeros(n))
+    np.testing.assert_allclose(x_out["phi"], x["phi"], atol=1e-10)
+    np.testing.assert_allclose(x_out["r"], x["r"], atol=1e-10)
+    np.testing.assert_allclose(log_j + log_j_inv, 0, atol=1e-10)
+
+
+def test_dequantise_logit_registry(rng):
+    cls, kwargs = get_reparameterisation("dequantise-logit")
+    assert cls is Dequantise
+    r = cls(parameters=["k"], prior_bounds={"k": [0, 4]}, rng=rng, **kwargs)
+    x = make_x(["k"], rng.integers(0, 5, (30, 1)).astype(float))
+    x_prime = make_prime(30, r.prime_parameters)
+    x1, x_prime, log_j = r.reparameterise(x.copy(), x_prime, np.zeros(30))
+    x_out = np.zeros(30, dtype=x.dtype)
+    x_out, _, _ = r.inverse_reparameterise(x_out, x_prime, np.zeros(30))
+    np.testing.assert_allclose(x_out["k"], x["k"])
+
+
+def test_scale_and_shift_pre_post(rng):
+    r = ScaleAndShift(
+        parameters=["a"],
+        prior_bounds={"a": [0.1, 0.9]},
+        estimate_scale=True,
+        estimate_shift=True,
+        pre_rescaling="logit",
+    )
+    x = make_x(["a"], rng.uniform(0.2, 0.8, (40, 1)))
+    r.update(x)
+    x_prime = make_prime(40, r.prime_parameters)
+    x1, x_prime, log_j = r.reparameterise(x.copy(), x_prime, np.zeros(40))
+    x_out = np.zeros(40, dtype=x.dtype)
+    x_out, _, log_j_inv = r.inverse_reparameterise(x_out, x_prime, np.zeros(40))
+    np.testing.assert_allclose(x_out["a"], x["a"], atol=1e-8)
+    np.testing.assert_allclose(log_j + log_j_inv, 0, atol=1e-6)
+
+
+def test_rescale_to_bounds_prime_prior(rng):
+    r = RescaleToBounds(
+        parameters=["a"],
+        prior_bounds={"a": [0, 10]},
+        update_bounds=False,
+        prior="uniform",
+    )
+    assert r.has_prime_prior
+    x = make_x(["a"], rng.uniform(0, 10, (20, 1)))
+    x_prime = make_prime(20, r.prime_parameters)
+    _, x_prime, _ = r.reparameterise(x, x_prime, np.zeros(20))
+    lp = r.x_prime_log_prior(x_prime)
+    np.testing.assert_allclose(lp, -np.log(2), atol=1e-12)
+    # outside [-1, 1]: -inf
+    x_prime["a_prime"][0] = 2.0
+    assert r.x_prime_log_prior(x_prime)[0] == -np.inf
+
+
+def test_rescale_set_bounds_and_reset_inversion(rng):
+    r = RescaleToBounds(
+        parameters=["a"],
+        prior_bounds={"a": [0, 1]},
+        boundary_inversion=["a"],
+        detect_edges=True,
+    )
+    x = make_x(["a"], rng.beta(0.3, 3, (50, 1)))
+    r.update(x)
+    x_prime = make_prime(50, r.prime_parameters)
+    r.reparameterise(x.copy(), x_prime, np.zeros(50))
+    assert r._edges["a"] is not None
+    r.reset_inversion()
+    assert r._edges["a"] is None
+    r.set_bounds({"a": [0, 2]})
+    np.testing.assert_allclose(r.bounds["a"], [0, 2])
+
+
+def test_lu_linear_identity_init():
+    import jax
+
+    from nessai_tpu.flows.bijectors import LULinear
+
+    bij = LULinear(3, identity_init=True)
+    p = bij.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)), jnp.float32)
+    z, ld = bij.forward(p, x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-6)
+
+
+def test_volume_preserving_coupling_jacobian():
+    import jax
+    import jax.numpy as jnp
+
+    from nessai_tpu.flows.bijectors import AffineCoupling
+
+    bij = AffineCoupling(
+        np.array([1, 0, 1, 0]), n_neurons=8, volume_preserving=True
+    )
+    p = bij.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(10, 4)), jnp.float32)
+    _, ld = bij.forward(p, x)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-7)
