@@ -552,6 +552,9 @@ class BaseFlowProposal(RejectionProposal):
                 x,
             )
         self._reparameterisation.update(x)
+        if hasattr(self, "_build_affine_map"):
+            # data-driven scales changed: refresh the fused-populate map
+            self._build_affine_map()
         x_prime, _ = self.rescale(x)
         x_prime_array = live_points_to_array(
             x_prime, self.prime_parameters

@@ -87,6 +87,7 @@ class FlowProposal(BaseFlowProposal):
             self._truncation_scheme = TruncationScheme.from_config(
                 self._truncation_config, rng=self.rng
             )
+        self._build_affine_map()
 
     @property
     def _draw_n(self) -> int:
@@ -94,6 +95,97 @@ class FlowProposal(BaseFlowProposal):
         # shape is constant across populates — the adaptive poolsize
         # scaling otherwise forces a fresh XLA compile per scale.
         return int(self.drawsize or self._poolsize)
+
+    # ------------------------------------------------------------------
+    # Fused device-side populate step
+    # ------------------------------------------------------------------
+    def _build_affine_map(self):
+        """(col_index, scale, shift) arrays in model-name order when the
+        whole reparameterisation stack is per-parameter affine (the
+        default zscore fallback), else None.
+
+        Enables the fused populate path: flow inverse, de-rescaling,
+        bounds check and (JAX) likelihood in ONE device program — one
+        host↔device round trip per populate batch.
+        """
+        self._affine_map = None
+        if self.map_to_unit_hypercube:
+            return
+        # auxiliary/augment dimensions (angles' radii, augmented dims)
+        # carry extra priors the fused path does not evaluate
+        if list(self.parameters) != list(self.model.names) or len(
+            self.prime_parameters
+        ) != len(self.model.names):
+            return
+        from ...reparameterisations.rescale import ScaleAndShift
+
+        entries = {}
+        for r in self._reparameterisation.values():
+            if not isinstance(r, ScaleAndShift):
+                return
+            aff = r.as_affine()
+            if aff is None:
+                return
+            for p, pp in zip(r.parameters, r.prime_parameters):
+                entries[p] = (pp, *aff[p])
+        if set(entries) != set(self.model.names):
+            return
+        cols, scales, shifts = [], [], []
+        for name in self.model.names:
+            pp, s, t = entries[name]
+            cols.append(self.prime_parameters.index(pp))
+            scales.append(s)
+            shifts.append(t)
+        self._affine_map = (
+            np.asarray(cols, np.int32),
+            np.asarray(scales, np.float32),
+            np.asarray(shifts, np.float32),
+        )
+
+    @property
+    def _can_fuse_populate(self) -> bool:
+        return (
+            getattr(self, "_affine_map", None) is not None
+            and self.model.has_jax_likelihood
+        )
+
+    def _fused_backward(self, z):
+        """One device call: z → x (model order) + log_q + logL + bounds.
+
+        Returns numpy arrays sliced to len(z)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ...flowmodel.base import _bucket_size, _pad_rows
+
+        cols, scale, shift = self._affine_map
+        fm = self.flow
+        flow = fm.flow
+        model = self.model
+        lower = np.asarray(model.lower_bounds, np.float32)
+        upper = np.asarray(model.upper_bounds, np.float32)
+
+        def fn(params, z, scale, shift, lower, upper):
+            x_prime, log_j_flow = flow.inverse(params, z)
+            log_q = flow.base_log_prob(params, z) - log_j_flow
+            x_model = x_prime[:, tuple(cols)] * scale + shift
+            log_q = log_q - jnp.sum(jnp.log(jnp.abs(scale)))
+            in_b = jnp.all((x_model >= lower) & (x_model <= upper), axis=1)
+            log_l = model.jax_log_likelihood(x_model)
+            return x_model, log_q, log_l, in_b
+
+        n = len(z)
+        z_p = _pad_rows(z, _bucket_size(n))
+        jit_fn = fm._jit("fused_populate", fn)
+        x_model, log_q, log_l, in_b = jit_fn(
+            fm.params, jnp.asarray(z_p, jnp.float32), scale, shift, lower, upper
+        )
+        return (
+            np.asarray(x_model, np.float64)[:n],
+            np.asarray(log_q, np.float64)[:n],
+            np.asarray(log_l, np.float64)[:n],
+            np.asarray(in_b)[:n],
+        )
 
     def sample_latent_distribution(self, n: int):
         """Latent draws, honouring the truncation scheme's sampler and the
@@ -133,6 +225,9 @@ class FlowProposal(BaseFlowProposal):
         n_accepted = 0
         accept = None
 
+        fused = self._can_fuse_populate
+        likelihoods_in_pool = fused or self._truncation_scheme.requires_log_likelihood
+
         while n_accepted < n_samples:
             z = self.sample_latent_distribution(self._draw_n)
             n_proposed += len(z)
@@ -142,7 +237,28 @@ class FlowProposal(BaseFlowProposal):
                     logger.warning("Reached max samples (%s)", self.max_samples)
                     break
                 continue
-            x, log_q, z = self.backward_pass(z, return_z=True)
+            if fused:
+                # one device program: inverse + de-rescale + bounds +
+                # likelihood (see _fused_backward)
+                import datetime as _dt
+
+                st_lik = _dt.datetime.now()
+                x_arr, log_q, log_l, in_b = self._fused_backward(z)
+                self.model.likelihood_evaluation_time += (
+                    _dt.datetime.now() - st_lik
+                )
+                self.model.likelihood_evaluations += len(z)
+                keep = in_b & np.isfinite(log_q)
+                x = empty_structured_array(
+                    int(keep.sum()), dtype=self.x_dtype
+                )
+                for i, name in enumerate(self.model.names):
+                    x[name] = x_arr[keep, i]
+                x["logL"] = log_l[keep]
+                log_q = log_q[keep]
+                z = z[keep]
+            else:
+                x, log_q, z = self.backward_pass(z, return_z=True)
             x, log_q, z = self._truncation_scheme.apply_after_backward(
                 self, x, log_q, z
             )
@@ -152,9 +268,10 @@ class FlowProposal(BaseFlowProposal):
                     break
                 continue
             if self._truncation_scheme.requires_log_likelihood:
-                x["logL"] = self.model.batch_evaluate_log_likelihood(
-                    x, unit_hypercube=self.map_to_unit_hypercube
-                )
+                if not fused:
+                    x["logL"] = self.model.batch_evaluate_log_likelihood(
+                        x, unit_hypercube=self.map_to_unit_hypercube
+                    )
                 x, log_q, z = self._truncation_scheme.apply_after_likelihood(
                     self, x, log_q, z
                 )
@@ -220,7 +337,7 @@ class FlowProposal(BaseFlowProposal):
         if self._plot_pool and plot:
             self.plot_pool(self.samples)
         self.population_time += datetime.datetime.now() - st
-        if not self._truncation_scheme.requires_log_likelihood:
+        if not likelihoods_in_pool:
             self.samples["logL"] = self.model.batch_evaluate_log_likelihood(
                 self.samples
             )

@@ -116,6 +116,18 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
             if self.estimate_shift:
                 self.shift[p] = float(np.mean(vals))
 
+    def as_affine(self):
+        """Per-parameter (scale, shift) of the *inverse* map
+        ``x = x' * scale + shift`` when this reparameterisation is purely
+        affine (no pre/post rescaling); else None. Used by the fused
+        device-side populate path."""
+        if self.pre_rescaling is not None or self.post_rescaling is not None:
+            return None
+        return {
+            p: (float(self.scale[p]), float(self.shift[p]))
+            for p in self.parameters
+        }
+
     def reparameterise(self, x, x_prime, log_j, **kwargs):
         for p, pp in zip(self.parameters, self.prime_parameters):
             vals, lj_pre = self._apply_pre(np.asarray(x[p], dtype=float))

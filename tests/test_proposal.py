@@ -155,3 +155,62 @@ def test_check_proposal_kwargs():
     assert "not_a_kwarg" not in kwargs
     with pytest.raises(RuntimeError):
         check_proposal_kwargs(FlowProposal, {"not_a_kwarg": 5}, strict=True)
+
+
+def test_fused_populate_path(model, rng, tmp_path, flow_config, training_config):
+    """With a jax likelihood + zscore reparams, populate runs the fused
+    single-call device path; verify consistency with the unfused maths."""
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        poolsize=100,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    fp.initialise()
+    assert fp._affine_map is not None
+    assert fp._can_fuse_populate
+    x = model.new_point(200)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    assert fp._affine_map is not None  # refreshed after training
+    before = model.likelihood_evaluations
+    fp.populate(x[np.argmin(x["logL"])], n_samples=100)
+    assert model.likelihood_evaluations > before  # counters maintained
+    s = fp.samples
+    assert model.in_bounds(s).all()
+    # logL stored in the pool matches a direct evaluation
+    direct = model.log_likelihood(s)
+    np.testing.assert_allclose(s["logL"], direct, rtol=1e-5, atol=1e-5)
+    # log_q consistency: forward pass of accepted samples ~ fused log_q
+    z, log_q_fwd = fp.forward_pass(fp.x)
+    x_arr, log_q_fused, log_l, in_b = fp._fused_backward(z)
+    np.testing.assert_allclose(log_q_fused, log_q_fwd, atol=5e-3)
+
+
+def test_fused_populate_disabled_without_jax_likelihood(rng, tmp_path, flow_config, training_config):
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    class NoJax(IntegrationTestModel):
+        jax_log_likelihood = None
+
+    m = NoJax(2)
+    m.set_rng(rng)
+    fp = FlowProposal(
+        m,
+        output=str(tmp_path),
+        poolsize=50,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    fp.initialise()
+    assert not fp._can_fuse_populate
+    x = m.new_point(150)
+    x["logL"] = m.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    fp.populate(x[0], n_samples=50)
+    assert fp.populated
