@@ -165,3 +165,20 @@ def test_stacked_params_vmap_log_prob():
     np.testing.assert_allclose(
         np.asarray(log_p_all[0]), np.asarray(flow.log_prob(p1, x)), atol=1e-5
     )
+
+
+def test_stacked_params_vmap_with_lu():
+    """log_prob_all pattern with LU linear transforms in the chain."""
+    flow, params, key = configure_model(
+        dict(n_inputs=DIM, n_blocks=2, n_neurons=8, n_layers=1,
+             linear_transform="lu")
+    )
+    p1 = _randomise(params, jax.random.PRNGKey(20), scale=0.05)
+    p2 = _randomise(params, jax.random.PRNGKey(21), scale=0.05)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+    x = jax.random.normal(jax.random.PRNGKey(22), (16, DIM))
+    log_p_all = jax.vmap(lambda p: flow.log_prob(p, x))(stacked)
+    assert log_p_all.shape == (2, 16)
+    np.testing.assert_allclose(
+        np.asarray(log_p_all[1]), np.asarray(flow.log_prob(p2, x)), atol=1e-5
+    )

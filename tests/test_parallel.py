@@ -153,3 +153,25 @@ def test_full_sampler_with_mesh(cpu_mesh, tmp_path):
     fs.run(plot=False, save=False)
     assert fs.ns._flow_proposal.training_count >= 1
     assert np.isfinite(fs.logZ)
+
+
+def test_ins_flowmodel_with_mesh(cpu_mesh, rng, tmp_path):
+    """ImportanceFlowModel trains and evaluates log_prob_all with batches
+    sharded over the mesh."""
+    from nessai_tpu.flowmodel.importance import ImportanceFlowModel
+
+    fm = ImportanceFlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=8, n_layers=1),
+        training_config=dict(max_epochs=3, batch_size=64, patience=2),
+        output=str(tmp_path),
+        rng=rng,
+        mesh=cpu_mesh,
+    )
+    x = rng.normal(size=(256, 2)).astype(np.float32)
+    fm.add_new_flow(reset=True)
+    fm.train(x)
+    fm.add_new_flow(reset=True)
+    fm.train(x)
+    lp = fm.log_prob_all(x[:50])
+    assert lp.shape == (50, 2)
+    assert np.isfinite(lp).all()
