@@ -157,3 +157,33 @@ def test_volume_preserving_coupling_jacobian():
     x = jnp.asarray(np.random.default_rng(1).normal(size=(10, 4)), jnp.float32)
     _, ld = bij.forward(p, x)
     np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-7)
+
+
+def test_registry_contains_all_reference_aliases():
+    """Every reparameterisation alias from the reference registry
+    (nessai/reparameterisations/__init__.py:28-198) must resolve."""
+    from nessai_tpu.reparameterisations import default_reparameterisations
+
+    reference_aliases = [
+        "default", "rescaletobounds", "rescale-to-bounds", "offset",
+        "inversion", "inversion-duplicate", "logit", "log-rescale",
+        "scale", "scaleandshift", "rescale", "zscore", "standardize",
+        "z-score", "zscore-gaussian-cdf", "z-score-gaussian-cdf",
+        "z-score-logit", "zscore-logit", "z-score-inv-gaussian-cdf",
+        "zscore-inv-gaussian-cdf", "log-z-score", "log-standardise",
+        "angle", "angle-pi", "angle-2pi", "angle-sine", "angle-cosine",
+        "angle-pair", "periodic", "to-cartesian", "dequantise",
+        "dequantise-logit", "none", "null", None,
+    ]
+    missing = [a for a in reference_aliases if a not in default_reparameterisations]
+    assert not missing, f"missing aliases: {missing}"
+
+
+def test_stopping_criteria_reference_names():
+    from nessai_tpu.stopping_criteria import StoppingCriterionRegistry
+
+    for name in ("dlogZ", "ratio", "ratio_ns", "ess", "Z_err",
+                 "fractional_error", "dZ", "evidence",
+                 "log_evidence_ratio", "effective_sample_size"):
+        c = StoppingCriterionRegistry.get(name)
+        assert c is not None
