@@ -17,7 +17,8 @@ from nessai_tpu.model import Model
 from nessai_tpu.utils import configure_logger
 
 output = "./outdir/toy_cbc/"
-logger = configure_logger(output=output)
+if __name__ == "__main__":
+    logger = configure_logger(output=output)
 
 # ---------------------------------------------------------------------
 # Injection
