@@ -57,11 +57,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int):
-    """Pad the batch to a device-count multiple; returns (padded, n_valid)."""
+    """Pad the batch to a device-count multiple; returns (padded, n_valid).
+
+    Pads by tiling the input, so any ``n >= 1`` (including ``n`` smaller
+    than ``multiple``) reaches the next multiple exactly.
+    """
+    x = np.asarray(x)
     n = len(x)
+    if n == 0:
+        raise ValueError("cannot pad an empty batch")
     pad = (-n) % multiple
     if pad:
-        x = np.concatenate([x, x[:pad]])
+        reps = -(-pad // n)  # ceil(pad / n)
+        filler = np.concatenate([x] * reps)[:pad]
+        x = np.concatenate([x, filler])
     return x, n
 
 

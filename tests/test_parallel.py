@@ -28,6 +28,42 @@ def test_sharded_batch_evaluate(cpu_mesh):
     np.testing.assert_allclose(out, -0.5 * np.sum(x**2, axis=1), rtol=1e-5)
 
 
+@pytest.mark.parametrize("n", [1, 3, 8, 11])
+def test_pad_to_multiple_small_batches(n):
+    from nessai_tpu.parallel import pad_to_multiple
+
+    x = np.arange(n * 2, dtype=np.float32).reshape(n, 2)
+    padded, n_valid = pad_to_multiple(x, 8)
+    assert n_valid == n
+    assert len(padded) % 8 == 0
+    assert len(padded) >= n
+    np.testing.assert_array_equal(padded[:n], x)
+    # filler rows are tiled copies of real rows
+    for row in padded[n:]:
+        assert any(np.array_equal(row, r) for r in x)
+
+
+def test_pad_to_multiple_empty_raises():
+    from nessai_tpu.parallel import pad_to_multiple
+
+    with pytest.raises(ValueError):
+        pad_to_multiple(np.zeros((0, 2), np.float32), 8)
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_sharded_batch_evaluate_tiny(cpu_mesh, n):
+    import jax.numpy as jnp
+
+    from nessai_tpu.parallel import sharded_batch_evaluate
+
+    x = np.random.default_rng(1).normal(size=(n, 4)).astype(np.float32)
+    out = sharded_batch_evaluate(
+        lambda a: -0.5 * jnp.sum(a**2, axis=-1), x, cpu_mesh
+    )
+    assert out.shape == (n,)
+    np.testing.assert_allclose(out, -0.5 * np.sum(x**2, axis=1), rtol=1e-5)
+
+
 def test_dp_train_step(cpu_mesh):
     import optax
 
