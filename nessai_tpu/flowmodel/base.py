@@ -32,6 +32,7 @@ import optax
 from ..flows import configure_model, reset_permutations, reset_weights
 from ..flows.bijectors import ActNorm, Chain
 from ..flows.distributions import ResampledGaussian
+from ..utils.programs import canonical, get_program
 from .config import (
     FlowConfig,
     TrainingConfig,
@@ -160,6 +161,8 @@ class FlowModel:
         self.weights_file = None
         self._key = None
         self._jit_cache = {}
+        self._scope = None
+        self._opt_key = None
         self.history = {"loss": [], "val_loss": []}
         self._actnorm_done = False
         #: optional 1-D jax.sharding.Mesh: training batches and bucketed
@@ -213,6 +216,38 @@ class FlowModel:
         return jax.tree.map(put, data)
 
     # ------------------------------------------------------------------
+    # Program identity (process-global compiled-program cache)
+    # ------------------------------------------------------------------
+    def _scope_key(self):
+        """Canonical identity of this model's traced programs: two
+        FlowModels with equal scope keys trace identical XLA programs
+        (parameters are explicit inputs; the flow architecture is a pure
+        function of the config)."""
+        if self._scope is None:
+            cfg = canonical(flow_config_to_dict(self.flow_config))
+            if self.mesh is None:
+                mesh_key = None
+            else:
+                dev = self.mesh.devices.flat[0]
+                mesh_key = (
+                    tuple(self.mesh.axis_names),
+                    self.mesh.devices.shape,
+                    getattr(dev, "platform", None),
+                    getattr(dev, "id", None),
+                )
+            self._scope = (cfg, mesh_key)
+        return self._scope
+
+    def _optimiser_key(self, lr):
+        tc = self.training_config
+        return (
+            tc.optimiser,
+            canonical(lr),
+            tc.clip_grad_norm,
+            canonical(tc.optimiser_kwargs),
+        )
+
+    # ------------------------------------------------------------------
     @property
     def dims(self):
         return self.flow_config.n_inputs
@@ -250,6 +285,7 @@ class FlowModel:
             self.opt_state = self.optimiser.init(
                 _partition_params(self.params)[0]
             )
+        self._opt_key = self._optimiser_key(self.training_config.lr)
         if self.mesh is not None:
             self.params = jax.device_put(self.params, self._replicated())
             self.opt_state = jax.device_put(
@@ -270,12 +306,10 @@ class FlowModel:
             self.opt_state = self.optimiser.init(
                 _partition_params(self.params)[0]
             )
-        # Drop cached epoch fns that close over the old optimiser.
-        self._jit_cache = {
-            k: v
-            for k, v in self._jit_cache.items()
-            if not (isinstance(k, tuple) and k and k[0] == "epoch")
-        }
+        # Training programs are keyed by the optimiser config, so a reset
+        # with the same config reuses the cached program; a different lr
+        # keys a fresh one.
+        self._opt_key = self._optimiser_key(lr)
 
     def reset_model(self, weights: bool = True, permutations: bool = False):
         """Reset weights and/or permutations.
@@ -414,15 +448,29 @@ class FlowModel:
         raise ValueError(f"Unknown noise type: {nt}")
 
     def _epoch_fns(self, with_context: bool, with_sigma: bool):
-        cache_key = ("epoch", with_context, with_sigma)
-        if cache_key in self._jit_cache:
-            return self._jit_cache[cache_key]
+        cache_key = (
+            "fm",
+            self._scope_key(),
+            "epoch",
+            with_context,
+            with_sigma,
+            self._opt_key,
+        )
+        return get_program(
+            cache_key,
+            lambda: self._build_epoch_fns(with_context, with_sigma),
+        )
+
+    def _build_epoch_fns(self, with_context: bool, with_sigma: bool):
         flow = self.flow
         optimiser = self.optimiser
+        # static: dropout changes the traced program, and is part of the
+        # flow config (hence of the program-cache scope key)
+        use_dropout = getattr(flow, "dropout_probability", 0.0) > 0.0
 
-        def loss_fn(diff, aux, x, w, context):
+        def loss_fn(diff, aux, x, w, context, rng=None):
             params = _combine_params(diff, aux)
-            log_p = flow.log_prob(params, x, context)
+            log_p = flow.log_prob(params, x, context, rng=rng)
             return -jnp.sum(w * log_p) / jnp.maximum(jnp.sum(w), 1e-12)
 
         def train_epoch(params, opt_state, batches, key):
@@ -439,8 +487,11 @@ class FlowModel:
                         batch_key, x.shape, x.dtype
                     )
                 context = inp.get("context")
+                drop_key = (
+                    jax.random.fold_in(batch_key, 7) if use_dropout else None
+                )
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    diff, aux, x, inp["w"], context
+                    diff, aux, x, inp["w"], context, drop_key
                 )
                 updates, opt_state = optimiser.update(grads, opt_state, diff)
                 diff = optax.apply_updates(diff, updates)
@@ -467,9 +518,7 @@ class FlowModel:
         # NB: no buffer donation — `best_params` aliases a previous epoch's
         # returned params, so donating would invalidate the early-stopping
         # snapshot.
-        fns = (jax.jit(train_epoch), jax.jit(val_loss))
-        self._jit_cache[cache_key] = fns
-        return fns
+        return (jax.jit(train_epoch), jax.jit(val_loss))
 
     def _fused_train_fn(self, with_context, with_sigma, max_epochs, patience):
         """The whole training run — epochs, validation, early stopping and
@@ -480,15 +529,33 @@ class FlowModel:
         torch loop (``nessai/flowmodel/base.py:365-452``); through the TPU
         tunnel those roundtrips dominate training wall-time.
         """
-        cache_key = ("fused_train", with_context, with_sigma, max_epochs, patience)
-        if cache_key in self._jit_cache:
-            return self._jit_cache[cache_key]
+        cache_key = (
+            "fm",
+            self._scope_key(),
+            "fused_train",
+            with_context,
+            with_sigma,
+            max_epochs,
+            patience,
+            self._opt_key,
+        )
+        return get_program(
+            cache_key,
+            lambda: self._build_fused_train_fn(
+                with_context, with_sigma, max_epochs, patience
+            ),
+        )
+
+    def _build_fused_train_fn(
+        self, with_context, with_sigma, max_epochs, patience
+    ):
         flow = self.flow
         optimiser = self.optimiser
+        use_dropout = getattr(flow, "dropout_probability", 0.0) > 0.0
 
-        def loss_fn(diff, aux, x, w, context):
+        def loss_fn(diff, aux, x, w, context, rng=None):
             params = _combine_params(diff, aux)
-            log_p = flow.log_prob(params, x, context)
+            log_p = flow.log_prob(params, x, context, rng=rng)
             return -jnp.sum(w * log_p) / jnp.maximum(jnp.sum(w), 1e-12)
 
         def run(params, opt_state, train_batches, val_batches, key):
@@ -505,8 +572,13 @@ class FlowModel:
                         x = x + inp["sigma"] * jax.random.normal(
                             inp["key"], x.shape, x.dtype
                         )
+                    drop_key = (
+                        jax.random.fold_in(inp["key"], 7)
+                        if use_dropout
+                        else None
+                    )
                     loss, grads = jax.value_and_grad(loss_fn)(
-                        diff, aux, x, inp["w"], inp.get("context")
+                        diff, aux, x, inp["w"], inp.get("context"), drop_key
                     )
                     updates, opt_state = optimiser.update(
                         grads, opt_state, diff
@@ -610,9 +682,7 @@ class FlowModel:
                 val_hist,
             )
 
-        fn = jax.jit(run)
-        self._jit_cache[cache_key] = fn
-        return fn
+        return jax.jit(run)
 
     def _maybe_init_actnorm(self, x: np.ndarray, conditional=None) -> None:
         """Data-dependent actnorm initialisation (Glow-style): walk the
@@ -689,10 +759,13 @@ class FlowModel:
                 **self.training_config.optimiser_kwargs,
             )
             self.opt_state = self.optimiser.init(_partition_params(self.params)[0])
-            self._jit_cache = {
-                k: v for k, v in self._jit_cache.items()
-                if not (isinstance(k, tuple) and k and k[0] == "epoch")
-            }
+            self._opt_key = self._optimiser_key(
+                (
+                    "cosine",
+                    float(self.training_config.lr),
+                    int(max(max_epochs * n_batches, 1)),
+                )
+            )
         with_context = "context" in data["train"]
         with_sigma = "sigma" in data["train"]
         is_lars = isinstance(self.flow.base, ResampledGaussian)
@@ -786,9 +859,12 @@ class FlowModel:
     # Inference (numpy in / numpy out)
     # ------------------------------------------------------------------
     def _jit(self, name, fn):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
+        """Fetch (or build) the jitted program for ``name`` from the
+        process-global cache: identical flow configs share compiled
+        executables across FlowModel instances (see utils/programs.py).
+        """
+        key = ("fm", self._scope_key(), canonical(name))
+        return get_program(key, lambda: jax.jit(fn))
 
     def _run_bucketed(self, name, fn, x, *extra):
         """Run a jitted fn over [n, d] input, padded to a bucketed batch
@@ -945,6 +1021,8 @@ class FlowModel:
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_jit_cache"] = {}
+        # device ids in the mesh scope are process-specific
+        state["_scope"] = None
         state["params"] = (
             jax.tree.map(np.asarray, self.params) if self.params is not None else None
         )

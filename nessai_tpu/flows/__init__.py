@@ -7,6 +7,7 @@ from .bijectors import (
     Chain,
     Logit,
     LULinear,
+    SVDLinear,
     MaskedAffineAutoregressive,
     Permutation,
     RQSCoupling,
@@ -26,6 +27,7 @@ __all__ = [
     "RQSCoupling",
     "MaskedAffineAutoregressive",
     "LULinear",
+    "SVDLinear",
     "Permutation",
     "ActNorm",
     "Logit",

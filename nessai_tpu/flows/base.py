@@ -40,20 +40,23 @@ class Flow:
         }
 
     # ------------------------------------------------------------------
-    def forward(self, params, x, context=None):
-        """x -> z with log|dz/dx|. Reference: ``nessai/flows/base.py:200``."""
-        return self.bijector.forward(params["bijector"], x, context)
+    def forward(self, params, x, context=None, rng=None):
+        """x -> z with log|dz/dx|. Reference: ``nessai/flows/base.py:200``.
 
-    def inverse(self, params, z, context=None):
+        ``rng`` enables train-time stochastic layers (conditioner
+        dropout); ``None`` is deterministic eval mode."""
+        return self.bijector.forward(params["bijector"], x, context, rng=rng)
+
+    def inverse(self, params, z, context=None, rng=None):
         """z -> x with log|dx/dz|. Reference: ``nessai/flows/base.py:215``."""
-        return self.bijector.inverse(params["bijector"], z, context)
+        return self.bijector.inverse(params["bijector"], z, context, rng=rng)
 
-    def log_prob(self, params, x, context=None):
-        z, log_j = self.forward(params, x, context)
+    def log_prob(self, params, x, context=None, rng=None):
+        z, log_j = self.forward(params, x, context, rng=rng)
         return self.base.log_prob(params["base"], z) + log_j
 
-    def forward_and_log_prob(self, params, x, context=None):
-        z, log_j = self.forward(params, x, context)
+    def forward_and_log_prob(self, params, x, context=None, rng=None):
+        z, log_j = self.forward(params, x, context, rng=rng)
         return z, self.base.log_prob(params["base"], z) + log_j
 
     def base_log_prob(self, params, z):

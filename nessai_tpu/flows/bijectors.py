@@ -33,6 +33,7 @@ __all__ = [
     "AffineCoupling",
     "RQSCoupling",
     "LULinear",
+    "SVDLinear",
     "Permutation",
     "ActNorm",
     "Logit",
@@ -41,15 +42,20 @@ __all__ = [
 
 
 class Bijector:
-    """Base class. Subclasses hold only static configuration."""
+    """Base class. Subclasses hold only static configuration.
+
+    ``rng`` is an optional PRNG key enabling train-time stochastic
+    behaviour (conditioner dropout); ``rng=None`` is deterministic
+    eval mode — the reference's torch ``train()``/``eval()`` split.
+    """
 
     def init(self, key):
         return {}
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, rng=None):
         raise NotImplementedError
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         raise NotImplementedError
 
 
@@ -63,17 +69,25 @@ class Chain(Bijector):
         keys = jax.random.split(key, max(len(self.bijectors), 1))
         return [b.init(k) for b, k in zip(self.bijectors, keys)]
 
-    def forward(self, params, x, context=None):
+    def _keys(self, rng):
+        if rng is None:
+            return [None] * len(self.bijectors)
+        return list(jax.random.split(rng, max(len(self.bijectors), 1)))
+
+    def forward(self, params, x, context=None, rng=None):
         log_det = jnp.zeros(x.shape[:-1], x.dtype)
-        for b, p in zip(self.bijectors, params):
-            x, ld = b.forward(p, x, context)
+        for b, p, k in zip(self.bijectors, params, self._keys(rng)):
+            x, ld = b.forward(p, x, context, rng=k)
             log_det = log_det + ld
         return x, log_det
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         log_det = jnp.zeros(z.shape[:-1], z.dtype)
-        for b, p in zip(reversed(self.bijectors), reversed(params)):
-            z, ld = b.inverse(p, z, context)
+        keys = self._keys(rng)
+        for b, p, k in zip(
+            reversed(self.bijectors), reversed(params), reversed(keys)
+        ):
+            z, ld = b.inverse(p, z, context, rng=k)
             log_det = log_det + ld
         return z, log_det
 
@@ -101,10 +115,16 @@ def _make_conditioner_init(net, n_in, n_out, n_neurons, n_layers, context_featur
     raise ValueError(f"Unknown net: {net}")
 
 
-def _apply_conditioner(net, params, x, context, activation):
+def _apply_conditioner(
+    net, params, x, context, activation, dropout_probability=0.0, rng=None
+):
     if net == "mlp":
-        return apply_mlp(params, x, context, activation)
-    return apply_resnet(params, x, context, activation)
+        return apply_mlp(
+            params, x, context, activation, dropout_probability, rng
+        )
+    return apply_resnet(
+        params, x, context, activation, dropout_probability, rng
+    )
 
 
 class AffineCoupling(Bijector):
@@ -125,6 +145,7 @@ class AffineCoupling(Bijector):
         volume_preserving: bool = False,
         context_features: Optional[int] = None,
         scale_limit: float = 5.0,
+        dropout_probability: float = 0.0,
     ):
         mask = np.asarray(mask)
         self.identity_idx = tuple(np.flatnonzero(mask > 0).tolist())
@@ -134,6 +155,7 @@ class AffineCoupling(Bijector):
         self.net = net
         self.activation = activation
         self.scale_limit = scale_limit
+        self.dropout_probability = float(dropout_probability)
         n_id = len(self.identity_idx)
         n_tr = len(self.transform_idx)
         n_out = n_tr if volume_preserving else 2 * n_tr
@@ -144,9 +166,15 @@ class AffineCoupling(Bijector):
     def init(self, key):
         return {"net": self._init_net(key)}
 
-    def _scale_shift(self, params, x_id, context):
+    def _scale_shift(self, params, x_id, context, rng=None):
         out = _apply_conditioner(
-            self.net, params["net"], x_id, context, self.activation
+            self.net,
+            params["net"],
+            x_id,
+            context,
+            self.activation,
+            self.dropout_probability,
+            rng,
         )
         n_tr = len(self.transform_idx)
         if self.volume_preserving:
@@ -162,18 +190,18 @@ class AffineCoupling(Bijector):
         out = out.at[..., list(self.transform_idx)].set(x_tr)
         return out
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, rng=None):
         x_id = x[..., list(self.identity_idx)]
         x_tr = x[..., list(self.transform_idx)]
-        s, t = self._scale_shift(params, x_id, context)
+        s, t = self._scale_shift(params, x_id, context, rng)
         z_tr = x_tr * jnp.exp(s) + t
         log_det = jnp.sum(s, axis=-1)
         return self._scatter(x_id, z_tr, x.dtype), log_det
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         z_id = z[..., list(self.identity_idx)]
         z_tr = z[..., list(self.transform_idx)]
-        s, t = self._scale_shift(params, z_id, context)
+        s, t = self._scale_shift(params, z_id, context, rng)
         x_tr = (z_tr - t) * jnp.exp(-s)
         log_det = -jnp.sum(s, axis=-1)
         return self._scatter(z_id, x_tr, z.dtype), log_det
@@ -196,6 +224,7 @@ class RQSCoupling(Bijector):
         net: str = "resnet",
         activation: str = "relu",
         context_features: Optional[int] = None,
+        dropout_probability: float = 0.0,
     ):
         mask = np.asarray(mask)
         self.identity_idx = tuple(np.flatnonzero(mask > 0).tolist())
@@ -205,6 +234,7 @@ class RQSCoupling(Bijector):
         self.tail_bound = tail_bound
         self.net = net
         self.activation = activation
+        self.dropout_probability = float(dropout_probability)
         n_id = len(self.identity_idx)
         n_tr = len(self.transform_idx)
         n_out = n_tr * (3 * num_bins - 1)
@@ -215,9 +245,15 @@ class RQSCoupling(Bijector):
     def init(self, key):
         return {"net": self._init_net(key)}
 
-    def _spline_params(self, params, x_id, context):
+    def _spline_params(self, params, x_id, context, rng=None):
         out = _apply_conditioner(
-            self.net, params["net"], x_id, context, self.activation
+            self.net,
+            params["net"],
+            x_id,
+            context,
+            self.activation,
+            self.dropout_probability,
+            rng,
         )
         n_tr = len(self.transform_idx)
         out = out.reshape(out.shape[:-1] + (n_tr, 3 * self.num_bins - 1))
@@ -232,10 +268,10 @@ class RQSCoupling(Bijector):
         out = out.at[..., list(self.transform_idx)].set(x_tr)
         return out
 
-    def _transform(self, params, x, context, inverse):
+    def _transform(self, params, x, context, inverse, rng=None):
         x_id = x[..., list(self.identity_idx)]
         x_tr = x[..., list(self.transform_idx)]
-        w, h, d = self._spline_params(params, x_id, context)
+        w, h, d = self._spline_params(params, x_id, context, rng)
         from .. import config as _config
 
         if _config.compute.use_pallas:
@@ -253,11 +289,11 @@ class RQSCoupling(Bijector):
             )
         return self._scatter(x_id, z_tr, x.dtype), jnp.sum(log_det, axis=-1)
 
-    def forward(self, params, x, context=None):
-        return self._transform(params, x, context, inverse=False)
+    def forward(self, params, x, context=None, rng=None):
+        return self._transform(params, x, context, inverse=False, rng=rng)
 
-    def inverse(self, params, z, context=None):
-        return self._transform(params, z, context, inverse=True)
+    def inverse(self, params, z, context=None, rng=None):
+        return self._transform(params, z, context, inverse=True, rng=rng)
 
 
 class LULinear(Bijector):
@@ -300,7 +336,7 @@ class LULinear(Bijector):
         U = params["upper"] * u_mask + jnp.diag(jnp.exp(params["log_diag"]))
         return L, U
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, rng=None):
         L, U = self._lu(params)
         # HIGHEST precision: TPU matmuls default to ~bf16 precision, which
         # would break exact invertibility against the triangular solves.
@@ -310,13 +346,94 @@ class LULinear(Bijector):
         log_det = jnp.sum(params["log_diag"]) * jnp.ones(x.shape[:-1], x.dtype)
         return z, log_det
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         L, U = self._lu(params)
         y = z - params["bias"]
         # Solve W x^T = y^T via two triangular solves.
         t = jax.scipy.linalg.solve_triangular(L, y.T, lower=True)
         x = jax.scipy.linalg.solve_triangular(U, t, lower=False).T
         log_det = -jnp.sum(params["log_diag"]) * jnp.ones(z.shape[:-1], z.dtype)
+        return x, log_det
+
+
+class SVDLinear(Bijector):
+    """Invertible linear layer parameterised by its SVD:
+    ``z = x @ W^T + b`` with ``W = U diag(exp(log_s)) V^T`` where ``U``
+    and ``V`` are orthogonal (products of Householder reflections).
+
+    Replaces glasflow/nflows' ``SVDLinear`` (``nessai/flows/utils.py:
+    295-329``, ``linear_transform='svd'``). The inverse is exact and
+    solve-free: ``W^{-1} = V diag(exp(-log_s)) U^T``; ``log|det W| =
+    sum(log_s)`` by construction.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        num_householder: Optional[int] = None,
+        identity_init: bool = True,
+    ):
+        self.dim = dim
+        # an even count keeps det(U) = det(V) = +1
+        self.num_householder = int(num_householder or max(2, dim - dim % 2))
+        self.identity_init = identity_init
+
+    def init(self, key):
+        d = self.dim
+        k1, k2, k3 = jax.random.split(key, 3)
+        vs_u = jax.random.normal(k1, (self.num_householder, d))
+        vs_v = jax.random.normal(k2, (self.num_householder, d))
+        if self.identity_init:
+            log_s = jnp.zeros((d,))
+        else:
+            log_s = 1e-3 * jax.random.normal(k3, (d,))
+        return {
+            "vs_u": vs_u,
+            "vs_v": vs_v,
+            "log_s": log_s,
+            "bias": jnp.zeros((d,)),
+        }
+
+    @staticmethod
+    def _householder_product(vs):
+        """Q = H(v_1) ... H(v_k) with H(v) = I - 2 v v^T / (v.v)."""
+        d = vs.shape[-1]
+        q = jnp.eye(d, dtype=vs.dtype)
+
+        def body(q, v):
+            coeff = 2.0 / jnp.maximum(jnp.dot(v, v), 1e-12)
+            # H @ q, with H = I - coeff * outer(v, v)
+            q = q - coeff * jnp.outer(
+                v, jnp.matmul(v, q, precision=jax.lax.Precision.HIGHEST)
+            )
+            return q, None
+
+        q, _ = jax.lax.scan(body, q, vs)
+        return q
+
+    def _matrices(self, params):
+        u = self._householder_product(params["vs_u"])
+        v = self._householder_product(params["vs_v"])
+        return u, v
+
+    def forward(self, params, x, context=None, rng=None):
+        u, v = self._matrices(params)
+        s = jnp.exp(params["log_s"])
+        # z = x @ (U S V^T)^T + b = ((x @ V) * s) @ U^T + b
+        h = jnp.matmul(x, v, precision=jax.lax.Precision.HIGHEST) * s
+        z = jnp.matmul(h, u.T, precision=jax.lax.Precision.HIGHEST)
+        z = z + params["bias"]
+        log_det = jnp.sum(params["log_s"]) * jnp.ones(x.shape[:-1], x.dtype)
+        return z, log_det
+
+    def inverse(self, params, z, context=None, rng=None):
+        u, v = self._matrices(params)
+        inv_s = jnp.exp(-params["log_s"])
+        y = z - params["bias"]
+        # x = y @ (V S^{-1} U^T)^T = ((y @ U) * s^{-1}) @ V^T
+        h = jnp.matmul(y, u, precision=jax.lax.Precision.HIGHEST) * inv_s
+        x = jnp.matmul(h, v.T, precision=jax.lax.Precision.HIGHEST)
+        log_det = -jnp.sum(params["log_s"]) * jnp.ones(z.shape[:-1], z.dtype)
         return x, log_det
 
 
@@ -337,10 +454,10 @@ class Permutation(Bijector):
         inv = jnp.argsort(perm).astype(jnp.int32)
         return {"perm": perm, "inv": inv}
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, rng=None):
         return x[..., params["perm"]], jnp.zeros(x.shape[:-1], x.dtype)
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         return z[..., params["inv"]], jnp.zeros(z.shape[:-1], z.dtype)
 
 
@@ -360,12 +477,12 @@ class ActNorm(Bijector):
             "shift": jnp.zeros((self.dim,)),
         }
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, rng=None):
         z = (x + params["shift"]) * jnp.exp(params["log_scale"])
         log_det = jnp.sum(params["log_scale"]) * jnp.ones(x.shape[:-1], x.dtype)
         return z, log_det
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         x = z * jnp.exp(-params["log_scale"]) - params["shift"]
         log_det = -jnp.sum(params["log_scale"]) * jnp.ones(z.shape[:-1], z.dtype)
         return x, log_det
@@ -385,13 +502,13 @@ class Logit(Bijector):
     def __init__(self, eps: float = 1e-6):
         self.eps = eps
 
-    def forward(self, params, x, context=None):
+    def forward(self, params, x, context=None, rng=None):
         x = jnp.clip(x, self.eps, 1 - self.eps)
         z = jnp.log(x) - jnp.log1p(-x)
         log_det = jnp.sum(-jnp.log(x) - jnp.log1p(-x), axis=-1)
         return z, log_det
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         x = jax.nn.sigmoid(z)
         log_det = jnp.sum(jnp.log(x) + jnp.log1p(-x), axis=-1)
         return x, log_det
@@ -413,12 +530,14 @@ class MaskedAffineAutoregressive(Bijector):
         n_layers: int = 2,
         activation: str = "relu",
         scale_limit: float = 5.0,
+        dropout_probability: float = 0.0,
     ):
         self.dim = dim
         self.n_neurons = n_neurons
         self.n_layers = n_layers
         self.activation = activation
         self.scale_limit = scale_limit
+        self.dropout_probability = float(dropout_probability)
         # MADE degree assignment
         degrees_in = np.arange(1, dim + 1)
         hidden_degrees = [
@@ -448,25 +567,32 @@ class MaskedAffineAutoregressive(Bijector):
             layers.append({"w": w, "b": jnp.zeros((n_out,))})
         return {"layers": layers}
 
-    def _net(self, params, x):
-        from .nets import ACTIVATIONS
+    def _net(self, params, x, rng=None):
+        from .nets import ACTIVATIONS, _dropout
 
         act = ACTIVATIONS[self.activation]
+        use_dropout = self.dropout_probability > 0.0 and rng is not None
         h = x
         for i, (layer, m) in enumerate(zip(params["layers"], self.masks)):
             h = h @ (layer["w"] * m) + layer["b"]
             if i < len(self.masks) - 1:
                 h = act(h)
+                if use_dropout:
+                    h = _dropout(
+                        h,
+                        self.dropout_probability,
+                        jax.random.fold_in(rng, i),
+                    )
         raw_s, t = h[..., : self.dim], h[..., self.dim :]
         s = self.scale_limit * jnp.tanh(raw_s / self.scale_limit)
         return s, t
 
-    def forward(self, params, x, context=None):
-        s, t = self._net(params, x)
+    def forward(self, params, x, context=None, rng=None):
+        s, t = self._net(params, x, rng)
         z = x * jnp.exp(s) + t
         return z, jnp.sum(s, axis=-1)
 
-    def inverse(self, params, z, context=None):
+    def inverse(self, params, z, context=None, rng=None):
         # Sequential: dimension i of x depends on x[:i].
         def body(x, i):
             s, t = self._net(params, x)

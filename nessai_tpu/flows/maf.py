@@ -16,6 +16,7 @@ def build_maf_bijector(
     n_layers: int = 2,
     activation: str = "relu",
     batch_norm_between_layers: bool = False,
+    dropout_probability: float = 0.0,
     **kwargs,
 ):
     bijectors = []
@@ -28,6 +29,7 @@ def build_maf_bijector(
                 n_neurons=n_neurons,
                 n_layers=n_layers,
                 activation=activation,
+                dropout_probability=dropout_probability,
             )
         )
         if batch_norm_between_layers:

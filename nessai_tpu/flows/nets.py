@@ -52,11 +52,30 @@ def init_mlp(key, n_in, n_out, n_neurons, n_layers, dtype=jnp.float32):
     return {"layers": layers, "out": out}
 
 
-def apply_mlp(params, x, context=None, activation="relu"):
+def _dropout(h, p: float, rng):
+    """Inverted dropout (train-time only: callers pass ``rng=None`` to
+    disable, matching the reference's train/eval modes,
+    ``nessai/flows/nets.py:12`` ``dropout_probability``)."""
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(rng, keep, h.shape)
+    return jnp.where(mask, h / keep, jnp.zeros_like(h))
+
+
+def apply_mlp(
+    params,
+    x,
+    context=None,
+    activation="relu",
+    dropout_probability: float = 0.0,
+    rng=None,
+):
     act = ACTIVATIONS[activation]
+    use_dropout = dropout_probability > 0.0 and rng is not None
     h = x if context is None else jnp.concatenate([x, context], axis=-1)
-    for layer in params["layers"]:
+    for i, layer in enumerate(params["layers"]):
         h = act(h @ layer["w"] + layer["b"])
+        if use_dropout:
+            h = _dropout(h, dropout_probability, jax.random.fold_in(rng, i))
     return h @ params["out"]["w"] + params["out"]["b"]
 
 
@@ -87,14 +106,26 @@ def init_resnet(
     return {"initial": initial, "blocks": blocks, "final": final}
 
 
-def apply_resnet(params, x, context=None, activation="relu"):
+def apply_resnet(
+    params,
+    x,
+    context=None,
+    activation="relu",
+    dropout_probability: float = 0.0,
+    rng=None,
+):
     act = ACTIVATIONS[activation]
+    use_dropout = dropout_probability > 0.0 and rng is not None
     h = x if context is None else jnp.concatenate([x, context], axis=-1)
     h = h @ params["initial"]["w"] + params["initial"]["b"]
-    for block in params["blocks"]:
+    for i, block in enumerate(params["blocks"]):
         t = act(h)
         t = t @ block["l1"]["w"] + block["l1"]["b"]
         t = act(t)
+        if use_dropout:
+            # dropout between the block's two dense layers, as in
+            # glasflow's ResidualNet blocks
+            t = _dropout(t, dropout_probability, jax.random.fold_in(rng, i))
         t = t @ block["l2"]["w"] + block["l2"]["b"]
         h = h + t
     return act(h) @ params["final"]["w"] + params["final"]["b"]

@@ -29,6 +29,7 @@ def build_nsf_bijector(
     batch_norm_between_layers: bool = False,
     pre_transform: Optional[str] = None,
     context_features: Optional[int] = None,
+    dropout_probability: float = 0.0,
     **kwargs,
 ):
     if mask is None:
@@ -55,6 +56,7 @@ def build_nsf_bijector(
                 net=net,
                 activation=activation,
                 context_features=context_features,
+                dropout_probability=dropout_probability,
             )
         )
         if batch_norm_between_layers:

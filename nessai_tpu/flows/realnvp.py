@@ -19,6 +19,7 @@ from .bijectors import (
     Logit,
     LULinear,
     Permutation,
+    SVDLinear,
 )
 
 __all__ = ["build_realnvp_bijector", "alternating_masks", "make_linear_transform"]
@@ -35,15 +36,17 @@ def alternating_masks(dim: int, n_blocks: int):
 def make_linear_transform(kind: Optional[str], dim: int):
     """Linear transform inserted between coupling blocks.
 
-    Reference: ``nessai/flows/utils.py:295-329`` (permutation / LU / SVD;
-    SVD is approximated by LU here — both are general linear bijections).
+    Reference: ``nessai/flows/utils.py:295-329`` (permutation / LU /
+    Householder-parameterised SVD).
     """
     if kind is None or kind == "none":
         return []
     if kind == "permutation":
         return [Permutation(dim)]
-    if kind in ("lu", "svd"):
+    if kind == "lu":
         return [Permutation(dim), LULinear(dim)]
+    if kind == "svd":
+        return [Permutation(dim), SVDLinear(dim)]
     raise ValueError(f"Unknown linear transform: {kind}")
 
 
@@ -60,6 +63,7 @@ def build_realnvp_bijector(
     volume_preserving: bool = False,
     pre_transform: Optional[str] = None,
     context_features: Optional[int] = None,
+    dropout_probability: float = 0.0,
     **kwargs,
 ):
     if mask is None:
@@ -87,6 +91,7 @@ def build_realnvp_bijector(
                 activation=activation,
                 volume_preserving=volume_preserving,
                 context_features=context_features,
+                dropout_probability=dropout_probability,
             )
         )
         if batch_norm_between_layers:

@@ -121,6 +121,7 @@ def configure_model(config: dict):
         "volume_preserving",
         "context_features",
         "activation",
+        "dropout_probability",
     ):
         if k in config:
             extra[k] = config[k]
@@ -137,6 +138,9 @@ def configure_model(config: dict):
         config.get("distribution"), dim, config.get("distribution_kwargs")
     )
     flow = Flow(bijector, base, dim)
+    #: static flag the training loop uses to decide whether to thread a
+    #: dropout PRNG key through ``log_prob`` (train mode)
+    flow.dropout_probability = float(extra.get("dropout_probability", 0.0))
     seed = config.get("seed", 0)
     key = jax.random.PRNGKey(seed)
     init_key, key = jax.random.split(key)

@@ -137,6 +137,24 @@ class Model(ABC):
     def has_jax_likelihood(self) -> bool:
         return callable(self.jax_log_likelihood)
 
+    @property
+    def program_fingerprint(self) -> tuple:
+        """Identity of this model's device (JAX) functions for the
+        process-global compiled-program cache: two model instances with
+        equal fingerprints must trace identical ``jax_log_likelihood`` /
+        ``jax_log_prior`` programs. The default covers models whose JAX
+        hooks depend only on the class, parameter names and bounds;
+        override it if the hooks close over other instance state.
+        """
+        cls = type(self)
+        return (
+            cls.__module__,
+            cls.__qualname__,
+            tuple(self.names),
+            tuple(float(b) for b in np.asarray(self.lower_bounds).ravel()),
+            tuple(float(b) for b in np.asarray(self.upper_bounds).ravel()),
+        )
+
     def to_unit_hypercube(self, x):
         """Map live points to the unit hypercube (required by INS)."""
         raise NotImplementedError
@@ -345,7 +363,12 @@ class Model(ABC):
         if n < bucket:
             arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, axis=0)])
         if not hasattr(self, "_jax_ll_jit"):
-            self._jax_ll_jit = jax.jit(lambda a: self.jax_log_likelihood(a))
+            from .utils.programs import get_program
+
+            self._jax_ll_jit = get_program(
+                ("model_ll", self.program_fingerprint),
+                lambda: jax.jit(lambda a: self.jax_log_likelihood(a)),
+            )
         out = self._jax_ll_jit(jnp.asarray(arr, jnp.float32))
         return np.asarray(out, dtype=float)[:n]
 
@@ -380,7 +403,12 @@ class Model(ABC):
         if n < bucket:
             arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, axis=0)])
         if not hasattr(self, "_jax_lp_jit"):
-            self._jax_lp_jit = jax.jit(lambda a: self.jax_log_prior(a))
+            from .utils.programs import get_program
+
+            self._jax_lp_jit = get_program(
+                ("model_lp", self.program_fingerprint),
+                lambda: jax.jit(lambda a: self.jax_log_prior(a)),
+            )
         out = self._jax_lp_jit(jnp.asarray(arr, jnp.float32))
         return np.asarray(out, dtype=float)[:n]
 

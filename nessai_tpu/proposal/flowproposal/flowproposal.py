@@ -175,10 +175,42 @@ class FlowProposal(BaseFlowProposal):
             return x_model, log_q, log_l, in_b
 
         n = len(z)
-        z_p = _pad_rows(z, _bucket_size(n))
-        jit_fn = fm._jit("fused_populate", fn)
+        bucket = _bucket_size(n)
+        if fm.mesh is not None:
+            # pad to a device-count multiple so the batch shards evenly
+            n_dev = int(fm.mesh.devices.size)
+            bucket = ((bucket + n_dev - 1) // n_dev) * n_dev
+        z_p = _pad_rows(z, bucket)
+        # key by the static column map and the model's program identity:
+        # the traced program captures the likelihood and the column gather
+        key = (
+            "fused_populate",
+            tuple(int(c) for c in cols),
+            model.program_fingerprint,
+        )
+        if fm.mesh is None:
+            jit_fn = fm._jit(key, fn)
+            z_in = jnp.asarray(z_p, jnp.float32)
+        else:
+            # batch-shard the whole populate program over the mesh: latent
+            # inverse, de-rescale, bounds and likelihood all run sharded;
+            # params/consts replicated (SURVEY.md §2.3 parallelism contract)
+            from ...parallel.mesh import data_sharding, replicated_sharding
+            from ...utils.programs import get_program
+
+            ds = data_sharding(fm.mesh)
+            rep = replicated_sharding(fm.mesh)
+            jit_fn = get_program(
+                ("fm", fm._scope_key(), key),
+                lambda: jax.jit(
+                    fn,
+                    in_shardings=(rep, ds, rep, rep, rep, rep),
+                    out_shardings=(ds, ds, ds, ds),
+                ),
+            )
+            z_in = jax.device_put(jnp.asarray(z_p, jnp.float32), ds)
         x_model, log_q, log_l, in_b = jit_fn(
-            fm.params, jnp.asarray(z_p, jnp.float32), scale, shift, lower, upper
+            fm.params, z_in, scale, shift, lower, upper
         )
         return (
             np.asarray(x_model, np.float64)[:n],

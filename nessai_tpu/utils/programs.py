@@ -1,0 +1,73 @@
+"""Process-global cache of compiled (jitted) device programs.
+
+Two samplers with identical flow/model configuration trace to *identical*
+XLA programs, but ``jax.jit`` caches executables per Python callable, so
+fresh closures (a new ``FlowModel``, a new ``Model`` instance) retrace
+and recompile from scratch. On this target each remote compile costs
+seconds, so recompiling identical programs dominates cold-start time.
+
+This cache keys jitted callables by a canonical description of everything
+that changes the traced program — architecture config, optimiser config,
+static shapes/flags, and the identity of captured host callables — so a
+warm-up run (or an earlier sampler in the same process) leaves later
+runs with zero retracing and zero recompilation.
+
+There is no invalidation: cached programs are pure functions of their
+inputs (parameters are always explicit arguments), so a cache entry can
+never go stale — keys must simply be complete. Callers are responsible
+for including every piece of captured state in the key (see
+``FlowModel._scope_key`` and ``Model.program_fingerprint``).
+"""
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["get_program", "clear_programs", "canonical", "n_programs"]
+
+_CACHE = {}
+
+
+def get_program(key, builder):
+    """Return the cached program for ``key``, building it on first use."""
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _CACHE[key] = fn
+        logger.debug("program cache miss: %s (now %d)", key, len(_CACHE))
+    return fn
+
+
+def clear_programs() -> None:
+    """Drop every cached program (frees the captured closures)."""
+    _CACHE.clear()
+
+
+def n_programs() -> int:
+    return len(_CACHE)
+
+
+def canonical(value):
+    """A hashable, order-independent description of a config value."""
+    if isinstance(value, dict):
+        return tuple(
+            sorted((str(k), canonical(v)) for k, v in value.items())
+        )
+    if isinstance(value, (list, tuple)):
+        return tuple(canonical(v) for v in value)
+    if isinstance(value, np.ndarray):
+        return (value.shape, str(value.dtype), value.tobytes())
+    if isinstance(value, np.generic):
+        return value.item()
+    if callable(value):
+        return (
+            getattr(value, "__module__", None),
+            getattr(value, "__qualname__", repr(value)),
+        )
+    try:
+        hash(value)
+    except TypeError:
+        return repr(value)
+    return value
