@@ -211,3 +211,49 @@ def test_ins_flowmodel_with_mesh(cpu_mesh, rng, tmp_path):
     lp = fm.log_prob_all(x[:50])
     assert lp.shape == (50, 2)
     assert np.isfinite(lp).all()
+
+
+def test_fused_populate_sharded_matches_single_device(
+    cpu_mesh, rng, tmp_path, model, flow_config, training_config
+):
+    """The fused populate program (latent inverse -> de-rescale -> bounds
+    -> likelihood) produces the same outputs batch-sharded over the mesh
+    as on a single device."""
+    import jax
+
+    from nessai_tpu.parallel import replicated_sharding
+    from nessai_tpu.proposal import FlowProposal
+
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        poolsize=64,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    fp.initialise()
+    assert fp._can_fuse_populate
+    x = model.new_point(128)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+
+    z = fp.flow.sample_latent_distribution(37)
+    single = fp._fused_backward(z)
+
+    # switch the FlowModel onto the mesh (params replicated) and rerun
+    fp.flow.mesh = cpu_mesh
+    fp.flow._scope = None  # mesh is part of the program scope key
+    fp.flow.params = jax.device_put(
+        fp.flow.params, replicated_sharding(cpu_mesh)
+    )
+    sharded = fp._fused_backward(z)
+
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64),
+            np.asarray(b, np.float64),
+            rtol=1e-5,
+            atol=1e-5,
+        )
