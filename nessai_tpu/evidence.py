@@ -113,12 +113,14 @@ class _NSIntegralState:
         return float(np.sqrt(max(self.info[-1], 0.0) / self.base_nlive))
 
     def finalise(self) -> float:
-        """Re-integrate with the trapezoid rule.
+        """Re-integrate with the trapezoid rule, closing the integral at
+        X=0 with an extra point at max(L) (as the reference does).
 
-        Reference: ``nessai/evidence.py:217``.
+        Reference: ``nessai/evidence.py:217-227``.
         """
         finalised = log_integrate_log_trap(
-            np.array(self.logLs), np.array(self.log_vols)
+            np.array(self.logLs + [self.logLs[-1]]),
+            np.array(self.log_vols + [-np.inf]),
         )
         self.logZ = float(finalised)
         return self.logZ
@@ -126,16 +128,15 @@ class _NSIntegralState:
     def log_posterior_weights(self):
         """Posterior weight of every dead point.
 
-        Reference: ``nessai/evidence.py:258``.
+        Reference-exact (``nessai/evidence.py:258-266``): trapezoid logZ
+        including the closing X=0 point, rectangle widths
+        ``X_{i-1} - X_i``, normalised by logZ.
         """
-        # trapezoid-consistent: w_i = L_i * (X_{i-1} - X_{i+1}) / 2,
-        # normalised over the weights themselves (the final interval
-        # extends to X=0, which the truncated logZ integral excludes)
-        logLs = np.array(self.logLs)
-        log_vols = np.concatenate([np.array(self.log_vols), [-np.inf]])
-        log_dX = logsubexp(log_vols[:-2], log_vols[2:]) - np.log(2)
-        log_wts = logLs[1:] + log_dX
-        return log_wts - logsumexp(log_wts)
+        log_L = np.array(self.logLs + [self.logLs[-1]])
+        log_vols = np.array(self.log_vols + [-np.inf])
+        log_Z = log_integrate_log_trap(log_L, log_vols)
+        log_w = logsubexp(log_vols[:-1], log_vols[1:])
+        return log_L[1:-1] + log_w[:-1] - log_Z
 
     def plot(self, filename=None):
         """logX vs logL diagnostic plot. Reference:

@@ -133,9 +133,54 @@ class Model(ABC):
     jax_log_likelihood = None
     jax_log_prior = None
 
+    #: Escape hatch for non-JAX likelihoods (e.g. lalsuite-style C
+    #: extensions): when True and no ``jax_log_likelihood`` is defined,
+    #: the host ``log_likelihood`` is wrapped with ``jax.pure_callback``
+    #: so it can run *inside* jitted device programs (the fused populate
+    #: path) instead of forcing a host round-trip per stage.
+    likelihood_callback: bool = False
+
     @property
     def has_jax_likelihood(self) -> bool:
         return callable(self.jax_log_likelihood)
+
+    def _callback_log_likelihood(self, arr) -> np.ndarray:
+        """Host-side callback target: [n, dims] float array in ``names``
+        order -> float32 log-likelihoods (no counter updates — callers
+        inside device programs account for them)."""
+        from .livepoint import numpy_array_to_live_points
+
+        x = numpy_array_to_live_points(
+            np.asarray(arr, np.float64), self.names
+        )
+        out = batch_evaluate_function(
+            self.log_likelihood,
+            x,
+            self.vectorised_likelihood,
+            chunksize=self.likelihood_chunksize,
+        )
+        return np.asarray(out, np.float32)
+
+    def get_device_log_likelihood(self):
+        """A callable evaluating the log-likelihood of a ``[n, dims]``
+        jax array *inside* a jitted program, or None.
+
+        Prefers the native ``jax_log_likelihood`` hook; falls back to a
+        ``jax.pure_callback`` wrapper around the host ``log_likelihood``
+        when :attr:`likelihood_callback` is True (SURVEY.md §7 escape
+        hatch for non-JAX likelihoods).
+        """
+        if self.has_jax_likelihood:
+            return self.jax_log_likelihood
+        if not self.likelihood_callback:
+            return None
+        import jax
+
+        def callback_ll(x):
+            shape = jax.ShapeDtypeStruct(x.shape[:-1], np.dtype(np.float32))
+            return jax.pure_callback(self._callback_log_likelihood, shape, x)
+
+        return callback_ll
 
     @property
     def program_fingerprint(self) -> tuple:

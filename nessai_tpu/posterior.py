@@ -28,7 +28,13 @@ def compute_weights(samples, nlive, expectation: str = "logt"):
     samples = np.asarray(samples, dtype=float)
     n = len(samples)
     if isinstance(nlive, (int, np.integer, float)):
+        # constant nlive, except the final live points which are consumed
+        # one by one (nlive, nlive-1, ..., 1) at finalise
+        nlive = int(nlive)
         nlive_per_it = np.full(n, float(nlive))
+        nlive_per_it[-nlive:] = np.arange(
+            min(nlive, n), 0, -1, dtype=float
+        )
     else:
         nlive_per_it = np.asarray(nlive, dtype=float)
         if len(nlive_per_it) != n:
@@ -39,18 +45,17 @@ def compute_weights(samples, nlive, expectation: str = "logt"):
         log_t = -np.log1p(1.0 / nlive_per_it)
     else:
         raise ValueError(f"Unknown expectation: {expectation}")
-    log_vols = np.concatenate([[0.0], np.cumsum(log_t)])
 
-    log_z = log_integrate_log_trap(
-        np.concatenate([[-np.inf], samples]), log_vols
-    )
-    log_vols_padded = np.concatenate([log_vols, [-np.inf]])
-    log_dX = logsubexp(log_vols_padded[:-2], log_vols_padded[2:]) - np.log(2)
-    log_w = samples + log_dX
-    # normalise over the weights (the final interval extends to X=0,
-    # which the truncated trapezoid logZ excludes)
-    log_w = log_w - logsumexp(log_w)
-    return float(log_z), log_w
+    # one point at X=1 and one closing point at X=0 with L = max(L)
+    log_vols = np.zeros(n + 2)
+    log_vols[1:-1] = np.cumsum(log_t)
+    log_vols[-1] = -np.inf
+    log_likelihoods = np.concatenate([[-np.inf], samples, [samples[-1]]])
+
+    log_z = log_integrate_log_trap(log_likelihoods, log_vols)
+    log_w = logsubexp(log_vols[:-1], log_vols[1:])
+    log_post_w = log_likelihoods[1:-1] + log_w[:-1] - log_z
+    return float(log_z), log_post_w
 
 
 def draw_posterior_samples(

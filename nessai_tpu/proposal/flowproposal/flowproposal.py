@@ -144,9 +144,15 @@ class FlowProposal(BaseFlowProposal):
 
     @property
     def _can_fuse_populate(self) -> bool:
+        if getattr(self, "_affine_map", None) is None:
+            return False
+        if self.model.has_jax_likelihood:
+            return True
+        # pure_callback likelihoods fuse too, but only single-device:
+        # host callbacks inside sharded programs are not supported
         return (
-            getattr(self, "_affine_map", None) is not None
-            and self.model.has_jax_likelihood
+            self.model.get_device_log_likelihood() is not None
+            and self.flow.mesh is None
         )
 
     def _fused_backward(self, z):
@@ -162,6 +168,7 @@ class FlowProposal(BaseFlowProposal):
         fm = self.flow
         flow = fm.flow
         model = self.model
+        device_ll = model.get_device_log_likelihood()
         lower = np.asarray(model.lower_bounds, np.float32)
         upper = np.asarray(model.upper_bounds, np.float32)
 
@@ -171,7 +178,7 @@ class FlowProposal(BaseFlowProposal):
             x_model = x_prime[:, tuple(cols)] * scale + shift
             log_q = log_q - jnp.sum(jnp.log(jnp.abs(scale)))
             in_b = jnp.all((x_model >= lower) & (x_model <= upper), axis=1)
-            log_l = model.jax_log_likelihood(x_model)
+            log_l = device_ll(x_model)
             return x_model, log_q, log_l, in_b
 
         n = len(z)
@@ -187,6 +194,7 @@ class FlowProposal(BaseFlowProposal):
             "fused_populate",
             tuple(int(c) for c in cols),
             model.program_fingerprint,
+            bool(model.has_jax_likelihood),
         )
         if fm.mesh is None:
             jit_fn = fm._jit(key, fn)

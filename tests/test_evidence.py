@@ -53,7 +53,16 @@ def test_ns_posterior_weights_sum_to_one():
         state.increment(ll)
     state.finalise()
     log_w = state.log_posterior_weights()
-    assert np.isclose(logsumexp(log_w), 0.0, atol=1e-6)
+    # reference-exact weights (rectangle widths over trapezoid logZ):
+    # must agree with the standalone posterior.compute_weights given the
+    # same constant-nlive history, and be normalised up to the
+    # trapezoid/rectangle mismatch
+    from nessai_tpu.posterior import compute_weights
+
+    log_z, log_w_ref = compute_weights(logls, np.full(len(logls), 50.0))
+    assert np.isclose(log_z, state.logZ, atol=1e-10)
+    np.testing.assert_allclose(log_w, log_w_ref, atol=1e-10)
+    assert np.isclose(logsumexp(log_w), 0.0, atol=0.5)
 
 
 def test_ins_integral_state():

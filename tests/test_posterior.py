@@ -19,7 +19,9 @@ def test_compute_weights_normalised(rng):
     x = _fake_chain(rng)
     log_z, log_w = compute_weights(x["logL"], 100)
     assert np.isfinite(log_z)
-    assert np.isclose(logsumexp(log_w), 0.0, atol=1e-6)
+    # reference-exact: normalised by the trapezoid logZ, so the rectangle
+    # weights sum to 1 only up to O(1/nlive)
+    assert np.isclose(logsumexp(log_w), 0.0, atol=0.02)
 
 
 def test_compute_weights_variable_nlive(rng):

@@ -214,3 +214,49 @@ def test_fused_populate_disabled_without_jax_likelihood(rng, tmp_path, flow_conf
     fp.train(x, plot=False)
     fp.populate(x[0], n_samples=50)
     assert fp.populated
+
+
+def test_fused_populate_with_callback_likelihood(
+    rng, tmp_path, flow_config, training_config
+):
+    """A non-JAX (host numpy) likelihood with likelihood_callback=True
+    joins the fused populate via jax.pure_callback; stored logL matches a
+    direct evaluation (SURVEY.md §7 escape hatch)."""
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    class CallbackModel(IntegrationTestModel):
+        jax_log_likelihood = None
+        likelihood_callback = True
+
+    m = CallbackModel(2)
+    m.set_rng(rng)
+    fp = FlowProposal(
+        m,
+        output=str(tmp_path),
+        poolsize=50,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    fp.initialise()
+    assert not m.has_jax_likelihood
+    assert m.get_device_log_likelihood() is not None
+    assert fp._can_fuse_populate
+    x = m.new_point(100)
+    x["logL"] = m.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    fp.populate(x[np.argmin(x["logL"])], n_samples=50)
+    s = fp.samples
+    direct = m.log_likelihood(s)
+    np.testing.assert_allclose(s["logL"], direct, rtol=1e-5, atol=1e-5)
+
+
+def test_callback_disabled_without_flag(rng):
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    class NoJax(IntegrationTestModel):
+        jax_log_likelihood = None
+
+    m = NoJax(2)
+    assert m.get_device_log_likelihood() is None
