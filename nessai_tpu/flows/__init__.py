@@ -18,7 +18,13 @@ from .distributions import (
     ResampledGaussian,
     StandardNormal,
 )
-from .utils import configure_model, get_n_neurons, reset_permutations, reset_weights
+from .utils import (
+    configure_model,
+    get_n_neurons,
+    register_flow,
+    reset_permutations,
+    reset_weights,
+)
 
 __all__ = [
     "Flow",
@@ -36,6 +42,7 @@ __all__ = [
     "MultivariateUniform",
     "ResampledGaussian",
     "configure_model",
+    "register_flow",
     "get_n_neurons",
     "reset_weights",
     "reset_permutations",

@@ -28,6 +28,7 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "get_n_neurons",
     "get_native_flow_class",
+    "register_flow",
     "configure_model",
     "reset_weights",
     "reset_permutations",
@@ -73,6 +74,22 @@ def get_native_flow_class(name: str):
             f"Unknown flow type: {name}. Known: {sorted(_BUILDERS)}"
         )
     return _BUILDERS[name]
+
+
+def register_flow(name: str, builder) -> None:
+    """Register an externally-defined flow architecture under an
+    ``ftype`` name (the role of the reference's experimental
+    ``GlasflowWrapper``, ``nessai/experimental/flows/glasflow.py:13`` /
+    ``nessai/flows/utils.py:187-206``).
+
+    ``builder(dim, n_blocks=..., n_neurons=..., n_layers=..., **kwargs)``
+    must return either a :class:`~nessai_tpu.flows.bijectors.Bijector`
+    (combined with the configured base distribution) or a complete
+    :class:`~nessai_tpu.flows.base.Flow`.
+    """
+    if not callable(builder):
+        raise TypeError("builder must be callable")
+    _BUILDERS[name.lower()] = builder
 
 
 def _make_base_distribution(name, dim, kwargs):
@@ -126,18 +143,27 @@ def configure_model(config: dict):
         if k in config:
             extra[k] = config[k]
 
-    builder = get_native_flow_class(ftype)
-    bijector = builder(
+    # a callable 'flow' key overrides ftype (reference:
+    # ``nessai/flows/utils.py:231-237`` accepts a class directly)
+    builder = config.get("flow")
+    if builder is not None and not callable(builder):
+        raise TypeError(f"'flow' must be callable, got {type(builder)}")
+    if builder is None:
+        builder = get_native_flow_class(ftype)
+    built = builder(
         dim,
         n_blocks=n_blocks,
         n_neurons=n_neurons,
         n_layers=n_layers,
         **extra,
     )
-    base = _make_base_distribution(
-        config.get("distribution"), dim, config.get("distribution_kwargs")
-    )
-    flow = Flow(bijector, base, dim)
+    if isinstance(built, Flow):
+        flow = built
+    else:
+        base = _make_base_distribution(
+            config.get("distribution"), dim, config.get("distribution_kwargs")
+        )
+        flow = Flow(built, base, dim)
     #: static flag the training loop uses to decide whether to thread a
     #: dropout PRNG key through ``log_prob`` (train mode)
     flow.dropout_probability = float(extra.get("dropout_probability", 0.0))

@@ -182,3 +182,100 @@ def test_stacked_params_vmap_with_lu():
     np.testing.assert_allclose(
         np.asarray(log_p_all[1]), np.asarray(flow.log_prob(p2, x)), atol=1e-5
     )
+
+
+# ----------------------------------------------------------------------
+# External-flow adapters (reference GlasflowWrapper role,
+# nessai/experimental/flows/glasflow.py:13)
+# ----------------------------------------------------------------------
+def test_register_flow_custom_ftype(tmp_path, rng):
+    import jax
+
+    from nessai_tpu.flowmodel import FlowModel
+    from nessai_tpu.flows import register_flow
+    from nessai_tpu.flows.realnvp import build_realnvp_bijector
+
+    def my_builder(dim, n_blocks=2, n_neurons=4, n_layers=1, **kwargs):
+        return build_realnvp_bijector(
+            dim, n_blocks=n_blocks, n_neurons=n_neurons, n_layers=n_layers
+        )
+
+    register_flow("my-custom-flow", my_builder)
+    fm = FlowModel(
+        flow_config=dict(
+            n_inputs=2, ftype="my-custom-flow", n_blocks=2, n_neurons=4
+        ),
+        training_config=dict(max_epochs=3, batch_size=32, patience=2),
+        output=str(tmp_path),
+        rng=rng,
+    )
+    history = fm.train(rng.normal(size=(64, 2)).astype(np.float32))
+    assert np.isfinite(history["loss"]).all()
+
+    with pytest.raises(TypeError):
+        register_flow("bad", "not-callable")
+
+
+def test_flow_config_callable_flow_key(rng):
+    from nessai_tpu.flows import configure_model
+    from nessai_tpu.flows.base import Flow
+    from nessai_tpu.flows.realnvp import build_realnvp_bijector
+
+    calls = []
+
+    def my_builder(dim, **kwargs):
+        calls.append(dim)
+        return build_realnvp_bijector(dim, n_blocks=2, n_neurons=4, n_layers=1)
+
+    flow, params, _ = configure_model(
+        dict(n_inputs=3, flow=my_builder)
+    )
+    assert calls == [3]
+    assert isinstance(flow, Flow)
+    x = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+    assert np.isfinite(np.asarray(flow.log_prob(params, x))).all()
+
+    with pytest.raises(TypeError):
+        configure_model(dict(n_inputs=3, flow="not-callable"))
+
+
+def test_external_bijector_wrapper():
+    import jax
+    import jax.numpy as jnp
+
+    from nessai_tpu.experimental.flows import ExternalBijector
+    from nessai_tpu.flows.base import Flow
+    from nessai_tpu.flows.bijectors import Chain
+    from nessai_tpu.flows.distributions import StandardNormal
+
+    # a simple externally-defined affine bijection
+    def init_fn(key):
+        return {"log_a": jnp.zeros(()), "b": jnp.ones(())}
+
+    def forward_fn(params, x, context):
+        a = jnp.exp(params["log_a"])
+        return a * x + params["b"], (
+            params["log_a"] * x.shape[-1] * jnp.ones(x.shape[:-1])
+        )
+
+    def inverse_fn(params, z, context):
+        a = jnp.exp(-params["log_a"])
+        return a * (z - params["b"]), (
+            -params["log_a"] * z.shape[-1] * jnp.ones(z.shape[:-1])
+        )
+
+    bij = ExternalBijector(init_fn, forward_fn, inverse_fn)
+    flow = Flow(Chain([bij]), StandardNormal(2), 2)
+    params = flow.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(6, 2)).astype(np.float32)
+    )
+    z, ld = flow.forward(params, x)
+    x2, ld2 = flow.inverse(params, z)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-6)
+    lp = flow.log_prob(params, x)
+    assert np.isfinite(np.asarray(lp)).all()
+
+    with pytest.raises(TypeError):
+        ExternalBijector(init_fn, "nope", inverse_fn)
