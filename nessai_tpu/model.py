@@ -504,6 +504,19 @@ class Model(ABC):
         if self.rng is None:
             logger.debug("verify_model: setting default rng")
             self.rng = np.random.default_rng()
+        # check the prior on a raw box draw first: new_point itself
+        # rejection-samples on the prior, so a broken log_prior must be
+        # reported as a ModelError, not a crash inside new_point
+        arr = self._require_rng().uniform(
+            self.lower_bounds, self.upper_bounds, (1, self.dims)
+        )
+        probe = numpy_array_to_live_points(arr, self.names)
+        try:
+            log_p = self.log_prior(probe)
+        except Exception as e:
+            raise ModelError(f"Log-prior raised an error: {e}")
+        if log_p is None:
+            raise ModelError("Log-prior returned None")
         x = self.new_point()
         log_p = self.log_prior(x)
         if log_p is None:
@@ -552,6 +565,11 @@ class UniformPriorMixin:
         for n in self.names:
             log_p -= np.log(self.bounds[n][1] - self.bounds[n][0])
         return log_p
+
+    def sample_parameter(self, name, n=1):
+        """Uniform draws from the parameter's prior bounds."""
+        lo, hi = self.bounds[name]
+        return self._require_rng().uniform(lo, hi, int(n))
 
     def to_unit_hypercube(self, x):
         x_out = x.copy()
