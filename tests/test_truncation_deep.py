@@ -1,0 +1,231 @@
+"""Deep coverage of the truncation rules and scheme staging.
+
+Reference: ``nessai/proposal/flowproposal/truncation.py`` and its tests.
+"""
+
+import numpy as np
+import pytest
+from scipy import stats as scipy_stats
+
+from nessai_tpu.livepoint import empty_structured_array
+from nessai_tpu.proposal.flowproposal.truncation import (
+    LatentRadiusTruncation,
+    LikelihoodThresholdTruncation,
+    MinLogQTruncation,
+    TruncationScheme,
+    get_truncation_rule,
+)
+
+
+class FakeProposal:
+    rescaled_dims = 3
+    training_latent = None
+    training_log_q = None
+
+    def __init__(self, rng):
+        self.rng = rng
+        self.r = None
+
+
+@pytest.fixture()
+def proposal(rng):
+    return FakeProposal(rng)
+
+
+def test_unknown_rule_name():
+    with pytest.raises(ValueError, match="Unknown truncation rule"):
+        get_truncation_rule("not-a-rule")
+
+
+def test_unknown_mode():
+    with pytest.raises(ValueError, match="Unknown latent_radius mode"):
+        LatentRadiusTruncation(mode="bogus")
+
+
+def test_fixed_mode_requires_radius(proposal):
+    rule = LatentRadiusTruncation(mode="fixed")
+    with pytest.raises(RuntimeError, match="fixed mode requires"):
+        rule.prepare(proposal, None)
+
+
+def test_fixed_mode_radius(proposal):
+    rule = LatentRadiusTruncation(mode="fixed", radius=2.5)
+    rule.prepare(proposal, None)
+    assert rule.r == 2.5
+    assert proposal.r == 2.5
+    z = rule.sample_latent(proposal, 500)
+    assert z.shape == (500, 3)
+    assert (np.linalg.norm(z, axis=1) <= 2.5 + 1e-9).all()
+
+
+def test_constant_volume_radius_matches_chi(proposal):
+    rule = LatentRadiusTruncation(mode="constant_volume", q=0.95)
+    rule.prepare(proposal, None)
+    assert np.isclose(rule.r, scipy_stats.chi.ppf(0.95, 3))
+
+
+def test_adaptive_requires_training(proposal):
+    rule = LatentRadiusTruncation(mode="adaptive")
+    with pytest.raises(RuntimeError, match="adaptive latent radius"):
+        rule.prepare(proposal, None)
+
+
+def test_adaptive_radius_and_expansion(proposal, rng):
+    proposal.training_latent = rng.normal(size=(100, 3))
+    rule = LatentRadiusTruncation(mode="adaptive", expansion_fraction=4.0)
+    rule.prepare(proposal, None)
+    r_max = np.linalg.norm(proposal.training_latent, axis=1).max()
+    assert np.isclose(rule.r, r_max)
+    # fuzz expands the volume by (1 + expansion_fraction)
+    assert np.isclose(rule.fuzz, 5.0 ** (1 / 3))
+
+
+def test_radius_clamped_to_max(proposal):
+    rule = LatentRadiusTruncation(mode="fixed", radius=100.0, max_radius=10.0)
+    rule.prepare(proposal, None)
+    assert rule.r == 10.0
+
+
+def test_radius_clamped_to_min(proposal):
+    rule = LatentRadiusTruncation(
+        mode="fixed", radius=0.1, min_radius=1.0
+    )
+    rule.prepare(proposal, None)
+    assert rule.r == 1.0
+
+
+def test_explicit_radius_overrides(proposal):
+    rule = LatentRadiusTruncation(mode="fixed", radius=2.0)
+    rule.prepare(proposal, None, radius=3.0)
+    assert rule.r == 3.0
+
+
+def test_apply_latent_filters(proposal):
+    rule = LatentRadiusTruncation(mode="fixed", radius=1.0)
+    rule.prepare(proposal, None)
+    z = np.array([[0.1, 0, 0], [5.0, 0, 0], [0, 0.5, 0]])
+    out = rule.apply_latent(proposal, z)
+    assert len(out) == 2
+
+
+def test_latent_radius_reset(proposal):
+    rule = LatentRadiusTruncation(mode="constant_volume")
+    rule.prepare(proposal, None)
+    rule.reset()
+    assert rule._dist is None
+    assert rule.r is None
+    # fixed mode keeps its radius on reset
+    rule2 = LatentRadiusTruncation(mode="fixed", radius=2.0)
+    rule2.prepare(proposal, None)
+    rule2.reset()
+    assert rule2.r == 2.0
+
+
+def test_truncated_gaussian_radial_law(rng):
+    """The exact truncated sampler reproduces the chi radial CDF."""
+    from nessai_tpu.utils.sampling import NDimensionalTruncatedGaussian
+
+    dims, radius = 4, 2.0
+    dist = NDimensionalTruncatedGaussian(dims, radius, rng=rng)
+    z = dist.sample(20000)
+    r = np.linalg.norm(z, axis=1)
+    assert (r <= radius + 1e-9).all()
+    # K-S against the truncated chi distribution
+    cdf_max = scipy_stats.chi.cdf(radius, dims)
+    u = scipy_stats.chi.cdf(r, dims) / cdf_max
+    ks = scipy_stats.kstest(u, "uniform")
+    assert ks.pvalue > 1e-3
+
+
+# ----------------------------------------------------------------------
+def test_min_log_q_threshold(proposal):
+    rule = MinLogQTruncation(threshold=-5.0)
+    rule.prepare(proposal, None)
+    x = empty_structured_array(3, names=["a"])
+    log_q = np.array([-10.0, -4.0, -5.0])
+    z = np.zeros((3, 2))
+    x2, lq2, z2 = rule.apply_after_backward(proposal, x, log_q, z)
+    assert len(x2) == 2
+    np.testing.assert_array_equal(lq2, [-4.0, -5.0])
+
+
+def test_min_log_q_from_training(proposal):
+    proposal.training_log_q = np.array([-3.0, -7.0, -1.0])
+    rule = MinLogQTruncation()
+    rule.prepare(proposal, None)
+    assert rule._min_log_q == -7.0
+    rule.reset()
+    assert rule._min_log_q is None
+
+
+def test_min_log_q_requires_training(proposal):
+    rule = MinLogQTruncation()
+    with pytest.raises(RuntimeError, match="min_log_q requires"):
+        rule.prepare(proposal, None)
+
+
+def test_likelihood_threshold(proposal):
+    rule = LikelihoodThresholdTruncation()
+    assert rule.requires_log_likelihood
+    worst = empty_structured_array(1, names=["a"])
+    worst["logL"] = -2.0
+    rule.prepare(proposal, worst[0])
+    x = empty_structured_array(3, names=["a"])
+    x["logL"] = [-3.0, -1.0, -2.0]
+    x2, _, _ = rule.apply_after_likelihood(
+        proposal, x, np.zeros(3), np.zeros((3, 2))
+    )
+    assert len(x2) == 1
+    assert x2["logL"][0] == -1.0
+
+
+def test_likelihood_threshold_no_worst(proposal):
+    rule = LikelihoodThresholdTruncation()
+    rule.prepare(proposal, None)
+    assert rule._threshold == -np.inf
+
+
+# ----------------------------------------------------------------------
+def test_scheme_from_config_variants(rng):
+    assert TruncationScheme.from_config(None, rng=rng).rules == []
+    s1 = TruncationScheme.from_config("likelihood_threshold", rng=rng)
+    assert len(s1.rules) == 1
+    s2 = TruncationScheme.from_config(
+        ["min_log_q", "likelihood_threshold"], rng=rng
+    )
+    assert len(s2.rules) == 2
+    s3 = TruncationScheme.from_config(
+        {"latent_radius": {"mode": "fixed", "radius": 1.0}}, rng=rng
+    )
+    assert s3.rules[0].radius == 1.0
+    assert s3.rules[0].rng is rng
+    # passthrough of an existing scheme
+    assert TruncationScheme.from_config(s3, rng=rng) is s3
+    with pytest.raises(ValueError):
+        TruncationScheme.from_config("bogus", rng=rng)
+
+
+def test_scheme_requires_log_likelihood(rng):
+    s = TruncationScheme.from_config(
+        ["min_log_q", "likelihood_threshold"], rng=rng
+    )
+    assert s.requires_log_likelihood
+    s2 = TruncationScheme.from_config("min_log_q", rng=rng)
+    assert not s2.requires_log_likelihood
+
+
+def test_scheme_first_latent_sampler_wins(proposal, rng):
+    s = TruncationScheme.from_config(
+        {
+            "min_log_q": {"threshold": -1e9},
+            "latent_radius": {"mode": "fixed", "radius": 2.0},
+        },
+        rng=rng,
+    )
+    s.prepare(proposal, None)
+    z = s.sample_latent(proposal, 10)
+    assert z.shape == (10, 3)
+    # no sampler rules -> None (use the flow base)
+    s2 = TruncationScheme.from_config("min_log_q", rng=rng)
+    s2.rules[0]._min_log_q = 0.0
+    assert s2.sample_latent(proposal, 5) is None
