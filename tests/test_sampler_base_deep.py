@@ -1,0 +1,184 @@
+"""Deep coverage of the base sampler, stopping criteria and the nested
+sampler loop controls. Reference: ``nessai/samplers/base.py`` and
+``nessai/stopping_criteria.py`` tests."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from nessai_tpu.stopping_criteria import (
+    CriterionGroup,
+    StoppingCriterionRegistry,
+)
+
+
+# ----------------------------------------------------------------------
+# stopping criteria
+# ----------------------------------------------------------------------
+def test_registry_case_insensitive():
+    a = StoppingCriterionRegistry.get("dlogz")
+    b = StoppingCriterionRegistry.get("dlogZ")
+    assert type(a) is type(b)
+
+
+def test_registry_with_tolerance():
+    c = StoppingCriterionRegistry.get("ess", tolerance=500)
+    assert c.tolerance == 500
+
+
+def test_criterion_comparison_directions():
+    dlogz = StoppingCriterionRegistry.get("dlogZ", tolerance=0.1)
+    # dlogZ stops when the value drops BELOW tolerance
+    assert dlogz.is_met(0.05)
+    assert not dlogz.is_met(0.5)
+    ess = StoppingCriterionRegistry.get("ess", tolerance=100)
+    # ESS stops when the value rises ABOVE tolerance
+    assert ess.is_met(200)
+    assert not ess.is_met(50)
+
+
+def test_group_and_or_combinations():
+    dlogz = StoppingCriterionRegistry.get("dlogZ", tolerance=0.1)
+    ess = StoppingCriterionRegistry.get("ess", tolerance=100)
+    both = dlogz & ess
+    either = dlogz | ess
+    assert isinstance(both, CriterionGroup)
+    assert both.is_met({"dlogZ": 0.05, "ess": 200})
+    assert not both.is_met({"dlogZ": 0.05, "ess": 50})
+    assert either.is_met({"dlogZ": 0.5, "ess": 200})
+    assert not either.is_met({"dlogZ": 0.5, "ess": 50})
+
+
+def test_group_nesting():
+    a = StoppingCriterionRegistry.get("dlogZ", tolerance=0.1)
+    b = StoppingCriterionRegistry.get("ess", tolerance=100)
+    c = StoppingCriterionRegistry.get("ratio", tolerance=0.0)
+    g = (a & b) | c
+    assert g.is_met({"dlogZ": 1.0, "ess": 1.0, "ratio": -1.0})
+
+
+def test_registry_names_property():
+    names = StoppingCriterionRegistry.known()
+    for n in ("dlogZ", "ratio", "ess"):
+        assert any(n.lower() == m.lower() for m in names)
+
+
+# ----------------------------------------------------------------------
+# base sampler: output config, checkpoint periodicity, resume errors
+# ----------------------------------------------------------------------
+def _sampler(tmp_path, model, **kw):
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    kw.setdefault("nlive", 50)
+    kw.setdefault("plot", False)
+    kw.setdefault("flow_config", dict(n_blocks=2, n_neurons=4, n_layers=1))
+    kw.setdefault(
+        "training_config", dict(max_epochs=3, batch_size=32, patience=2)
+    )
+    return NestedSampler(model, output=str(tmp_path), **kw)
+
+
+def test_output_directories_created(tmp_path, model):
+    out = tmp_path / "nested" / "deeper"
+    ns = _sampler(out, model)
+    assert os.path.isdir(out)
+    assert ns.output == str(out)
+
+
+def test_seed_reproducibility(tmp_path):
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    # the sampler seeds the model rng from its own seed
+    ns1 = _sampler(tmp_path / "a", IntegrationTestModel(2), seed=99)
+    ns2 = _sampler(tmp_path / "b", IntegrationTestModel(2), seed=99)
+    ns1.populate_live_points()
+    ns2.populate_live_points()
+    np.testing.assert_array_equal(
+        ns1.live_points["logL"], ns2.live_points["logL"]
+    )
+
+
+def test_checkpoint_and_resume_file(tmp_path, model):
+    ns = _sampler(tmp_path, model, checkpointing=True)
+    ns.populate_live_points()
+    ns.checkpoint(force=True)
+    assert os.path.exists(tmp_path / "nested_sampler_resume.pkl")
+    # second checkpoint rotates
+    ns.checkpoint(force=True)
+    assert os.path.exists(tmp_path / "nested_sampler_resume.pkl.old")
+
+
+def test_resume_missing_file_raises(tmp_path, model):
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    with pytest.raises(FileNotFoundError):
+        NestedSampler.resume(str(tmp_path / "nope.pkl"), model)
+
+
+def test_result_dictionary_contents(tmp_path, model):
+    ns = _sampler(
+        tmp_path,
+        model,
+        max_iteration=40,
+        maximum_uninformed=20,
+        poolsize=50,
+        checkpointing=False,
+    )
+    ns.nested_sampling_loop()
+    result = ns.get_result_dictionary()
+    for key in (
+        "log_evidence",
+        "log_evidence_error",
+        "nested_samples",
+        "seed",
+        "sampling_time",
+        "total_likelihood_evaluations",
+    ):
+        assert key in result, key
+
+
+def test_history_updated(tmp_path, model):
+    ns = _sampler(
+        tmp_path,
+        model,
+        max_iteration=30,
+        maximum_uninformed=10,
+        poolsize=50,
+        checkpointing=False,
+    )
+    ns.nested_sampling_loop()
+    assert ns.history is not None
+    assert len(ns.history["dlogZ"]) > 0
+    assert len(ns.history["logZ"]) == len(ns.history["dlogZ"])
+
+
+def test_pickle_excludes_model_and_restores(tmp_path, model):
+    ns = _sampler(
+        tmp_path,
+        model,
+        max_iteration=25,
+        maximum_uninformed=10,
+        poolsize=50,
+        checkpointing=False,
+    )
+    ns.nested_sampling_loop()
+    data = pickle.dumps(ns)
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    ns2 = NestedSampler.resume_from_pickled_sampler(
+        pickle.loads(data), model
+    )
+    assert ns2.iteration == ns.iteration
+    assert np.isclose(ns2.state.logZ, ns.state.logZ)
+    np.testing.assert_array_equal(
+        ns2.live_points["logL"], ns.live_points["logL"]
+    )
+    # the restored sampler can continue (in a real mid-run checkpoint
+    # `condition` is still live; here the first loop finalised, so reset)
+    ns2.max_iteration = ns.iteration + 10
+    ns2.finalised = False
+    ns2.condition = np.inf
+    ns2.nested_sampling_loop()
+    assert ns2.iteration > ns.iteration
