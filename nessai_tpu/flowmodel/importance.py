@@ -171,8 +171,10 @@ class ImportanceFlowModel(FlowModel):
             level_dir = os.path.join(self.output, f"level_{i}")
             os.makedirs(level_dir, exist_ok=True)
             path = os.path.join(level_dir, "model.pkl")
+            from ..utils.transfer import tree_to_host
+
             with open(path, "wb") as f:
-                pickle.dump(jax.tree.map(np.asarray, params), f)
+                pickle.dump(tree_to_host(params), f)
 
     def load_all_weights(self, output: Optional[str] = None) -> None:
         """Reload all per-level weights. Reference:

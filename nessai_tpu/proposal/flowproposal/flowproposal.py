@@ -220,6 +220,11 @@ class FlowProposal(BaseFlowProposal):
         x_model, log_q, log_l, in_b = jit_fn(
             fm.params, z_in, scale, shift, lower, upper
         )
+        from ...utils.transfer import arrays_to_host
+
+        x_model, log_q, log_l, in_b = arrays_to_host(
+            x_model, log_q, log_l, in_b
+        )
         return (
             np.asarray(x_model, np.float64)[:n],
             np.asarray(log_q, np.float64)[:n],
