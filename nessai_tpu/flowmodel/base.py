@@ -687,7 +687,13 @@ class FlowModel:
 
     def _maybe_init_actnorm(self, x: np.ndarray, conditional=None) -> None:
         """Data-dependent actnorm initialisation (Glow-style): walk the
-        chain once on the host, whitening at each ActNorm."""
+        chain once, whitening at each ActNorm.
+
+        The whole walk is ONE jitted device program (chain structure is
+        static; the running activations and masked data statistics are
+        traced). The previous eager per-op walk cost seconds per call on
+        this environment — each eager op is its own tiny compiled
+        program, and INS re-initialises a flow per level."""
         if self._actnorm_done or not self.training_config.use_actnorm_init:
             return
         if not isinstance(self.flow.bijector, Chain):
@@ -698,19 +704,44 @@ class FlowModel:
         ):
             self._actnorm_done = True
             return
-        with _host_cpu_context():
-            h = jnp.asarray(x, jnp.float32)
-            context = (
-                jnp.asarray(conditional, jnp.float32)
-                if conditional is not None
-                else None
-            )
-            params = list(self.params["bijector"])
-            for i, b in enumerate(self.flow.bijector.bijectors):
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        bucket = _bucket_size(n)
+        x_p = np.zeros((bucket, x.shape[1]), np.float32)
+        x_p[:n] = x
+        mask = np.zeros((bucket,), np.float32)
+        mask[:n] = 1.0
+        with_context = conditional is not None
+        if with_context:
+            c_p = _pad_rows(np.asarray(conditional, np.float32), bucket)
+        else:
+            c_p = None
+
+        flow = self.flow
+
+        def init_fn(params, x, mask, context):
+            h = x
+            count = jnp.maximum(jnp.sum(mask), 1.0)
+            new_bij = []
+            for b, p in zip(flow.bijector.bijectors, params["bijector"]):
                 if isinstance(b, ActNorm):
-                    params[i] = ActNorm.data_init(h)
-                h, _ = b.forward(params[i], h, context)
-            self.params = {"bijector": params, "base": self.params["base"]}
+                    mean = jnp.sum(h * mask[:, None], axis=0) / count
+                    var = (
+                        jnp.sum(((h - mean) ** 2) * mask[:, None], axis=0)
+                        / count
+                    )
+                    std = jnp.sqrt(var) + 1e-6
+                    p = {"log_scale": -jnp.log(std), "shift": -mean}
+                h, _ = b.forward(p, h, context)
+                new_bij.append(p)
+            return new_bij
+
+        fn = get_program(
+            ("fm", self._scope_key(), "actnorm_init", with_context),
+            lambda: jax.jit(init_fn),
+        )
+        new_bij = fn(self.params, jnp.asarray(x_p), jnp.asarray(mask), c_p)
+        self.params = {"bijector": new_bij, "base": self.params["base"]}
         self._actnorm_done = True
 
     def train(
