@@ -67,8 +67,13 @@ class _NSIntegralState:
     def increment(self, logL, nlive: Optional[int] = None) -> None:
         """Update the evidence with the next dead point's logL.
 
-        Reference: ``nessai/evidence.py:151-191``.
+        Scalar ``math`` ops rather than numpy: this runs once per NS
+        iteration on the host (~10⁴ calls per run) and numpy scalar
+        dispatch is ~10× slower. Reference: ``nessai/evidence.py:
+        151-191``.
         """
+        import math
+
         logL = float(np.atleast_1d(logL)[0])
         if nlive is None:
             nlive = self.base_nlive
@@ -79,16 +84,22 @@ class _NSIntegralState:
                 logL,
             )
         logt = -1.0 / nlive
-        Wt = self.logw + logL + logsubexp(0.0, logt)
-        self.logZ = np.logaddexp(self.logZ, Wt)
+        # log(1 - exp(logt)), logt < 0
+        Wt = self.logw + logL + math.log(-math.expm1(logt))
+        if Wt > self.logZ:
+            self.logZ = Wt + math.log1p(math.exp(self.logZ - Wt))
+        elif Wt == -math.inf:
+            pass  # logaddexp(-inf, -inf) = -inf
+        else:
+            self.logZ = self.logZ + math.log1p(math.exp(Wt - self.logZ))
         # information (H) update, cpnest-style
-        if np.isfinite(self.oldZ):
+        if math.isfinite(self.oldZ):
             info = (
-                np.exp(Wt - self.logZ) * logL
-                + np.exp(self.oldZ - self.logZ) * (self.info[-1] + self.oldZ)
+                math.exp(Wt - self.logZ) * logL
+                + math.exp(self.oldZ - self.logZ) * (self.info[-1] + self.oldZ)
                 - self.logZ
             )
-            if np.isnan(info):
+            if math.isnan(info):
                 info = 0.0
             self.info.append(info)
         else:
