@@ -43,8 +43,7 @@ TRUE = dict(
 A0 = 40.0
 
 
-def _waveform(f, chirp_mass, luminosity_distance, phase, geocent_time, xp):
-    """Newtonian-order stationary-phase inspiral (complex strain)."""
+def _amp_psi(f, chirp_mass, luminosity_distance, phase, geocent_time, xp):
     amp = (
         A0
         * chirp_mass ** (5.0 / 6.0)
@@ -56,6 +55,15 @@ def _waveform(f, chirp_mass, luminosity_distance, phase, geocent_time, xp):
         + 2 * np.pi * f * geocent_time
         - 2 * phase
         - np.pi / 4
+    )
+    return amp, psi
+
+
+def _waveform(f, chirp_mass, luminosity_distance, phase, geocent_time, xp):
+    """Newtonian-order stationary-phase inspiral (complex strain; host
+    numpy only — the device path uses the re/im split below)."""
+    amp, psi = _amp_psi(
+        f, chirp_mass, luminosity_distance, phase, geocent_time, xp
     )
     return amp * xp.exp(-1j * psi)
 
@@ -71,9 +79,12 @@ for _det in range(2):
     DATA.append(_waveform(freqs, xp=np, **TRUE) + noise)
 DATA = np.asarray(DATA)
 
-_freqs_j = jnp.asarray(freqs)
-_data_j = jnp.asarray(DATA)
-_inv_psd_j = jnp.asarray(1.0 / PSD)
+_freqs_j = jnp.asarray(freqs, jnp.float32)
+# complex arrays are split into real/imag parts: the TPU backend (and
+# its transfer path) does not support complex dtypes
+_data_re_j = jnp.asarray(DATA.real, jnp.float32)
+_data_im_j = jnp.asarray(DATA.imag, jnp.float32)
+_inv_psd_j = jnp.asarray(1.0 / PSD, jnp.float32)
 
 
 class BasicGWModel(UniformPriorMixin, Model):
@@ -113,15 +124,20 @@ class BasicGWModel(UniformPriorMixin, Model):
 
     def jax_log_likelihood(self, x):
         """Whittle log-likelihood for a [batch, 4] parameter array —
-        the full template bank in one device program."""
+        the full template bank in one device program. Real arithmetic
+        only (h = amp * e^{-i psi} split into re/im): TPU compute and
+        transfers do not support complex dtypes."""
         mc = x[:, 0:1]
         dl = x[:, 1:2]
         phase = x[:, 2:3]
         tc = x[:, 3:4]
-        h = _waveform(_freqs_j[None, :], mc, dl, phase, tc, xp=jnp)
-        r = _data_j[None, :, :] - h[:, None, :]
+        amp, psi = _amp_psi(_freqs_j[None, :], mc, dl, phase, tc, xp=jnp)
+        h_re = amp * jnp.cos(psi)
+        h_im = -amp * jnp.sin(psi)
+        r_re = _data_re_j[None, :, :] - h_re[:, None, :]
+        r_im = _data_im_j[None, :, :] - h_im[:, None, :]
         return -2.0 * DF * jnp.sum(
-            (jnp.abs(r) ** 2) * _inv_psd_j[None, None, :], axis=(-2, -1)
+            (r_re**2 + r_im**2) * _inv_psd_j[None, None, :], axis=(-2, -1)
         )
 
 
