@@ -89,12 +89,29 @@ class FlowProposal(BaseFlowProposal):
             )
         self._build_affine_map()
 
+    #: cap on the acceptance-adaptive latent draw scale
+    _max_draw_scale: float = 32.0
+
     @property
     def _draw_n(self) -> int:
-        # NB: defaults to the *unscaled* poolsize so the latent batch
-        # shape is constant across populates — the adaptive poolsize
-        # scaling otherwise forces a fresh XLA compile per scale.
-        return int(self.drawsize or self._poolsize)
+        """Latent draws per populate round.
+
+        Defaults to the *unscaled* poolsize, scaled up by the inverse of
+        the previous populate's acceptance (capped): hard posteriors
+        (e.g. degenerate GW ridges) can otherwise need ~50+ rounds per
+        populate, and each round costs a host↔device roundtrip while
+        device throughput on a bigger batch is nearly free. Batch shapes
+        stay bucketed (powers of two), so this costs O(log cap) extra
+        compiles at most. Set ``drawsize`` to override with a fixed
+        value.
+        """
+        if self.drawsize:
+            return int(self.drawsize)
+        n = int(self._poolsize)
+        acc = getattr(self, "population_acceptance", None)
+        if acc is not None and np.isfinite(acc) and 0 < acc < 1:
+            n = int(n * min(max(1.0 / acc, 1.0), self._max_draw_scale))
+        return n
 
     # ------------------------------------------------------------------
     # Fused device-side populate step
