@@ -11,6 +11,7 @@ happens inside the proposal; this module is the host control plane.
 
 import datetime
 import logging
+import math
 import os
 from typing import Optional
 
@@ -76,6 +77,7 @@ class NestedSampler(BaseNestedSampler):
         training_config: Optional[dict] = None,
         proposal_plots: bool = False,
         shrinkage_expectation: str = "t",
+        batched_bookkeeping: bool = True,
         **kwargs,
     ):
         super().__init__(
@@ -94,6 +96,7 @@ class NestedSampler(BaseNestedSampler):
             plot=plot,
         )
         self.prior_sampling = prior_sampling
+        self.batched_bookkeeping = batched_bookkeeping
         self.checkpoint_on_training = checkpoint_on_training
         self.max_iteration = max_iteration
         self.acceptance_threshold = acceptance_threshold
@@ -523,6 +526,241 @@ class NestedSampler(BaseNestedSampler):
             self.block_iteration, 1
         )
 
+    @staticmethod
+    def _logaddexp(a: float, b: float) -> float:
+        """Scalar replica of ``np.logaddexp`` (same branch structure, so
+        results are bit-identical to the numpy ufunc on float64)."""
+        if a == b:
+            return a + 0.6931471805599453  # log(2), matches NPY_LOGE2
+        tmp = a - b
+        if tmp > 0:
+            return a + math.log1p(math.exp(-tmp))
+        elif tmp <= 0:
+            return b + math.log1p(math.exp(tmp))
+        return a + b  # nan propagation
+
+    def _consume_from_pool_batched(self) -> bool:
+        """Replay the sequential consume/insert/evidence loop over the
+        already-populated proposal pool in one tight host pass.
+
+        While the pool is populated ``check_training`` short-circuits
+        (``nessai/samplers/nestedsampler.py:861`` returns immediately when
+        the proposal is populated) and, past the uninformed phase,
+        ``check_proposal_switch`` is a no-op — so the loop trajectory is
+        fully determined by the pool contents. This method reproduces
+        ``consume_sample`` (``nessai/samplers/nestedsampler.py:680``)
+        exactly — same evidence increments, insertion indices, acceptance
+        bookkeeping and history/KS cadence — but without the per-iteration
+        generator/method-dispatch overhead (~10x less host time per
+        iteration). Returns True if at least one iteration was consumed;
+        trailing pool entries that can no longer beat the current worst
+        point are left for the sequential path so that mid-iteration
+        training/repopulation behaves identically.
+        """
+        proposal = self.proposal
+        indices = getattr(proposal, "indices", None)
+        samples = getattr(proposal, "samples", None)
+        if (
+            not self.completed_training
+            or not getattr(proposal, "populated", False)
+            or not indices
+            or samples is None
+        ):
+            return False
+        state = self.state
+        if type(state) is not _NSIntegralState:
+            return False
+        # pop order: FlowProposal.draw pops from the end of ``indices``
+        order = np.asarray(indices[::-1], dtype=np.int64)
+        pool_logL = np.ascontiguousarray(
+            samples["logL"][order], dtype=np.float64
+        )
+        if not np.all(np.isfinite(pool_logL)):
+            # yield_sample would evaluate these one-by-one; keep the
+            # sequential path for exact likelihood-counter parity
+            return False
+        # Python floats: numpy scalar dispatch is ~10x slower in the loop
+        pool_l = pool_logL.tolist()
+
+        n = self.nlive
+        # row store: current live points followed by the pool in pop order
+        R = np.concatenate([self.live_points, samples[order]])
+        llogL = np.ascontiguousarray(R["logL"][:n], dtype=np.float64)
+        ids = np.arange(n, dtype=np.int64)
+        R_it = R["it"]
+
+        logt = -1.0 / n
+        log1mexp_logt = math.log(-math.expm1(logt))
+        logZ = float(state.logZ)
+        oldZ = float(state.oldZ)
+        logw = float(state.logw)
+        info_last = float(state.info[-1])
+        lastL = float(state.logLs[-1])
+        track_gradients = state.track_gradients
+        logLmax = float(self.logLmax)
+        it = self.iteration
+        accepted = self.accepted
+        block_acc = self.block_acceptance
+        block_it = self.block_iteration
+        cond = float(self.condition)
+        tol = self.tolerance
+        max_it = self.max_iteration
+        # during the uninformed phase check_proposal_switch can end the
+        # replay: it fires on mean acceptance or the iteration cap
+        # (``nessai/samplers/nestedsampler.py:826``)
+        uninformed = self.uninformed_sampling
+        switch_thr = self.uninformed_acceptance_threshold
+        max_uninformed = self.maximum_uninformed
+        mean_acc = self.mean_block_acceptance
+        hist_interval = max(n // 10, 1)
+        K = pool_logL.shape[0]
+        j = 0
+        last_w = float(self.logLmin)  # last consumed worst logL
+        inf_ = math.inf
+        log1p = math.log1p
+        exp = math.exp
+        isfinite = math.isfinite
+        isnan = math.isnan
+        searchsorted = np.searchsorted
+        ins_append = self.insertion_indices.append
+        ns_append = self.nested_samples.append
+        # buffers flushed into the state at boundaries / at the end
+        buf_logLs = []
+        buf_vols = []
+        buf_info = []
+        buf_grads = []
+        n_done = 0
+
+        def _sync():
+            self.iteration = it
+            self.condition = cond
+            self.logLmin = last_w
+            self.logLmax = logLmax
+            self.accepted = accepted
+            self.block_acceptance = block_acc
+            self.block_iteration = block_it
+            self.mean_block_acceptance = mean_acc
+            state.logZ = logZ
+            state.oldZ = oldZ
+            state.logw = logw
+            state.logLs.extend(buf_logLs)
+            state.log_vols.extend(buf_vols)
+            state.info.extend(buf_info)
+            if track_gradients:
+                state.gradients.extend(buf_grads)
+            buf_logLs.clear()
+            buf_vols.clear()
+            buf_info.clear()
+            buf_grads.clear()
+
+        while cond > tol and j < K:
+            if max_it and it >= max_it:
+                break
+            if uninformed and (
+                mean_acc < switch_thr or it >= max_uninformed
+            ):
+                # check_state would switch to the flow proposal here
+                break
+            w = float(llogL[0])
+            # pops that cannot beat the current worst point are skipped
+            # inside yield_sample (they count towards the per-iteration
+            # draw count but NOT towards self.rejected, which only counts
+            # pool-exhaustion events)
+            cnt = 1
+            while j < K and pool_l[j] <= w:
+                j += 1
+                cnt += 1
+            if j >= K:
+                # the remaining pops would exhaust the pool mid-iteration;
+                # rewind and let consume_sample() drain them so training /
+                # repopulation happen exactly as in the sequential path
+                j = K - (cnt - 1)
+                break
+            last_w = w
+            # ---- evidence increment (mirrors _NSIntegralState.increment)
+            if w <= lastL:
+                logger.warning(
+                    "NS integrator received non-monotonic logL: "
+                    "%.5f -> %.5f",
+                    lastL,
+                    w,
+                )
+            Wt = logw + w + log1mexp_logt
+            if Wt > logZ:
+                logZ = Wt + log1p(exp(logZ - Wt))
+            elif Wt == -inf_:
+                pass
+            else:
+                logZ = logZ + log1p(exp(Wt - logZ))
+            if isfinite(oldZ):
+                info_v = (
+                    exp(Wt - logZ) * w
+                    + exp(oldZ - logZ) * (info_last + oldZ)
+                    - logZ
+                )
+                if isnan(info_v):
+                    info_v = 0.0
+            else:
+                info_v = 0.0
+            buf_info.append(info_v)
+            info_last = info_v
+            oldZ = logZ
+            logw_prev = logw
+            logw += logt
+            buf_logLs.append(w)
+            buf_vols.append(logw)
+            if track_gradients:
+                buf_grads.append((w - lastL) / (logw - logw_prev))
+            lastL = w
+            # nested sample + dlogZ condition (logLmax pre-insertion)
+            ns_append(R[ids[0]])
+            cond = self._logaddexp(logZ, logLmax + logw) - logZ
+            # ---- accept pool_l[j], insert into the sorted live set
+            p = pool_l[j]
+            pid = n + j
+            j += 1
+            accepted += 1
+            block_acc += 1.0 / cnt
+            R_it[pid] = it
+            idx = int(searchsorted(llogL, p))
+            llogL[0 : idx - 1] = llogL[1:idx]
+            llogL[idx - 1] = p
+            ids[0 : idx - 1] = ids[1:idx]
+            ids[idx - 1] = pid
+            ins_append(idx - 1)
+            last = float(llogL[n - 1])
+            if last > logLmax:
+                logLmax = last
+            it += 1
+            block_it += 1
+            n_done += 1
+            # consume_sample computes this BEFORE the loop increments
+            # block_iteration — the denominator excludes this iteration
+            mean_acc = block_acc / max(block_it - 1, 1)
+            # ---- boundary hooks: run the real update/diagnostic methods
+            if it % hist_interval == 0 or it % n == 0:
+                _sync()
+                self.live_points = R[ids]
+                self.update_state()
+                self.periodically_log_state()
+
+        if not n_done:
+            return False
+        _sync()
+        self.live_points = R[ids]
+        # advance the pool: j entries were popped (from the end of indices)
+        del indices[-j:]
+        if not indices:
+            proposal.populated = False
+        # the sequential loop holds a view of live_points[0] inside the
+        # generator (used as the worst point when repopulating); recreate
+        # it against the rebuilt array
+        self._yield_iter = self.yield_sample(self.live_points[0])
+        if not self.uninformed_sampling:
+            self._flow_proposal.ns_acceptance = self.mean_block_acceptance
+        self.checkpoint(periodic=True)
+        return True
+
     def check_state(self, force: bool = False) -> None:
         """Training/switching checks before each replacement.
 
@@ -674,11 +912,15 @@ class NestedSampler(BaseNestedSampler):
 
         while self.condition > self.tolerance:
             self.check_state()
-            self.consume_sample()
-            self.iteration += 1
-            self.block_iteration += 1
-            self.update_state()
-            self.periodically_log_state()
+            if not (
+                self.batched_bookkeeping
+                and self._consume_from_pool_batched()
+            ):
+                self.consume_sample()
+                self.iteration += 1
+                self.block_iteration += 1
+                self.update_state()
+                self.periodically_log_state()
             if self.max_iteration and self.iteration >= self.max_iteration:
                 logger.warning(
                     "Reached max iteration (%s)", self.max_iteration
