@@ -225,6 +225,7 @@ class RQSCoupling(Bijector):
         activation: str = "relu",
         context_features: Optional[int] = None,
         dropout_probability: float = 0.0,
+        tails: Optional[str] = "linear",
     ):
         mask = np.asarray(mask)
         self.identity_idx = tuple(np.flatnonzero(mask > 0).tolist())
@@ -235,9 +236,15 @@ class RQSCoupling(Bijector):
         self.net = net
         self.activation = activation
         self.dropout_probability = float(dropout_probability)
+        if tails not in ("linear", None):
+            raise ValueError(f"Unknown tails: {tails}")
+        self.tails = tails
+        # 'linear' tails: K-1 interior derivatives; tails=None (unit
+        # interval, nflows semantics): all K+1 knot derivatives
+        self._n_deriv = num_bins - 1 if tails == "linear" else num_bins + 1
         n_id = len(self.identity_idx)
         n_tr = len(self.transform_idx)
-        n_out = n_tr * (3 * num_bins - 1)
+        n_out = n_tr * (2 * num_bins + self._n_deriv)
         self._init_net = _make_conditioner_init(
             net, n_id, n_out, n_neurons, n_layers, context_features
         )
@@ -256,7 +263,9 @@ class RQSCoupling(Bijector):
             rng,
         )
         n_tr = len(self.transform_idx)
-        out = out.reshape(out.shape[:-1] + (n_tr, 3 * self.num_bins - 1))
+        out = out.reshape(
+            out.shape[:-1] + (n_tr, 2 * self.num_bins + self._n_deriv)
+        )
         w = out[..., : self.num_bins]
         h = out[..., self.num_bins : 2 * self.num_bins]
         d = out[..., 2 * self.num_bins :]
@@ -274,7 +283,7 @@ class RQSCoupling(Bijector):
         w, h, d = self._spline_params(params, x_id, context, rng)
         from .. import config as _config
 
-        if _config.compute.use_pallas:
+        if _config.compute.use_pallas and self.tails == "linear":
             # Pallas TPU kernel with an autodiff backward (see
             # nessai_tpu/ops/rqs_pallas.py); enable via
             # nessai_tpu.config.compute.use_pallas = True on TPU.
@@ -285,7 +294,13 @@ class RQSCoupling(Bijector):
             )
         else:
             z_tr, log_det = rational_quadratic_spline(
-                x_tr, w, h, d, inverse=inverse, tail_bound=self.tail_bound
+                x_tr,
+                w,
+                h,
+                d,
+                inverse=inverse,
+                tail_bound=self.tail_bound,
+                tails=self.tails,
             )
         return self._scatter(x_id, z_tr, x.dtype), jnp.sum(log_det, axis=-1)
 

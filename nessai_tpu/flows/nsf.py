@@ -22,6 +22,7 @@ def build_nsf_bijector(
     n_layers: int = 2,
     num_bins: int = 8,
     tail_bound: float = 5.0,
+    tails: Optional[str] = "linear",
     mask=None,
     net: str = "resnet",
     activation: str = "relu",
@@ -53,6 +54,7 @@ def build_nsf_bijector(
                 n_layers=n_layers,
                 num_bins=num_bins,
                 tail_bound=tail_bound,
+                tails=tails,
                 net=net,
                 activation=activation,
                 context_features=context_features,

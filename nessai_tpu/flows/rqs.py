@@ -35,47 +35,63 @@ def rational_quadratic_spline(
     min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
     min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
     min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+    tails: str = "linear",
 ):
-    """Monotone RQ spline on ``[-tail_bound, tail_bound]`` with identity
-    (linear) tails.
+    """Monotone RQ spline.
+
+    With ``tails='linear'`` (default) the spline lives on
+    ``[-tail_bound, tail_bound]`` with identity tails and
+    ``unnormalised_derivatives`` holding the ``K - 1`` interior knots
+    (boundary derivatives fixed to 1). With ``tails=None`` the spline
+    maps ``[0, 1] -> [0, 1]`` (nflows semantics for couplings defined on
+    the unit hypercube) and ``unnormalised_derivatives`` holds all
+    ``K + 1`` knot derivatives; out-of-domain inputs pass through
+    unchanged.
 
     Parameters
     ----------
     inputs : [...,]
     unnormalised_widths / heights : [..., K]
-    unnormalised_derivatives : [..., K - 1] (interior knots; boundary
-        derivatives are fixed to 1 for linear tails)
+    unnormalised_derivatives : [..., K - 1] ('linear') or [..., K + 1]
+        (``tails=None``)
 
     Returns ``(outputs, log_abs_det)`` of the same shape as ``inputs``.
     """
     num_bins = unnormalised_widths.shape[-1]
-    B = tail_bound
+    if tails == "linear":
+        left = bottom = -tail_bound
+        right = top = tail_bound
+    else:
+        left = bottom = 0.0
+        right = top = 1.0
 
-    inside = (inputs >= -B) & (inputs <= B)
+    inside = (inputs >= left) & (inputs <= right)
     # Clamp out-of-range inputs to a safe value so spline math stays finite.
-    x = jnp.where(inside, inputs, 0.0)
+    x = jnp.where(inside, inputs, 0.5 * (left + right))
 
-    widths = _normalise_bins(unnormalised_widths, num_bins, 2 * B, min_bin_width)
+    widths = _normalise_bins(
+        unnormalised_widths, num_bins, right - left, min_bin_width
+    )
     heights = _normalise_bins(
-        unnormalised_heights, num_bins, 2 * B, min_bin_height
+        unnormalised_heights, num_bins, top - bottom, min_bin_height
     )
     cumwidths = jnp.concatenate(
         [
-            jnp.full(widths.shape[:-1] + (1,), -B, widths.dtype),
-            -B + jnp.cumsum(widths, axis=-1),
+            jnp.full(widths.shape[:-1] + (1,), left, widths.dtype),
+            left + jnp.cumsum(widths, axis=-1),
         ],
         axis=-1,
     )
     cumheights = jnp.concatenate(
         [
-            jnp.full(heights.shape[:-1] + (1,), -B, heights.dtype),
-            -B + jnp.cumsum(heights, axis=-1),
+            jnp.full(heights.shape[:-1] + (1,), bottom, heights.dtype),
+            bottom + jnp.cumsum(heights, axis=-1),
         ],
         axis=-1,
     )
     # Pin the endpoints exactly.
-    cumwidths = cumwidths.at[..., -1].set(B)
-    cumheights = cumheights.at[..., -1].set(B)
+    cumwidths = cumwidths.at[..., -1].set(right)
+    cumheights = cumheights.at[..., -1].set(top)
     widths = cumwidths[..., 1:] - cumwidths[..., :-1]
     heights = cumheights[..., 1:] - cumheights[..., :-1]
 
@@ -85,8 +101,9 @@ def rational_quadratic_spline(
     derivatives = min_derivative + jax.nn.softplus(
         unnormalised_derivatives + shift
     )
-    ones = jnp.ones(derivatives.shape[:-1] + (1,), derivatives.dtype)
-    derivatives = jnp.concatenate([ones, derivatives, ones], axis=-1)
+    if tails == "linear":
+        ones = jnp.ones(derivatives.shape[:-1] + (1,), derivatives.dtype)
+        derivatives = jnp.concatenate([ones, derivatives, ones], axis=-1)
 
     # Vectorised bin search: index of the bin containing x.
     ref = cumheights if inverse else cumwidths
@@ -131,6 +148,11 @@ def rational_quadratic_spline(
         )
         log_det = jnp.log(dydx_num) - 2 * jnp.log(denom)
 
+    if tails != "linear":
+        # float rounding can land outputs a few ulp outside the box,
+        # which a uniform base distribution maps to -inf — pin them
+        lo, hi = (left, right) if inverse else (bottom, top)
+        outputs = jnp.clip(outputs, lo, hi)
     outputs = jnp.where(inside, outputs, inputs)
     log_det = jnp.where(inside, log_det, 0.0)
     return outputs, log_det

@@ -134,6 +134,7 @@ def configure_model(config: dict):
         "batch_norm_between_layers",
         "num_bins",
         "tail_bound",
+        "tails",
         "pre_transform",
         "volume_preserving",
         "context_features",

@@ -457,13 +457,22 @@ class Model(ABC):
         out = self._jax_lp_jit(jnp.asarray(arr, jnp.float32))
         return np.asarray(out, dtype=float)[:n]
 
-    def batch_evaluate_log_prior_unit_hypercube(self, x) -> np.ndarray:
-        """Log prior density *in the unit hypercube* (zero for the
-        standard inverse-CDF mapping). Reference: ``nessai/model.py:700``.
+    def log_prior_unit_hypercube(self, x) -> np.ndarray:
+        """Log-prior density *in the unit hypercube*.
+
+        By default zero inside the hypercube (the standard inverse-CDF
+        mapping); override together with ``from_unit_hypercube`` when
+        the hypercube mapping is not prior-uniformising (see
+        ``examples/importance_nested_sampler/hypercube_prior.py``).
+        Reference: ``nessai/model.py:593``.
         """
-        out = np.zeros(len(x))
+        out = np.zeros(len(np.atleast_1d(x)))
         out[~self.in_unit_hypercube(x)] = -np.inf
         return out
+
+    def batch_evaluate_log_prior_unit_hypercube(self, x) -> np.ndarray:
+        """Reference: ``nessai/model.py:710``."""
+        return np.asarray(self.log_prior_unit_hypercube(x), dtype=float)
 
     def sample_unit_hypercube(self, n: int = 1) -> np.ndarray:
         """Uniform draws in the unit hypercube as live points.

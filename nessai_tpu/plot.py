@@ -214,16 +214,30 @@ def corner_plot(
     truths=None,
     labels=None,
     filename=None,
+    include=None,
+    exclude=None,
     **kwargs,
 ):
     """Corner plot; uses the ``corner`` package when available, otherwise
-    a seaborn pair grid. Reference: ``nessai/plot.py:647``."""
+    a seaborn pair grid. ``include``/``exclude`` match the reference
+    signature (``nessai/plot.py:648``); ``parameters`` is an alias for
+    ``include``. Fields with no dynamic range are dropped."""
+    if parameters is None:
+        parameters = include
     if parameters is None:
         parameters = [
             n
             for n in live_points.dtype.names
             if n not in config.livepoints.non_sampling_parameters
         ]
+    if exclude:
+        parameters = [n for n in parameters if n not in exclude]
+    # drop fields with no dynamic range (as the reference does)
+    parameters = [
+        n
+        for n in parameters
+        if np.ptp(np.asarray(live_points[n], dtype=float)) > 0
+    ]
     arr = live_points_to_array(live_points, parameters)
     try:
         import corner

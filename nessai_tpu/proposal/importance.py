@@ -49,7 +49,9 @@ class ImportanceFlowProposal(Proposal):
         self.output = output
         self.level_count = -1
         self.weighted_kl = weighted_kl
-        self._reset_flow = reset_flow
+        # int: reset every N levels; bool: always/never
+        # (reference ``nessai/proposal/importance.py:93,130-135``)
+        self.reset_flow = int(reset_flow)
         self.clip = clip
         if reparameterisation not in ("logit", None, "none"):
             raise ValueError(
@@ -72,6 +74,15 @@ class ImportanceFlowProposal(Proposal):
         self.dtype = get_dtype(model.names)
 
     # ------------------------------------------------------------------
+    @property
+    def _should_reset_flow(self) -> bool:
+        """Reset the flow this level? ``reset_flow`` may be an int N
+        (reset every N levels) or a bool. Reference:
+        ``nessai/proposal/importance.py:130-135``."""
+        if not self.reset_flow or self.level_count % self.reset_flow:
+            return False
+        return True
+
     @property
     def n_proposals(self) -> int:
         return self.flow.n_models + 1
@@ -212,7 +223,7 @@ class ImportanceFlowProposal(Proposal):
         else:
             weights = None
 
-        self.flow.add_new_flow(reset=self._reset_flow)
+        self.flow.add_new_flow(reset=self._should_reset_flow)
         logger.debug("Training level %d with %d samples", self.level_count, len(x_prime))
         self.flow.train(x_prime, weights=weights, **kwargs)
         self.training_count += 1

@@ -229,6 +229,9 @@ class ImportanceNestedSampler(BaseNestedSampler):
             stopping_criterion, tolerance, check_criteria
         )
 
+        # extra kwargs go to the proposal, as in the reference
+        # (``nessai/samplers/importancesampler.py:449,684-688``) — e.g.
+        # reparameterisation=None for flows defined on the unit hypercube
         self.proposal = ImportanceFlowProposal(
             self.model,
             output=os.path.join(self.output, "levels", ""),
@@ -237,6 +240,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
             weighted_kl=weighted_kl,
             reset_flow=reset_flow,
             rng=self.rng,
+            **kwargs,
         )
 
         self.training_samples = OrderedSamples(
