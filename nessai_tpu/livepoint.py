@@ -34,6 +34,9 @@ def add_extra_parameters_to_live_points(parameters: List[str], default_values=No
 
     Reference: ``nessai/livepoint.py:17``.
     """
+    import logging
+
+    logger = logging.getLogger(__name__)
     if default_values is None:
         default_values = len(parameters) * [np.nan]
     default_values = tuple(default_values)
@@ -45,6 +48,13 @@ def add_extra_parameters_to_live_points(parameters: List[str], default_values=No
             )
             config.livepoints.extra_parameters_defaults = (
                 config.livepoints.extra_parameters_defaults + (dv,)
+            )
+        else:
+            logger.warning(
+                "Extra parameter `%s` has already been added. Skipping. "
+                "Call `reset_extra_live_points_parameters` to reset the "
+                "values and add this parameter.",
+                p,
             )
 
 

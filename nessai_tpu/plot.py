@@ -68,62 +68,139 @@ def _save_or_return(fig, filename):
 
 @nessai_style()
 def plot_live_points(live_points, filename=None, bounds=None, c=None, **kwargs):
-    """Corner-style pair plot of live points. Reference:
-    ``nessai/plot.py:31``."""
+    """Corner-style pair plot of live points. Drops all-NaN columns and
+    non-finite rows; a constant hue variable is disabled with a warning;
+    ``bounds`` adds prior-bound markers on the diagonal. Reference:
+    ``nessai/plot.py:101``."""
     import pandas as pd
     import seaborn as sns
 
     df = pd.DataFrame(
         {
-            n: np.asarray(live_points[n])
+            n: np.asarray(live_points[n], dtype=float)
             for n in live_points.dtype.names
             if n not in config.livepoints.non_sampling_parameters
         }
     )
+    df = df.dropna(axis="columns", how="all")
+    df = df[np.isfinite(df).all(1)]
     if df.shape[1] > 10:
         logger.warning("Too many parameters for pair plot; truncating to 10")
         df = df.iloc[:, :10]
     hue = None
     if c is not None and c in live_points.dtype.names:
-        df[c] = live_points[c]
-        hue = c
-    g = sns.PairGrid(df, corner=True, diag_sharey=False, hue=hue)
+        vals = np.asarray(live_points[c])[np.asarray(df.index)]
+        if np.all(vals == vals[0]):
+            logger.warning(
+                "Selected hue variable: %s is constant! Disabling.", c
+            )
+        else:
+            df[c] = vals
+            hue = c
+    g = sns.PairGrid(
+        df, corner=True, diag_sharey=False, hue=hue, vars=[
+            col for col in df.columns if col != hue
+        ]
+    )
     g.map_diag(sns.histplot)
     g.map_offdiag(sns.scatterplot, s=2.0)
+    if bounds is not None:
+        for i, v in enumerate(bounds.values()):
+            g.axes[i, i].axvline(v[0], ls=":", alpha=0.5, color="k")
+            g.axes[i, i].axvline(v[1], ls=":", alpha=0.5, color="k")
     return _save_or_return(g.figure, filename)
 
 
 @nessai_style()
 def plot_1d_comparison(
-    *live_points, parameters=None, labels=None, colours=None, filename=None, **kwargs
+    *live_points,
+    parameters=None,
+    labels=None,
+    colours=None,
+    bounds=None,
+    hist_kwargs=None,
+    filename=None,
+    convert_to_live_points: bool = False,
 ):
-    """Overlaid 1-D histograms of multiple sample sets. Reference:
-    ``nessai/plot.py:101``."""
-    if parameters is None:
+    """Overlaid 1-D histograms of multiple sample sets.
+
+    Accepts structured live-point arrays, or plain arrays with
+    ``convert_to_live_points=True``; validates label/colour list
+    lengths; skips all-NaN parameters; ``bounds`` adds prior-bound
+    markers. Reference: ``nessai/plot.py:188``.
+    """
+    if convert_to_live_points:
+        live_points = list(live_points)
+        if parameters is None:
+            parameters = list(range(live_points[0].shape[-1]))
+        for i in range(len(live_points)):
+            live_points[i] = {
+                k: v for k, v in zip(parameters, live_points[i].T)
+            }
+    elif any(lp.dtype.names is None for lp in live_points):
+        raise RuntimeError(
+            "Live points are not structured arrays. "
+            "Set `convert_to_live_points=True`."
+        )
+    elif parameters is None:
         parameters = [
             n
             for n in live_points[0].dtype.names
             if n not in config.livepoints.non_sampling_parameters
         ]
     if labels is None:
-        labels = [f"set {i}" for i in range(len(live_points))]
+        labels = [str(i) for i in range(len(live_points))]
+    elif len(labels) != len(live_points):
+        raise ValueError(
+            "Length of labels list must match number of arrays being "
+            "plotted."
+        )
+    if colours is None:
+        import seaborn as sns
+
+        colours = sns.color_palette()
+        colours = int(np.ceil(len(live_points) / len(colours))) * colours
+    elif len(colours) != len(live_points):
+        raise ValueError(
+            "Length of colours list must match number of arrays being "
+            "plotted."
+        )
     n = len(parameters)
     fig, axs = plt.subplots(n, 1, figsize=(4, 2 * n), squeeze=False)
     for i, p in enumerate(parameters):
+        finite_points = []
+        include = []
         for j, lp in enumerate(live_points):
             vals = np.asarray(lp[p], dtype=float)
-            vals = vals[np.isfinite(vals)]
-            if not len(vals):
+            if np.isnan(vals).all():
                 continue
+            idx = np.isfinite(vals)
+            if idx.any():
+                finite_points.append(vals[idx])
+                include.append(j)
+        if not include:
+            logger.warning("No finite points for %s, skipping.", p)
+            continue
+        xmin = min(v.min() for v in finite_points)
+        xmax = max(v.max() for v in finite_points)
+        for j, vals in enumerate(finite_points):
+            orig = include[j]
             axs[i, 0].hist(
                 vals,
                 bins=30,
                 histtype="step",
+                range=(xmin, xmax),
                 density=True,
-                label=labels[j],
+                label=labels[orig],
+                color=colours[orig],
+                **(hist_kwargs or {}),
             )
         axs[i, 0].set_xlabel(p)
-    axs[0, 0].legend()
+        if bounds is not None and p in bounds:
+            axs[i, 0].axvline(bounds[p][0], ls=":", alpha=0.5, color="k")
+            axs[i, 0].axvline(bounds[p][1], ls=":", alpha=0.5, color="k")
+    if axs[0, 0].get_legend_handles_labels()[0]:
+        axs[0, 0].legend()
     fig.tight_layout()
     return _save_or_return(fig, filename)
 
@@ -176,7 +253,14 @@ def plot_loss(epoch, history, filename=None):
 
 
 @nessai_style()
-def plot_trace(log_x, nested_samples, parameters=None, filename=None, **kwargs):
+def plot_trace(
+    log_x,
+    nested_samples,
+    parameters=None,
+    labels=None,
+    filename=None,
+    **kwargs,
+):
     """logX vs parameter trace plots. Reference: ``nessai/plot.py:495``."""
     nested_samples = np.asarray(nested_samples)
     if parameters is None:
@@ -185,12 +269,17 @@ def plot_trace(log_x, nested_samples, parameters=None, filename=None, **kwargs):
             for n in nested_samples.dtype.names
             if n not in config.livepoints.non_sampling_parameters
         ]
+    if labels is not None and len(labels) != len(parameters):
+        raise ValueError(
+            f"List of labels is the wrong length ({len(labels)}) for the "
+            f"parameters: {parameters}."
+        )
     n = len(parameters)
     fig, axs = plt.subplots(n, 1, figsize=(5, 2 * n), sharex=True, squeeze=False)
     log_x = np.asarray(log_x)[: len(nested_samples)]
     for i, p in enumerate(parameters):
         axs[i, 0].plot(log_x, nested_samples[p][: len(log_x)], ",")
-        axs[i, 0].set_ylabel(p)
+        axs[i, 0].set_ylabel(labels[i] if labels is not None else p)
     axs[-1, 0].set_xlabel("log X")
     axs[-1, 0].invert_xaxis()
     fig.tight_layout()

@@ -164,6 +164,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         n_update: Optional[int] = None,
         plot_pool: bool = False,
         plot_trace: bool = True,
+        plot_likelihood_levels: bool = True,
+        plot_level_cdf: bool = False,
         plot_training_data: bool = False,
         replace_all: bool = False,
         threshold_method: Literal["entropy", "quantile"] = "entropy",
@@ -223,6 +225,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.plotting_frequency = plotting_frequency
         self._plot_pool = plot_pool
         self._plot_trace = plot_trace
+        self._plot_likelihood_levels = plot_likelihood_levels
+        self._plot_level_cdf = plot_level_cdf
         self.plot_training_data = plot_training_data
 
         self.configure_stopping_criterion(
@@ -457,7 +461,18 @@ class ImportanceNestedSampler(BaseNestedSampler):
         if cdf[-1] == 0:
             cdf = np.arange(len(p), dtype=float)
         cdf = cdf / cdf[-1]
-        return int(np.argmax(cdf >= q))
+        n = int(np.argmax(cdf >= q))
+        if self.plot and self._plot_level_cdf:
+            self.plot_level_cdf(
+                samples["logL"],
+                cdf,
+                threshold=float(samples["logL"][n]),
+                q=q,
+                filename=os.path.join(
+                    self.output, "levels", f"level_cdf_{self.iteration}.png"
+                ),
+            )
+        return n
 
     def determine_log_likelihood_threshold(
         self, samples, method="entropy", **kwargs
@@ -764,6 +779,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
             self.log_state()
             self.update_history()
             self.iteration += 1
+            if not self.iteration % self.plotting_frequency:
+                self.produce_plots()
             if self.checkpointing:
                 self.checkpoint(periodic=True)
             if self.iteration >= self.max_iteration:
@@ -884,24 +901,43 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.update_evidence()
         return samples
 
-    def plot_likelihood_levels(self, filename: Optional[str] = None):
-        """Histogram of logL per level. Reference:
-        ``importancesampler.py:1950``."""
+    def plot_likelihood_levels(
+        self,
+        filename: Optional[str] = None,
+        cmap: str = "viridis",
+        max_bins: int = 50,
+    ):
+        """Per-level logL distributions: full range plus a panel zoomed
+        to the final level. Reference: ``importancesampler.py:2163``."""
         try:
             import matplotlib.pyplot as plt
 
+            from ..utils.hist import auto_bins
+
             s = self.samples_unit
             its = np.unique(s["it"])
-            fig = plt.figure()
-            for it in its:
+            colours = plt.get_cmap(cmap)(np.linspace(0, 1, len(its)))
+            finite = np.isfinite(s["logL"])
+            vmax = np.max(s["logL"][finite])
+            last = (s["it"] == its[-1]) & finite
+            vmin = np.min(s["logL"][last]) if last.any() else None
+
+            fig, axs = plt.subplots(1, 2, figsize=(10, 4))
+            for it, c in zip(its, colours):
                 vals = s["logL"][s["it"] == it]
                 vals = vals[np.isfinite(vals)]
-                if len(vals):
-                    plt.hist(
-                        vals, bins=30, histtype="step", label=f"level {it}"
+                if not len(vals):
+                    continue
+                bins = auto_bins(vals, max_bins=max_bins)
+                for ax in axs:
+                    ax.hist(
+                        vals, bins, histtype="step", color=c, density=True
                     )
-            plt.xlabel("logL")
-            plt.legend(fontsize=6)
+                    ax.set_xlabel("Log-likelihood")
+            axs[0].set_ylabel("Density")
+            if vmin is not None:
+                axs[1].set_xlim(vmin, vmax)
+            fig.tight_layout()
             if filename:
                 fig.savefig(filename, bbox_inches="tight")
                 plt.close(fig)
@@ -909,6 +945,34 @@ class ImportanceNestedSampler(BaseNestedSampler):
             return fig
         except Exception as e:  # pragma: no cover
             logger.warning("Could not plot likelihood levels: %s", e)
+
+    def plot_level_cdf(
+        self,
+        log_likelihood_values: np.ndarray,
+        cdf: np.ndarray,
+        threshold: float,
+        q: float,
+        filename: Optional[str] = None,
+    ):
+        """CDF used to pick the next threshold. Reference:
+        ``importancesampler.py:944``."""
+        try:
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure()
+            plt.plot(log_likelihood_values, cdf)
+            plt.xlabel("Log-likelihood")
+            plt.title("CDF")
+            plt.axhline(q, c="C1")
+            plt.axvline(threshold, c="C1")
+            if filename:
+                os.makedirs(os.path.dirname(filename), exist_ok=True)
+                fig.savefig(filename, bbox_inches="tight")
+                plt.close(fig)
+                return None
+            return fig
+        except Exception as e:  # pragma: no cover
+            logger.warning("Could not plot level CDF: %s", e)
 
     def finalise(self) -> None:
         """Reference: ``importancesampler.py:1350``."""
@@ -1127,6 +1191,13 @@ class ImportanceNestedSampler(BaseNestedSampler):
                     -np.arange(len(ns)) / max(self.nlive, 1),
                     ns,
                     filename=os.path.join(self.output, "trace.png"),
+                )
+            if (
+                self._plot_likelihood_levels
+                and self.samples_unit is not None
+            ):
+                self.plot_likelihood_levels(
+                    os.path.join(self.output, "likelihood_levels.png")
                 )
         except Exception as e:  # pragma: no cover
             logger.warning("Could not produce INS plots: %s", e)

@@ -1,0 +1,231 @@
+"""Deep branch tests for the plotting module.
+
+Mirrors the high-value assertions of the reference's ``test_plot.py``
+(616 LoC): bounds/hue/NaN handling, label & colour validation,
+unstructured-array conversion, save-vs-return semantics.
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+from nessai_tpu import config
+from nessai_tpu.livepoint import numpy_array_to_live_points
+from nessai_tpu.plot import (
+    corner_plot,
+    nessai_style,
+    plot_1d_comparison,
+    plot_histogram,
+    plot_indices,
+    plot_live_points,
+    plot_loss,
+    plot_trace,
+)
+
+
+@pytest.fixture()
+def live_points(rng):
+    return numpy_array_to_live_points(
+        rng.normal(size=(50, 2)), ["x", "y"]
+    )
+
+
+@pytest.fixture()
+def live_points_1(rng):
+    return numpy_array_to_live_points(
+        rng.normal(loc=1.0, size=(50, 2)), ["x", "y"]
+    )
+
+
+@pytest.fixture(autouse=True)
+def _close_figures():
+    yield
+    plt.close("all")
+
+
+class TestPlotLivePoints:
+    def test_bounds(self, live_points):
+        fig = plot_live_points(
+            live_points, bounds={"x": [-3, 3], "y": [-3, 3]}
+        )
+        assert fig is not None
+
+    def test_hue(self, live_points, rng):
+        live_points["logL"] = rng.normal(size=50)
+        fig = plot_live_points(live_points, c="logL")
+        assert fig is not None
+
+    def test_constant_hue_disabled(self, live_points, caplog):
+        live_points["logL"] = 1.0
+        with caplog.at_level("WARNING"):
+            fig = plot_live_points(live_points, c="logL")
+        assert fig is not None
+        assert "constant" in caplog.text
+
+    def test_nan_column_dropped(self, live_points):
+        live_points["y"] = np.nan
+        fig = plot_live_points(live_points)
+        assert fig is not None
+
+    def test_nan_rows_dropped(self, live_points):
+        live_points["y"][:10] = np.nan
+        fig = plot_live_points(live_points)
+        assert fig is not None
+
+    def test_save(self, live_points, tmp_path):
+        out = tmp_path / "lp.png"
+        assert plot_live_points(live_points, filename=str(out)) is None
+        assert out.exists()
+
+
+class TestPlot1dComparison:
+    def test_unstructured_requires_flag(self, rng):
+        with pytest.raises(RuntimeError, match="not structured"):
+            plot_1d_comparison(rng.normal(size=(10, 2)))
+
+    def test_unstructured_with_flag(self, rng):
+        fig = plot_1d_comparison(
+            rng.normal(size=(10, 2)),
+            rng.normal(size=(10, 2)),
+            convert_to_live_points=True,
+        )
+        assert fig is not None
+
+    def test_labels_length_validation(self, live_points, live_points_1):
+        with pytest.raises(ValueError, match="labels"):
+            plot_1d_comparison(
+                live_points, live_points_1, labels=["only-one"]
+            )
+
+    def test_colours_length_validation(self, live_points, live_points_1):
+        with pytest.raises(ValueError, match="colours"):
+            plot_1d_comparison(live_points, live_points_1, colours=["C0"])
+
+    def test_custom_labels_and_colours(self, live_points, live_points_1):
+        fig = plot_1d_comparison(
+            live_points,
+            live_points_1,
+            labels=["a", "b"],
+            colours=["C0", "C3"],
+        )
+        assert fig is not None
+
+    def test_more_sets_than_palette(self, rng):
+        sets = [
+            numpy_array_to_live_points(rng.normal(size=(20, 1)), ["x"])
+            for _ in range(12)
+        ]
+        fig = plot_1d_comparison(*sets)
+        assert fig is not None
+
+    def test_all_nan_parameter_skipped(
+        self, live_points, live_points_1, caplog
+    ):
+        live_points["x"] = np.nan
+        live_points_1["x"] = np.nan
+        with caplog.at_level("WARNING"):
+            fig = plot_1d_comparison(live_points, live_points_1)
+        assert fig is not None
+        assert "skipping" in caplog.text
+
+    def test_partial_nan(self, live_points, live_points_1):
+        live_points["x"][:25] = np.nan
+        fig = plot_1d_comparison(live_points, live_points_1)
+        assert fig is not None
+
+    def test_bounds(self, live_points):
+        fig = plot_1d_comparison(live_points, bounds={"x": [-3, 3]})
+        assert fig is not None
+
+    def test_hist_kwargs_and_save(self, live_points, tmp_path):
+        out = tmp_path / "cmp.png"
+        assert (
+            plot_1d_comparison(
+                live_points,
+                hist_kwargs={"lw": 2.0},
+                filename=str(out),
+            )
+            is None
+        )
+        assert out.exists()
+
+    def test_parameter_subset(self, live_points, live_points_1):
+        fig = plot_1d_comparison(
+            live_points, live_points_1, parameters=["y"]
+        )
+        assert fig is not None
+
+
+class TestPlotIndices:
+    def test_empty_returns_none(self):
+        assert plot_indices([], 100) is None
+
+    def test_breakdown_toggle(self, rng):
+        idx = rng.integers(0, 100, size=500)
+        fig = plot_indices(idx, 100, plot_breakdown=False)
+        assert len(fig.axes) == 1
+        fig = plot_indices(idx, 100, plot_breakdown=True)
+        assert len(fig.axes) == 2
+
+    def test_save(self, rng, tmp_path):
+        out = tmp_path / "idx.png"
+        assert (
+            plot_indices(rng.integers(0, 50, 200), 50, filename=str(out))
+            is None
+        )
+        assert out.exists()
+
+
+class TestPlotTrace:
+    def test_labels(self, rng):
+        ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
+        fig = plot_trace(-np.arange(30) / 10, ns, labels=["$x$", "$y$"])
+        assert fig.axes[0].get_ylabel() == "$x$"
+
+    def test_labels_wrong_length(self, rng):
+        ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
+        with pytest.raises(ValueError, match="wrong length"):
+            plot_trace(-np.arange(30) / 10, ns, labels=["only-one"])
+
+    def test_parameter_subset(self, rng):
+        ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
+        fig = plot_trace(-np.arange(30) / 10, ns, parameters=["y"])
+        assert len(fig.axes) == 1
+
+
+class TestStyleAndMisc:
+    def test_nessai_style_disable(self):
+        config.plotting.disable_style = True
+        try:
+
+            @nessai_style()
+            def f():
+                return plt.rcParams["axes.prop_cycle"]
+
+            f()
+        finally:
+            config.plotting.disable_style = False
+
+    def test_plot_loss_symlog(self, tmp_path):
+        history = dict(loss=[3.0, 1.0, -2.0], val_loss=[3.5, 1.5, -1.0])
+        out = tmp_path / "loss.png"
+        assert plot_loss(1, history, filename=str(out)) is None
+        assert out.exists()
+
+    def test_plot_histogram(self, rng):
+        fig = plot_histogram(rng.normal(size=100), label="x")
+        assert fig is not None
+
+    def test_corner_plot_truths(self, live_points, tmp_path):
+        out = tmp_path / "corner.png"
+        assert (
+            corner_plot(
+                live_points, truths=[0.0, 0.0], filename=str(out)
+            )
+            is None
+        )
+        assert out.exists()

@@ -271,3 +271,43 @@ class TestCornerPlotSignature:
         x["x_0"] = 1.0
         fig = corner_plot(x, include=["x_0", "x_1"])
         assert fig is not None
+
+
+class TestINSPlots:
+    def test_likelihood_levels_and_cdf_plots(self, tmp_path, model):
+        """Periodic plots (state/trace/likelihood-levels) are produced
+        during the loop and the level-CDF plot is written when enabled.
+        Reference: ``importancesampler.py:1548,2163,944``."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import os
+
+        from nessai_tpu.samplers.importancesampler import (
+            ImportanceNestedSampler,
+        )
+
+        ins = ImportanceNestedSampler(
+            model,
+            nlive=100,
+            min_samples=10,
+            output=str(tmp_path),
+            seed=2,
+            plot=True,
+            plotting_frequency=1,
+            plot_level_cdf=True,
+            checkpointing=False,
+            min_iteration=2,
+            max_iteration=3,
+            flow_config=dict(n_blocks=2, n_neurons=4),
+            training_config=dict(max_epochs=5, patience=3, batch_size=50),
+        )
+        ins.nested_sampling_loop()
+        assert os.path.exists(tmp_path / "likelihood_levels.png")
+        assert os.path.exists(tmp_path / "state.png")
+        assert os.path.exists(tmp_path / "trace.png")
+        cdfs = list((tmp_path / "levels").glob("level_cdf_*.png"))
+        assert cdfs, "no level CDF plots written"
+        # direct figure return without filename
+        fig = ins.plot_likelihood_levels()
+        assert fig is not None
