@@ -166,7 +166,7 @@ class AffineCoupling(Bijector):
     def init(self, key):
         return {"net": self._init_net(key)}
 
-    def _scale_shift(self, params, x_id, context, rng=None):
+    def _raw_scale_shift(self, params, x_id, context, rng=None):
         out = _apply_conditioner(
             self.net,
             params["net"],
@@ -179,10 +179,38 @@ class AffineCoupling(Bijector):
         n_tr = len(self.transform_idx)
         if self.volume_preserving:
             return jnp.zeros_like(out), out
-        raw_s, t = out[..., :n_tr], out[..., n_tr:]
+        return out[..., :n_tr], out[..., n_tr:]
+
+    def _scale_shift(self, params, x_id, context, rng=None):
+        raw_s, t = self._raw_scale_shift(params, x_id, context, rng)
+        if self.volume_preserving:
+            return raw_s, t
         # Soft-clamp the log-scale for stability.
         s = self.scale_limit * jnp.tanh(raw_s / self.scale_limit)
         return s, t
+
+    def _use_pallas(self, x) -> bool:
+        from .. import config as _config
+
+        return (
+            _config.compute.use_pallas
+            and not self.volume_preserving
+            and x.ndim == 2
+        )
+
+    def _pallas_transform(self, params, x, context, inverse, rng):
+        """Fused Pallas kernel path (clamp + affine + log-det reduction
+        in one VMEM-resident kernel; see ops/coupling_pallas.py) with an
+        autodiff backward so it also serves the training path."""
+        from ..ops.coupling_pallas import affine_coupling_pallas_vjp
+
+        x_id = x[..., list(self.identity_idx)]
+        x_tr = x[..., list(self.transform_idx)]
+        raw_s, t = self._raw_scale_shift(params, x_id, context, rng)
+        z_tr, log_det = affine_coupling_pallas_vjp(
+            x_tr, raw_s, t, inverse, float(self.scale_limit)
+        )
+        return self._scatter(x_id, z_tr, x.dtype), log_det
 
     def _scatter(self, x_id, x_tr, dtype):
         out = jnp.zeros(x_id.shape[:-1] + (self.dim,), dtype)
@@ -191,6 +219,8 @@ class AffineCoupling(Bijector):
         return out
 
     def forward(self, params, x, context=None, rng=None):
+        if self._use_pallas(x):
+            return self._pallas_transform(params, x, context, False, rng)
         x_id = x[..., list(self.identity_idx)]
         x_tr = x[..., list(self.transform_idx)]
         s, t = self._scale_shift(params, x_id, context, rng)
@@ -199,6 +229,8 @@ class AffineCoupling(Bijector):
         return self._scatter(x_id, z_tr, x.dtype), log_det
 
     def inverse(self, params, z, context=None, rng=None):
+        if self._use_pallas(z):
+            return self._pallas_transform(params, z, context, True, rng)
         z_id = z[..., list(self.identity_idx)]
         z_tr = z[..., list(self.transform_idx)]
         s, t = self._scale_shift(params, z_id, context, rng)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["affine_coupling_transform"]
+__all__ = ["affine_coupling_transform", "affine_coupling_pallas_vjp"]
 
 
 def _kernel(x_ref, s_ref, t_ref, out_ref, ld_ref, *, inverse, clamp):
@@ -76,3 +76,43 @@ def affine_coupling_transform(
         shift.astype(jnp.float32),
     )
     return out[:n], ld[:n, 0]
+
+
+def _reference_transform(x, raw_scale, shift, inverse, clamp):
+    """jnp reference used for the autodiff backward (identical math to
+    the kernel and to ``AffineCoupling``'s soft-clamped transform)."""
+    s = clamp * jnp.tanh(raw_scale / clamp)
+    if inverse:
+        return (x - shift) * jnp.exp(-s), -jnp.sum(s, axis=-1)
+    return x * jnp.exp(s) + shift, jnp.sum(s, axis=-1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def affine_coupling_pallas_vjp(x, raw_scale, shift, inverse=False, clamp=5.0):
+    """Affine coupling with the Pallas forward and an autodiff backward
+    (via the jnp reference), so the kernel can sit on the training
+    path — same pattern as ``rqs_pallas_vjp``."""
+    return affine_coupling_transform(
+        x, raw_scale, shift, inverse=inverse, clamp=clamp
+    )
+
+
+def _ac_fwd(x, raw_scale, shift, inverse, clamp):
+    out = affine_coupling_transform(
+        x, raw_scale, shift, inverse=inverse, clamp=clamp
+    )
+    return out, (x, raw_scale, shift)
+
+
+def _ac_bwd(inverse, clamp, residuals, cotangents):
+    x, raw_scale, shift = residuals
+    _, vjp = jax.vjp(
+        lambda xx, ss, tt: _reference_transform(xx, ss, tt, inverse, clamp),
+        x,
+        raw_scale,
+        shift,
+    )
+    return vjp(cotangents)
+
+
+affine_coupling_pallas_vjp.defvjp(_ac_fwd, _ac_bwd)

@@ -73,3 +73,31 @@ def test_affine_coupling_roundtrip(rng):
     x2, ld_inv = affine_coupling_transform(z, s, t, inverse=True, interpret=True)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-5)
+
+
+def test_affine_coupling_vjp_reference_matches_bijector(rng):
+    """The jnp reference used for the Pallas backward must match the
+    AffineCoupling soft-clamp math exactly (same clamp, same log-det)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nessai_tpu.ops.coupling_pallas import _reference_transform
+
+    x = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    raw = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(16, 3)), jnp.float32)
+    clamp = 5.0
+    y, ld = _reference_transform(x, raw, t, False, clamp)
+    s = clamp * jnp.tanh(raw / clamp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x * jnp.exp(s) + t))
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(jnp.sum(s, axis=-1)))
+    # inverse undoes forward
+    x2, ld2 = _reference_transform(y, raw, t, True, clamp)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-5)
+    # gradients flow through all three inputs
+    g = jax.grad(
+        lambda a, b, c: jnp.sum(_reference_transform(a, b, c, False, clamp)[0])
+    )
+    ga = g(x, raw, t)
+    assert bool(jnp.all(jnp.isfinite(ga)))
