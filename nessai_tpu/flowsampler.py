@@ -43,6 +43,7 @@ class FlowSampler:
         max_threads=None,
         signal_handling: bool = True,
         close_pool: bool = True,
+        result_extension: str = "hdf5",
         disable_vectorisation: bool = False,
         likelihood_chunksize: Optional[int] = None,
         allow_multi_valued_likelihood: Optional[bool] = None,
@@ -60,6 +61,7 @@ class FlowSampler:
         enable_compilation_cache()
         self.exit_code = exit_code
         self.close_pool = close_pool
+        self.result_extension = result_extension
         self._result = None
         self.importance_nested_sampler = importance_nested_sampler
 
@@ -206,7 +208,8 @@ class FlowSampler:
         )
         if save:
             self.save_results(
-                os.path.join(self.output, "result"), extension="hdf5"
+                os.path.join(self.output, "result"),
+                extension=self.result_extension,
             )
         if plot:
             from . import plot as _plot
@@ -236,10 +239,12 @@ class FlowSampler:
     def run_importance_nested_sampler(
         self,
         plot: bool = True,
+        plot_posterior: bool = True,
         save: bool = True,
         posterior_sampling_method: str = "importance_sampling",
         redraw_samples: bool = False,
         n_posterior_samples: Optional[int] = None,
+        compute_initial_posterior: bool = False,
         close_pool: Optional[bool] = None,
         **kwargs,
     ):
@@ -251,9 +256,13 @@ class FlowSampler:
         logger.info("Total sampling time: %s", self.ns.sampling_time)
         if redraw_samples:
             logger.info("Redrawing %s samples", n_posterior_samples)
-            self.initial_posterior_samples = self.ns.draw_posterior_samples(
-                sampling_method=posterior_sampling_method, use_final_samples=False
-            )
+            if compute_initial_posterior:
+                self.initial_posterior_samples = (
+                    self.ns.draw_posterior_samples(
+                        sampling_method=posterior_sampling_method,
+                        use_final_samples=False,
+                    )
+                )
             self.ns.draw_final_samples(
                 n_post=n_posterior_samples, **kwargs
             )
@@ -261,12 +270,27 @@ class FlowSampler:
             sampling_method=posterior_sampling_method,
             use_final_samples=redraw_samples,
         )
+        if not redraw_samples:
+            self.initial_posterior_samples = self.posterior_samples
+        logger.info(
+            "Returned %s posterior samples", self.posterior_samples.size
+        )
         if save:
             self.save_results(
-                os.path.join(self.output, "result"), extension="hdf5"
+                os.path.join(self.output, "result"),
+                extension=self.result_extension,
             )
         if plot:
             self.ns.produce_plots()
+            if plot_posterior:
+                from .plot import plot_live_points
+
+                plot_live_points(
+                    self.posterior_samples,
+                    filename=os.path.join(
+                        self.output, "posterior_distribution.png"
+                    ),
+                )
         if close_pool:
             self.ns.model.close_pool()
         return self.logZ, self.nested_samples

@@ -311,3 +311,64 @@ class TestINSPlots:
         # direct figure return without filename
         fig = ins.plot_likelihood_levels()
         assert fig is not None
+
+
+class TestFlowSamplerRunParity:
+    def test_result_extension_json(self, tmp_path, model):
+        import json
+        import os
+
+        from nessai_tpu.flowsampler import FlowSampler
+
+        fs = FlowSampler(
+            model,
+            output=str(tmp_path),
+            resume=False,
+            seed=3,
+            nlive=100,
+            plot=False,
+            checkpointing=False,
+            max_iteration=60,
+            maximum_uninformed=30,
+            result_extension="json",
+            flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+            training_config=dict(max_epochs=3, patience=2, batch_size=50),
+            poolsize=100,
+        )
+        fs.run(plot=False, save=True)
+        path = os.path.join(str(tmp_path), "result.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            d = json.load(f)
+        assert "log_evidence" in d or "logZ" in d
+
+    def test_ins_run_kwargs(self, tmp_path, model):
+        """plot_posterior / compute_initial_posterior are accepted and
+        the initial posterior is only computed when requested
+        (reference ``flowsampler.py:453-560``)."""
+        from nessai_tpu.flowsampler import FlowSampler
+
+        fs = FlowSampler(
+            model,
+            output=str(tmp_path),
+            resume=False,
+            seed=4,
+            nlive=100,
+            min_samples=10,
+            plot=False,
+            checkpointing=False,
+            importance_nested_sampler=True,
+            min_iteration=1,
+            max_iteration=2,
+            flow_config=dict(n_blocks=2, n_neurons=4),
+            training_config=dict(max_epochs=3, patience=2, batch_size=50),
+        )
+        fs.run(
+            plot=False,
+            save=False,
+            redraw_samples=True,
+            n_posterior_samples=50,
+            compute_initial_posterior=True,
+        )
+        assert hasattr(fs, "initial_posterior_samples")
+        assert len(fs.posterior_samples)
