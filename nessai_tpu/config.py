@@ -77,6 +77,9 @@ class PlottingConfig:
         default_factory=lambda: ["-", "--", ":", "-."]
     )
     max_figsize: float = 50.0
+    #: minimum value data is clipped to for plotting (reference
+    #: ``nessai/config.py:147``)
+    clip_min: float = -1e10
 
 
 @dataclass

@@ -114,6 +114,13 @@ class _NSIntegralState:
                 / (self.log_vols[-1] - self.log_vols[-2])
             )
 
+    def get_logx_live_points(self, nlive: int) -> np.ndarray:
+        """Log-prior volumes of the current live points, assuming the
+        run terminated now. Reference: ``nessai/evidence.py:193``."""
+        nlive_per_iteration = np.arange(nlive, 0, -1, dtype=float)
+        logt = -1.0 / nlive_per_iteration
+        return self.logw + np.cumsum(logt)
+
     @property
     def log_evidence(self) -> float:
         return float(self.logZ)

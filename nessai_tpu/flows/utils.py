@@ -28,6 +28,11 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "get_n_neurons",
     "get_native_flow_class",
+    "get_flow_class",
+    "get_activation_function",
+    "get_base_distribution",
+    "create_linear_transform",
+    "create_pre_transform",
     "register_flow",
     "configure_model",
     "reset_weights",
@@ -67,6 +72,49 @@ def get_n_neurons(
     return int(n_neurons)
 
 
+def get_activation_function(name: str):
+    """Resolve an activation by name (relu/tanh/silu/swish). Reference:
+    ``nessai/flows/utils.py`` activations."""
+    from .nets import ACTIVATIONS
+
+    if name not in ACTIVATIONS:
+        raise ValueError(f"Unknown activation: {name}")
+    return ACTIVATIONS[name]
+
+
+def create_linear_transform(linear_transform, features: int):
+    """Linear transform(s) between coupling blocks by name. Reference:
+    ``nessai/flows/utils.py:295``."""
+    from .realnvp import make_linear_transform
+
+    return make_linear_transform(linear_transform, features)
+
+
+def create_pre_transform(pre_transform, features: int, **kwargs):
+    """Pre-transform by name (logit / batch_norm->actnorm). Reference:
+    ``nessai/flows/utils.py:332``."""
+    from .bijectors import ActNorm, Logit
+
+    if pre_transform == "logit":
+        return Logit(**kwargs)
+    if pre_transform == "batch_norm":
+        # actnorm is the jit-friendly stand-in for batch norm
+        return ActNorm(features)
+    raise ValueError(f"Unknown pre-transform: {pre_transform}")
+
+
+def get_base_distribution(n_inputs: int, distribution, **kwargs):
+    """Base distribution by name/instance. Reference:
+    ``nessai/flows/utils.py:35``."""
+    if distribution is None:
+        return _make_base_distribution(None, n_inputs, kwargs or None)
+    if isinstance(distribution, str):
+        return _make_base_distribution(
+            distribution.lower(), n_inputs, kwargs or None
+        )
+    return distribution
+
+
 def get_native_flow_class(name: str):
     name = name.lower()
     if name not in _BUILDERS:
@@ -74,6 +122,13 @@ def get_native_flow_class(name: str):
             f"Unknown flow type: {name}. Known: {sorted(_BUILDERS)}"
         )
     return _BUILDERS[name]
+
+
+#: reference-name alias (``nessai/flows/utils.py:168``)
+def get_flow_class(name: str):
+    """Alias of :func:`get_native_flow_class` matching the reference
+    name."""
+    return get_native_flow_class(name)
 
 
 def register_flow(name: str, builder) -> None:

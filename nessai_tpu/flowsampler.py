@@ -93,6 +93,8 @@ class FlowSampler:
         self.save_kwargs(kwargs)
 
         resumed = False
+        if resume and not self.check_resume(resume_file, resume_data):
+            logger.debug("Nothing to resume from")
         if resume_data is not None:
             self.ns = SamplerClass.resume_from_pickled_sampler(
                 resume_data,
@@ -141,16 +143,35 @@ class FlowSampler:
                 logger.error("Cannot set signal handlers outside main thread")
 
     # ------------------------------------------------------------------
+    def check_resume(self, resume_file, resume_data) -> bool:
+        """Is there anything to resume from? Reference:
+        ``nessai/flowsampler.py:204``."""
+        return bool(
+            resume_file
+            and any(
+                os.path.exists(os.path.join(self.output, f))
+                for f in (resume_file, resume_file + ".old")
+            )
+        ) or resume_data is not None
+
     @property
     def log_evidence(self):
         return self.logZ
 
     @property
     def logZ(self):
+        """Final log-evidence: the redrawn (final) INS estimate when a
+        final redraw has run, else the sampler's estimate (reference
+        ``flowsampler.py:522-526``)."""
+        final = getattr(self.ns, "final_log_evidence", None)
+        if final is not None:
+            return final
         return self.ns.log_evidence
 
     @property
     def log_evidence_error(self):
+        if getattr(self.ns, "final_log_evidence", None) is not None:
+            return self.ns.final_log_evidence_error
         return self.ns.log_evidence_error
 
     @property
@@ -256,6 +277,8 @@ class FlowSampler:
         logger.info("Total sampling time: %s", self.ns.sampling_time)
         if redraw_samples:
             logger.info("Redrawing %s samples", n_posterior_samples)
+            self.initial_logZ = self.ns.log_evidence
+            self.initial_logZ_error = self.ns.log_evidence_error
             if compute_initial_posterior:
                 self.initial_posterior_samples = (
                     self.ns.draw_posterior_samples(

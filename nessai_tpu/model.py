@@ -91,6 +91,42 @@ class Model(ABC):
             self._dims = len(self.names)
         return self._dims
 
+    _discrete_parameters = None
+
+    @property
+    def discrete_parameters(self):
+        """List of discrete parameters (None if there are none).
+
+        Reference: ``nessai/model.py:206``."""
+        return self._discrete_parameters
+
+    @discrete_parameters.setter
+    def discrete_parameters(self, parameters):
+        logger.warning(
+            "Handling discrete parameters is experimental and may change "
+            "in future releases!"
+        )
+        self._discrete_parameters = parameters
+
+    @property
+    def has_discrete_parameters(self) -> bool:
+        """Reference: ``nessai/model.py:221``."""
+        return self._discrete_parameters is not None
+
+    @classmethod
+    def check_new_point_methods(cls):
+        """``new_point`` and ``new_point_log_prob`` must be redefined
+        together. Reference: ``nessai/model.py:765``."""
+        if cls.new_point != Model.new_point:
+            logger.debug("`new_point` method has been redefined.")
+            if cls.new_point_log_prob == Model.new_point_log_prob:
+                raise ModelError(
+                    "`new_point` method has been redefined but "
+                    "`new_point_log_prob` has not."
+                )
+        if cls.new_point_log_prob != Model.new_point_log_prob:
+            logger.debug("`new_point_log_prob` method has been redefined.")
+
     @property
     def lower_bounds(self) -> np.ndarray:
         if self._lower is None and self.bounds:
@@ -502,6 +538,7 @@ class Model(ABC):
             raise OneDimensionalModelError(
                 "nessai_tpu does not support one-dimensional models"
             )
+        self.check_new_point_methods()
         for n in self.names:
             b = self.bounds.get(n)
             if b is None or len(b) != 2:

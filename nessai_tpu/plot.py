@@ -25,6 +25,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "nessai_style",
+    "sanitise_array",
     "plot_live_points",
     "plot_1d_comparison",
     "plot_indices",
@@ -56,6 +57,14 @@ def nessai_style(line_styles: bool = True):
         return wrapper
 
     return decorator
+
+
+def sanitise_array(a, a_min=None, a_max=None):
+    """Clip an array for plotting (default minimum from
+    ``config.plotting.clip_min``). Reference: ``nessai/plot.py:71``."""
+    if a_min is None:
+        a_min = config.plotting.clip_min
+    return np.clip(a, a_min, a_max)
 
 
 def _save_or_return(fig, filename):

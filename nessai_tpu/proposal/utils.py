@@ -9,7 +9,12 @@ import logging
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["get_flow_proposal_class", "check_proposal_kwargs"]
+__all__ = [
+    "available_base_flow_proposal_classes",
+    "available_external_flow_proposal_classes",
+    "get_flow_proposal_class",
+    "check_proposal_kwargs",
+]
 
 
 def _known_classes():
@@ -35,6 +40,26 @@ def _known_classes():
     except ImportError:  # pragma: no cover
         pass
     return classes
+
+
+def available_base_flow_proposal_classes() -> dict:
+    """Name -> class map of the bundled proposal classes. Reference:
+    ``nessai/proposal/utils.py:82``."""
+    return {k: v for k, v in _known_classes().items() if k is not None}
+
+
+def available_external_flow_proposal_classes(load: bool = False) -> dict:
+    """Entry-point (plugin) proposal classes (group
+    ``nessai_tpu.proposals``). Reference:
+    ``nessai/proposal/utils.py:97``."""
+    from ..utils.entry_points import get_entry_points
+
+    external = dict(get_entry_points("nessai_tpu.proposals"))
+    logger.debug("Found external proposals: %s", list(external))
+    if load:
+        for key in external:
+            external[key] = external[key].load()
+    return external
 
 
 def get_flow_proposal_class(flow_class):

@@ -101,6 +101,13 @@ class CombinedReparameterisation(dict):
         for r in self.values():
             r.reset()
 
+    def reset_inversion(self) -> None:
+        """Reset any boundary-inversion state. Reference:
+        ``nessai/reparameterisations/combined.py:211``."""
+        for r in self.values():
+            if hasattr(r, "reset_inversion"):
+                r.reset_inversion()
+
     def log_prior(self, x):
         """Aggregate auxiliary-parameter priors."""
         log_p = 0.0

@@ -211,6 +211,11 @@ class BaseNestedSampler(ABC):
         return cls.resume_from_pickled_sampler(sampler, model, rng=rng, **kwargs)
 
     # ------------------------------------------------------------------
+    def close_pool(self, code=None) -> None:
+        """Close the model's multiprocessing pool. Reference:
+        ``nessai/samplers/base.py:434``."""
+        self.model.close_pool(code=code)
+
     def get_result_dictionary(self) -> dict:
         """Reference: ``nessai/samplers/base.py:438``."""
         return dict(

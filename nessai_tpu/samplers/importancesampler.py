@@ -840,6 +840,12 @@ class ImportanceNestedSampler(BaseNestedSampler):
             return None
         return self.final_log_w - logsumexp(self.final_log_w)
 
+    @property
+    def final_samples_unit(self) -> Optional[np.ndarray]:
+        """The redrawn final samples in the unit hypercube. Reference:
+        ``importancesampler.py:611``."""
+        return self.final_samples
+
     @staticmethod
     def sort_samples(samples, *arrays):
         """Sort samples (and companion arrays) by logL.
@@ -1137,61 +1143,44 @@ class ImportanceNestedSampler(BaseNestedSampler):
         return self.model.from_unit_hypercube(post)
 
     # ------------------------------------------------------------------
-    def produce_plots(self, override: bool = False) -> None:
-        """8-panel state plot + trace plot. Reference:
+    def plot_state(self, filename: Optional[str] = None):
+        """8-panel state plot. Reference:
         ``importancesampler.py:1877``."""
+        import matplotlib.pyplot as plt
+
+        h = self.history
+        if not h or not h["logZ"]:
+            return None
+        fig = self._state_figure(h)
+        if filename:
+            fig.savefig(filename)
+            plt.close(fig)
+            return None
+        return fig
+
+    def plot_trace(self, filename: Optional[str] = None):
+        """Trace of the stored samples vs log prior volume. Reference:
+        ``importancesampler.py:2105``."""
+        from ..plot import plot_trace as _plot_trace
+
+        if self.samples_unit is None:
+            return None
+        ns = self.samples_unit
+        return _plot_trace(
+            -np.arange(len(ns)) / max(self.nlive, 1),
+            ns,
+            filename=filename,
+        )
+
+    def produce_plots(self, override: bool = False) -> None:
+        """All periodic plots. Reference:
+        ``importancesampler.py:2215``."""
         if not (self.plot or override):
             return
         try:
-            import matplotlib.pyplot as plt
-
-            h = self.history
-            if not h or not h["logZ"]:
-                return
-            fig, axs = plt.subplots(4, 2, figsize=(12, 12), sharex=True)
-            axs = axs.ravel()
-            its = np.arange(len(h["logZ"]))
-
-            axs[0].plot(its, h["logZ"])
-            axs[0].set_ylabel("logZ")
-            axs[1].plot(its, h["min_log_likelihood"], label="min logL")
-            axs[1].plot(its, h["max_log_likelihood"], label="max logL")
-            axs[1].plot(its, h["logL_threshold"], label="threshold")
-            axs[1].set_ylabel("logL")
-            axs[1].legend()
-            axs[2].plot(its, h["live_points_ess"])
-            axs[2].set_ylabel("live ESS")
-            axs[3].plot(its, h["logX"])
-            axs[3].set_ylabel("logX")
-            axs[4].plot(its, h["gradients"])
-            axs[4].set_ylabel("dlogL/dlogX")
-            axs[5].plot(its, h["leakage_live_points"], label="live")
-            axs[5].plot(its, h["leakage_new_points"][: len(its)], label="new")
-            axs[5].set_ylabel("leakage")
-            axs[5].legend()
-            axs[6].plot(its, h["samples_entropy"], label="samples")
-            axs[6].plot(its, h["proposal_entropy"], label="proposal")
-            axs[6].set_ylabel("entropy")
-            axs[6].legend()
-            for k, v in h["stopping_criteria"].items():
-                axs[7].plot(its, v, label=k)
-            axs[7].set_ylabel("criteria")
-            axs[7].legend()
-            axs[6].set_xlabel("iteration")
-            axs[7].set_xlabel("iteration")
-            fig.tight_layout()
-            fig.savefig(os.path.join(self.output, "state.png"))
-            plt.close(fig)
-
+            self.plot_state(os.path.join(self.output, "state.png"))
             if self._plot_trace and self.samples_unit is not None:
-                from ..plot import plot_trace as _plot_trace
-
-                ns = self.samples_unit
-                _plot_trace(
-                    -np.arange(len(ns)) / max(self.nlive, 1),
-                    ns,
-                    filename=os.path.join(self.output, "trace.png"),
-                )
+                self.plot_trace(os.path.join(self.output, "trace.png"))
             if (
                 self._plot_likelihood_levels
                 and self.samples_unit is not None
@@ -1201,6 +1190,43 @@ class ImportanceNestedSampler(BaseNestedSampler):
                 )
         except Exception as e:  # pragma: no cover
             logger.warning("Could not produce INS plots: %s", e)
+
+    def _state_figure(self, h):
+        import matplotlib.pyplot as plt
+
+        fig, axs = plt.subplots(4, 2, figsize=(12, 12), sharex=True)
+        axs = axs.ravel()
+        its = np.arange(len(h["logZ"]))
+
+        axs[0].plot(its, h["logZ"])
+        axs[0].set_ylabel("logZ")
+        axs[1].plot(its, h["min_log_likelihood"], label="min logL")
+        axs[1].plot(its, h["max_log_likelihood"], label="max logL")
+        axs[1].plot(its, h["logL_threshold"], label="threshold")
+        axs[1].set_ylabel("logL")
+        axs[1].legend()
+        axs[2].plot(its, h["live_points_ess"])
+        axs[2].set_ylabel("live ESS")
+        axs[3].plot(its, h["logX"])
+        axs[3].set_ylabel("logX")
+        axs[4].plot(its, h["gradients"])
+        axs[4].set_ylabel("dlogL/dlogX")
+        axs[5].plot(its, h["leakage_live_points"], label="live")
+        axs[5].plot(its, h["leakage_new_points"][: len(its)], label="new")
+        axs[5].set_ylabel("leakage")
+        axs[5].legend()
+        axs[6].plot(its, h["samples_entropy"], label="samples")
+        axs[6].plot(its, h["proposal_entropy"], label="proposal")
+        axs[6].set_ylabel("entropy")
+        axs[6].legend()
+        for k, v in h["stopping_criteria"].items():
+            axs[7].plot(its, v, label=k)
+        axs[7].set_ylabel("criteria")
+        axs[7].legend()
+        axs[6].set_xlabel("iteration")
+        axs[7].set_xlabel("iteration")
+        fig.tight_layout()
+        return fig
 
     # ------------------------------------------------------------------
     def get_result_dictionary(self) -> dict:

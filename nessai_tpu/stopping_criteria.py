@@ -116,6 +116,11 @@ class StoppingCriterionRegistry:
         return wrapper
 
     @classmethod
+    def list_available(cls):
+        """Reference: ``nessai/stopping_criteria.py:47``."""
+        return list(cls._registry.keys())
+
+    @classmethod
     def get(cls, name: str, **kwargs) -> StoppingCriterion:
         key = name.lower()
         if key not in cls._registry:

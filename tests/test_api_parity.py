@@ -1,0 +1,248 @@
+"""API-surface parity additions (from the reference-vs-repo audit).
+
+Covers: final-evidence propagation after the INS redraw,
+check_new_point_methods, discrete_parameters, registry introspection
+helpers, flows/utils reference-name aliases, sanitise_array,
+get_logx_live_points and combined.reset_inversion.
+"""
+
+import numpy as np
+import pytest
+
+from nessai_tpu import config
+from nessai_tpu.model import Model, ModelError
+
+
+class TestModelSurface:
+    def test_discrete_parameters(self, model):
+        assert model.discrete_parameters is None
+        assert model.has_discrete_parameters is False
+        model.discrete_parameters = ["x_0"]
+        assert model.has_discrete_parameters is True
+        assert model.discrete_parameters == ["x_0"]
+
+    def test_check_new_point_methods_ok(self, model):
+        model.check_new_point_methods()
+
+    def test_check_new_point_methods_raises(self):
+        class Bad(Model):
+            names = ["a", "b"]
+            bounds = {"a": [0, 1], "b": [0, 1]}
+
+            def log_prior(self, x):
+                return np.zeros(len(np.atleast_1d(x)))
+
+            def log_likelihood(self, x):
+                return np.zeros(len(np.atleast_1d(x)))
+
+            def new_point(self, N=1):
+                return super().new_point(N=N)
+
+        with pytest.raises(ModelError, match="new_point_log_prob"):
+            Bad.check_new_point_methods()
+
+    def test_both_redefined_ok(self):
+        class Good(Model):
+            names = ["a", "b"]
+            bounds = {"a": [0, 1], "b": [0, 1]}
+
+            def log_prior(self, x):
+                return np.zeros(len(np.atleast_1d(x)))
+
+            def log_likelihood(self, x):
+                return np.zeros(len(np.atleast_1d(x)))
+
+            def new_point(self, N=1):
+                return super(Good, self).new_point(N=N)
+
+            def new_point_log_prob(self, x):
+                return super(Good, self).new_point_log_prob(x)
+
+        Good.check_new_point_methods()
+
+
+class TestRegistries:
+    def test_stopping_criteria_list_available(self):
+        from nessai_tpu.stopping_criteria import StoppingCriterionRegistry
+
+        names = StoppingCriterionRegistry.list_available()
+        assert "dlogz" in names
+        assert "ratio" in names
+
+    def test_available_base_flow_proposal_classes(self):
+        from nessai_tpu.proposal.utils import (
+            available_base_flow_proposal_classes,
+        )
+
+        classes = available_base_flow_proposal_classes()
+        assert "flowproposal" in classes
+        assert "augmentedflowproposal" in classes
+        assert "mcmcflowproposal" in classes
+        assert "clusteringflowproposal" in classes
+
+    def test_available_external_flow_proposal_classes(self):
+        from nessai_tpu.proposal.utils import (
+            available_external_flow_proposal_classes,
+        )
+
+        out = available_external_flow_proposal_classes()
+        assert isinstance(out, dict)
+
+
+class TestFlowUtilsAliases:
+    def test_get_flow_class(self):
+        from nessai_tpu.flows.utils import (
+            get_flow_class,
+            get_native_flow_class,
+        )
+
+        assert get_flow_class("realnvp") is get_native_flow_class("realnvp")
+
+    def test_get_activation_function(self):
+        import jax
+
+        from nessai_tpu.flows.utils import get_activation_function
+
+        assert get_activation_function("relu") is jax.nn.relu
+        assert get_activation_function("silu") is jax.nn.silu
+        with pytest.raises(ValueError):
+            get_activation_function("gelu6")
+
+    def test_create_linear_transform(self):
+        from nessai_tpu.flows.bijectors import (
+            LULinear,
+            Permutation,
+            SVDLinear,
+        )
+        from nessai_tpu.flows.utils import create_linear_transform
+
+        assert create_linear_transform(None, 4) == []
+        out = create_linear_transform("lu", 4)
+        assert isinstance(out[0], Permutation)
+        assert isinstance(out[1], LULinear)
+        out = create_linear_transform("svd", 4)
+        assert isinstance(out[1], SVDLinear)
+        with pytest.raises(ValueError):
+            create_linear_transform("qr", 4)
+
+    def test_create_pre_transform(self):
+        from nessai_tpu.flows.bijectors import ActNorm, Logit
+        from nessai_tpu.flows.utils import create_pre_transform
+
+        assert isinstance(create_pre_transform("logit", 4), Logit)
+        assert isinstance(create_pre_transform("batch_norm", 4), ActNorm)
+        with pytest.raises(ValueError):
+            create_pre_transform("affine", 4)
+
+    def test_get_base_distribution(self):
+        from nessai_tpu.flows.distributions import (
+            MultivariateUniform,
+            StandardNormal,
+        )
+        from nessai_tpu.flows.utils import get_base_distribution
+
+        assert isinstance(get_base_distribution(4, None), StandardNormal)
+        assert isinstance(
+            get_base_distribution(4, "uniform"), MultivariateUniform
+        )
+        inst = StandardNormal(4)
+        assert get_base_distribution(4, inst) is inst
+
+
+class TestPlotEvidenceHelpers:
+    def test_sanitise_array(self):
+        from nessai_tpu.plot import sanitise_array
+
+        a = np.array([-np.inf, -1e20, 0.0, 5.0])
+        out = sanitise_array(a)
+        assert out.min() == config.plotting.clip_min
+        out = sanitise_array(a, a_min=-1.0, a_max=1.0)
+        np.testing.assert_array_equal(out, [-1.0, -1.0, 0.0, 1.0])
+
+    def test_get_logx_live_points(self):
+        from nessai_tpu.evidence import _NSIntegralState
+
+        state = _NSIntegralState(100)
+        for logl in np.linspace(-10, -1, 50):
+            state.increment(logl)
+        log_x = state.get_logx_live_points(100)
+        assert log_x.shape == (100,)
+        # strictly decreasing volumes starting below the current logw
+        assert np.all(np.diff(log_x) < 0)
+        assert log_x[0] < state.logw
+
+    def test_ins_state_logz_alias(self):
+        from nessai_tpu.evidence import _INSIntegralState
+
+        state = _INSIntegralState()
+        assert state.logZ == state.log_evidence
+
+
+class TestCombinedResetInversion:
+    def test_reset_inversion_passthrough(self):
+        from nessai_tpu.reparameterisations import get_reparameterisation
+        from nessai_tpu.reparameterisations.combined import (
+            CombinedReparameterisation,
+        )
+
+        cls, kwargs = get_reparameterisation("inversion")
+        kwargs.pop("boundary_inversion", None)
+        r = cls(
+            parameters=["a"],
+            prior_bounds={"a": [0.0, 1.0]},
+            boundary_inversion=True,
+            **kwargs,
+        )
+        c = CombinedReparameterisation([r])
+        # no error and state cleared
+        c.reset_inversion()
+
+
+class TestFinalEvidencePropagation:
+    def test_flowsampler_logz_prefers_final(self, tmp_path, model):
+        """After an INS final redraw, FlowSampler.logZ must report the
+        redrawn (final) evidence (reference ``flowsampler.py:522``)."""
+        from nessai_tpu.flowsampler import FlowSampler
+
+        fs = FlowSampler(
+            model,
+            output=str(tmp_path),
+            resume=False,
+            seed=11,
+            nlive=100,
+            min_samples=10,
+            plot=False,
+            checkpointing=False,
+            importance_nested_sampler=True,
+            min_iteration=1,
+            max_iteration=2,
+            flow_config=dict(n_blocks=2, n_neurons=4),
+            training_config=dict(max_epochs=3, patience=2, batch_size=50),
+        )
+        fs.run(
+            plot=False, save=False, redraw_samples=True,
+            n_posterior_samples=50,
+        )
+        assert fs.ns.final_log_evidence is not None
+        assert fs.logZ == fs.ns.final_log_evidence
+        assert fs.log_evidence_error == fs.ns.final_log_evidence_error
+        assert hasattr(fs, "initial_logZ")
+        assert fs.initial_logZ == fs.ns.log_evidence
+
+    def test_check_resume(self, tmp_path, model):
+        from nessai_tpu.flowsampler import FlowSampler
+
+        fs = FlowSampler(
+            model,
+            output=str(tmp_path),
+            resume=False,
+            seed=1,
+            nlive=100,
+            plot=False,
+            checkpointing=False,
+            flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        )
+        assert not fs.check_resume("nope.pkl", None)
+        assert fs.check_resume("nope.pkl", resume_data={"x": 1})
+        (tmp_path / "there.pkl").write_bytes(b"")
+        assert fs.check_resume("there.pkl", None)
