@@ -115,3 +115,15 @@ def save_dict_to_hdf5(d: dict, filename) -> None:
 
     with h5py.File(filename, "w") as f:
         add_dict_to_hdf5_file(f, "/", d)
+
+
+def save_live_points(live_points, filename) -> None:
+    """Save live points to JSON (as a dict of arrays). Reference:
+    ``nessai/utils/io.py:116``."""
+    import json
+
+    from ..livepoint import live_points_to_dict
+
+    d = live_points_to_dict(live_points)
+    with open(filename, "w") as wf:
+        json.dump(d, wf, indent=4, cls=NessaiJSONEncoder)

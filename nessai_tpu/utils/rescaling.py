@@ -210,3 +210,22 @@ rescaling_functions = {
     "gaussian_cdf": (gaussian_cdf, inverse_gaussian_cdf),
     "inv_gaussian_cdf": (inverse_gaussian_cdf, gaussian_cdf),
 }
+
+
+def logistic_function(x, x0: float = 0.0, k: float = 1.0):
+    """Logistic function with configurable midpoint and gradient.
+
+    Reference: ``nessai/utils/rescaling.py:339``."""
+    return 1.0 / (1.0 + np.exp(-k * (x - x0)))
+
+
+def log_with_log_jacobian(x):
+    """Natural log and its log-Jacobian determinant. Reference:
+    ``nessai/utils/rescaling.py:359``."""
+    return np.log(x), -np.log(x)
+
+
+def exp_with_log_jacobian(x):
+    """Exponential and its log-Jacobian determinant. Reference:
+    ``nessai/utils/rescaling.py:378``."""
+    return np.exp(x), np.asarray(x) + 0.0

@@ -53,3 +53,18 @@ def get_inverse_indices(n: int, indices: np.ndarray) -> np.ndarray:
     mask = np.ones(n, dtype=bool)
     mask[indices] = False
     return np.flatnonzero(mask)
+
+
+def replace_in_list(target_list, targets, replacements) -> None:
+    """Replace entries of a list in place. Reference:
+    ``nessai/utils/structures.py:9``."""
+    if not isinstance(targets, list):
+        targets = [targets]
+    if not isinstance(replacements, list):
+        replacements = [replacements]
+    if len(targets) != len(replacements):
+        raise RuntimeError("Targets and replacements are different lengths!")
+    if not all(t in target_list for t in targets):
+        raise ValueError(f"Targets {targets} not in list: {target_list}")
+    for t, r in zip(targets, replacements):
+        target_list[target_list.index(t)] = r

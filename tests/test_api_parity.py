@@ -246,3 +246,53 @@ class TestFinalEvidencePropagation:
         assert fs.check_resume("nope.pkl", resume_data={"x": 1})
         (tmp_path / "there.pkl").write_bytes(b"")
         assert fs.check_resume("there.pkl", None)
+
+
+class TestUtilsParity:
+    def test_save_live_points(self, tmp_path, rng):
+        import json
+
+        from nessai_tpu.livepoint import numpy_array_to_live_points
+        from nessai_tpu.utils.io import save_live_points
+
+        x = numpy_array_to_live_points(rng.normal(size=(4, 2)), ["a", "b"])
+        path = tmp_path / "lp.json"
+        save_live_points(x, str(path))
+        with open(path) as f:
+            d = json.load(f)
+        np.testing.assert_allclose(d["a"], x["a"])
+
+    def test_logistic_function(self):
+        from nessai_tpu.utils.rescaling import logistic_function
+
+        assert logistic_function(0.0) == 0.5
+        assert logistic_function(0.0, x0=1.0, k=2.0) == pytest.approx(
+            1 / (1 + np.exp(2.0))
+        )
+
+    def test_log_exp_with_jacobian_roundtrip(self, rng):
+        from nessai_tpu.utils.rescaling import (
+            exp_with_log_jacobian,
+            log_with_log_jacobian,
+        )
+
+        x = rng.uniform(0.1, 5.0, 16)
+        y, lj = log_with_log_jacobian(x)
+        x2, lj2 = exp_with_log_jacobian(y)
+        np.testing.assert_allclose(x2, x)
+        np.testing.assert_allclose(lj + lj2, 0.0, atol=1e-12)
+        # jacobian matches the derivative
+        np.testing.assert_allclose(lj, -np.log(x))
+
+    def test_replace_in_list(self):
+        from nessai_tpu.utils.structures import replace_in_list
+
+        lst = ["a", "b", "c"]
+        replace_in_list(lst, "b", "x")
+        assert lst == ["a", "x", "c"]
+        replace_in_list(lst, ["a", "c"], ["p", "q"])
+        assert lst == ["p", "x", "q"]
+        with pytest.raises(RuntimeError, match="different lengths"):
+            replace_in_list(lst, ["p"], ["y", "z"])
+        with pytest.raises(ValueError, match="not in list"):
+            replace_in_list(lst, "missing", "y")
