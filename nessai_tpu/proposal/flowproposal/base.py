@@ -254,8 +254,13 @@ class BaseFlowProposal(RejectionProposal):
                 for p in matched:
                     specs.append((name, [p], dict(kwargs)))
             else:
-                # key is a reparameterisation name
+                # key is a reparameterisation name, or an arbitrary
+                # label when the value specifies 'reparameterisation'
+                # (e.g. {"sky": {"reparameterisation": "angle-pair",
+                # "parameters": ["ra", "dec"]}} — reference
+                # ``reparameterisations/utils.py:236``)
                 kwargs = dict(value or {})
+                name = kwargs.pop("reparameterisation", key)
                 params = kwargs.pop("parameters", None)
                 if params is None:
                     raise RuntimeError(
@@ -269,7 +274,7 @@ class BaseFlowProposal(RejectionProposal):
                         matched.append(p)
                     else:
                         matched += [n for n in names if re.fullmatch(p, n)]
-                specs.append((key, matched, kwargs))
+                specs.append((name, matched, kwargs))
 
         for name, params, kwargs in specs:
             cls, default_kwargs = get_reparameterisation(name)
@@ -326,6 +331,11 @@ class BaseFlowProposal(RejectionProposal):
         """
         if self._reparameterisation is None:
             return
+        if not self._reparameterisation.one_to_one:
+            logger.warning(
+                "Could not check if reparameterisation is invertible"
+            )
+            return
         x = self.model.new_point(N=100)
         if self.map_to_unit_hypercube:
             x = self.model.to_unit_hypercube(x)
@@ -348,9 +358,9 @@ class BaseFlowProposal(RejectionProposal):
                     raise RuntimeError(
                         f"Rescaling is not invertible for {n}"
                     )
-            if not np.allclose(
-                np.tile(log_j, k), -log_j_inv, atol=1e-8
-            ):
+            # log_j is per-output-row (already expanded by duplicating
+            # inversion modes), so compare directly
+            if not np.allclose(log_j, -log_j_inv, atol=1e-8):
                 raise RuntimeError("Rescaling Jacobian is not invertible")
         self._reparameterisation.reset()
         logger.debug("Rescaling verified")
