@@ -24,6 +24,11 @@ class Dequantise(RescaleToBounds):
                 k: [np.asarray(v)[0], np.asarray(v)[1] + 1]
                 for k, v in prior_bounds.items()
             }
+        # live bound updates are disabled by default (reference
+        # ``nessai/reparameterisations/discrete.py``): with few discrete
+        # values the live points can collapse onto one value and the
+        # estimated range would shrink to zero
+        kwargs.setdefault("update_bounds", False)
         super().__init__(
             parameters=parameters, prior_bounds=prior_bounds, rng=rng, **kwargs
         )

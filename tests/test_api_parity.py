@@ -296,3 +296,24 @@ class TestUtilsParity:
             replace_in_list(lst, ["p"], ["y", "z"])
         with pytest.raises(ValueError, match="not in list"):
             replace_in_list(lst, "missing", "y")
+
+
+class TestProfiling:
+    def test_profile_region_disabled_noop(self):
+        from nessai_tpu.utils.profiling import profile_region
+
+        with profile_region("/tmp/should-not-exist", enabled=False):
+            pass
+
+    def test_profile_region_captures(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from nessai_tpu.utils.profiling import annotate, profile_region
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            with profile_region(str(tmp_path)):
+                with annotate("test-span"):
+                    jnp.sum(jnp.arange(8.0)).block_until_ready()
+        # a trace directory should have been written
+        assert any(tmp_path.iterdir())
