@@ -182,3 +182,127 @@ def test_pickle_excludes_model_and_restores(tmp_path, model):
     ns2.condition = np.inf
     ns2.nested_sampling_loop()
     assert ns2.iteration > ns.iteration
+
+
+# ---------------------------------------------------------------------
+# Checkpoint cadence and callbacks
+# (reference tests/test_samplers/test_base_sampler.py:325-458)
+# ---------------------------------------------------------------------
+
+
+def _make_ns(tmp_path, model, **kwargs):
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    return NestedSampler(
+        model,
+        nlive=100,
+        output=str(tmp_path),
+        seed=1,
+        plot=False,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        poolsize=100,
+        **kwargs,
+    )
+
+
+def test_checkpoint_on_iteration_interval(tmp_path, model):
+    import os
+
+    ns = _make_ns(
+        tmp_path,
+        model,
+        checkpointing=True,
+        checkpoint_on_iteration=True,
+        checkpoint_interval=10,
+    )
+    ns.iteration = 5
+    ns.checkpoint(periodic=True)
+    assert not os.path.exists(ns.resume_file)
+    ns.iteration = 11
+    ns.checkpoint(periodic=True)
+    assert os.path.exists(ns.resume_file)
+    # interval resets after a checkpoint
+    mtime = os.path.getmtime(ns.resume_file)
+    ns.iteration = 15
+    ns.checkpoint(periodic=True)
+    assert os.path.getmtime(ns.resume_file) == mtime
+
+
+def test_checkpoint_time_interval_not_due(tmp_path, model):
+    import os
+
+    ns = _make_ns(
+        tmp_path,
+        model,
+        checkpointing=True,
+        checkpoint_on_iteration=False,
+        checkpoint_interval=10_000,
+    )
+    ns.checkpoint(periodic=True)
+    assert not os.path.exists(ns.resume_file)
+    # force overrides the interval
+    ns.checkpoint(force=True)
+    assert os.path.exists(ns.resume_file)
+
+
+def test_checkpoint_disabled_but_forced(tmp_path, model):
+    import os
+
+    ns = _make_ns(tmp_path, model, checkpointing=False)
+    ns.checkpoint(periodic=True)
+    assert not os.path.exists(ns.resume_file)
+    ns.checkpoint(force=True)
+    assert os.path.exists(ns.resume_file)
+
+
+def test_checkpoint_callback_used_instead_of_file(tmp_path, model):
+    import os
+
+    calls = []
+    ns = _make_ns(
+        tmp_path,
+        model,
+        checkpointing=True,
+        checkpoint_callback=lambda s: calls.append(s.iteration),
+    )
+    ns.iteration = 7
+    ns.checkpoint(force=True)
+    assert calls == [7]
+    assert not os.path.exists(ns.resume_file)
+
+
+def test_periodic_logging_by_time(tmp_path, model, caplog):
+    import logging
+    import time as _time
+
+    caplog.set_level(logging.INFO, logger="nessai_tpu.samplers.nestedsampler")
+    caplog.set_level(logging.INFO, logger="nessai_tpu.samplers.base")
+    ns = _make_ns(
+        tmp_path, model, log_on_iteration=False, logging_interval=10_000
+    )
+    ns._last_log_time = _time.time()
+    ns.periodically_log_state()
+    # not due yet: nothing logged from log_state
+    assert "it:" not in caplog.text
+    ns._last_log_time = _time.time() - 20_000
+    ns.periodically_log_state()
+    assert "it:" in caplog.text
+
+
+def test_close_pool_delegates(tmp_path, model):
+    ns = _make_ns(tmp_path, model)
+    ns.close_pool()  # no pool configured: no-op
+
+
+def test_likelihood_counters_restored_on_resume(tmp_path, model):
+    import pickle
+
+    ns = _make_ns(tmp_path, model, checkpointing=False)
+    ns.model.likelihood_evaluations = 123
+    ns.checkpoint(force=True)
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    fresh = IntegrationTestModel(2)
+    ns2 = NestedSampler.resume(ns.resume_file, fresh)
+    assert ns2.model.likelihood_evaluations == 123
