@@ -872,7 +872,11 @@ class FlowModel:
         self.history["loss"].extend(history["loss"])
         self.history["val_loss"].extend(history["val_loss"])
         if self.output is not None:
-            self.save_weights(os.path.join(self.output, "model.pkl"))
+            # async: overlaps the ~50 ms transfer+pickle with the
+            # sampling that follows this training block
+            self.save_weights(
+                os.path.join(self.output, "model.pkl"), blocking=False
+            )
             if plot and history["loss"]:
                 try:
                     from ..plot import plot_loss
@@ -1025,22 +1029,51 @@ class FlowModel:
     # ------------------------------------------------------------------
     # Persistence
     # ------------------------------------------------------------------
-    def save_weights(self, weights_file) -> None:
+    def _join_pending_save(self) -> None:
+        t = getattr(self, "_save_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+
+    def save_weights(self, weights_file, blocking: bool = True) -> None:
         """Pickle params with `.old` rotation. Reference:
-        ``nessai/flowmodel/base.py:698``."""
-        if os.path.exists(weights_file):
-            shutil.move(weights_file, weights_file + ".old")
-        # overlapped per-leaf transfers: leaf-by-leaf np.asarray costs a
-        # device roundtrip per leaf (~1.6 s/tree on this target)
-        host_params = tree_to_host(self.params)
-        with open(weights_file, "wb") as f:
-            pickle.dump(host_params, f)
+        ``nessai/flowmodel/base.py:698``.
+
+        With ``blocking=False`` (used on the per-training hot path)
+        the device→host transfer + pickle (~50 ms/tree through the
+        tunnel) runs on a background thread: the params pytree is
+        immutable jax arrays, so the snapshot stays valid even if
+        ``self.params`` is reassigned. Saves are serialised (each
+        join()s the previous) and readers join first.
+        """
+        self._join_pending_save()
+        params = self.params
         self.weights_file = weights_file
+
+        def _write():
+            if os.path.exists(weights_file):
+                shutil.move(weights_file, weights_file + ".old")
+            # overlapped per-leaf transfers: leaf-by-leaf np.asarray
+            # costs a device roundtrip per leaf (~1.6 s/tree here)
+            host_params = tree_to_host(params)
+            with open(weights_file, "wb") as f:
+                pickle.dump(host_params, f)
+
+        if blocking:
+            _write()
+        else:
+            import threading
+
+            t = threading.Thread(
+                target=_write, name="nessai-save-weights"
+            )
+            t.start()
+            self._save_thread = t
 
     def load_weights(self, weights_file) -> None:
         """Reference: ``nessai/flowmodel/base.py:726``."""
         if not self.initialised:
             self.initialise()
+        self._join_pending_save()
         with open(weights_file, "rb") as f:
             host_params = pickle.load(f)
         self.params = jax.tree.map(jnp.asarray, host_params)
@@ -1056,6 +1089,7 @@ class FlowModel:
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_jit_cache"] = {}
+        state.pop("_save_thread", None)
         # device ids in the mesh scope are process-specific
         state["_scope"] = None
         state["params"] = (

@@ -83,7 +83,7 @@ class ImportanceFlowModel(FlowModel):
             )
             os.makedirs(level_dir, exist_ok=True)
             path = os.path.join(level_dir, "model.pkl")
-            self.save_weights(path)
+            self.save_weights(path, blocking=False)
             self.weights_files.append(path)
         else:
             self.weights_files.append(None)
@@ -183,6 +183,7 @@ class ImportanceFlowModel(FlowModel):
             output = self.output
         if not self.initialised:
             self.initialise()
+        self._join_pending_save()
         self.params_list = []
         i = 0
         while True:

@@ -219,7 +219,28 @@ def test_reload_weights_uses_last_file(fm, rng, tmp_path):
 
 def test_training_saves_model_pkl(fm, rng):
     fm.train(rng.normal(size=(64, 2)).astype(np.float32), plot=False)
+    # the per-training save runs on a background thread
+    fm._join_pending_save()
     assert os.path.exists(os.path.join(fm.output, "model.pkl"))
+
+
+def test_async_save_weights_serialised(fm, rng, tmp_path):
+    """Async saves are serialised and readers join: a save followed by
+    an immediate load returns the saved parameters."""
+    import jax
+
+    fm.initialise()
+    path = str(tmp_path / "w.pkl")
+    fm.save_weights(path, blocking=False)
+    orig = jax.tree.map(np.asarray, fm.params)
+    fm.reset_model()
+    fm.load_weights(path)  # joins the pending save first
+    for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(fm.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a second async save rotates the first
+    fm.save_weights(path, blocking=False)
+    fm._join_pending_save()
+    assert os.path.exists(path + ".old")
 
 
 # ----------------------------------------------------------------------
