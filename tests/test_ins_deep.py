@@ -148,3 +148,34 @@ def test_resume_roundtrip(tmp_path, rng):
     )
     assert ins2.iteration == ins.iteration
     assert np.isclose(ins2.log_evidence, ins.log_evidence, atol=1e-8)
+
+
+@pytest.mark.integration_test
+def test_draw_final_samples_optimise_weights(tmp_path, model):
+    """draw_final_samples with SLSQP weight optimisation
+    (reference ``importancesampler.py:1633`` + ``utils/optimise.py``)."""
+    from nessai_tpu.samplers.importancesampler import (
+        ImportanceNestedSampler,
+    )
+
+    ins = ImportanceNestedSampler(
+        model,
+        nlive=100,
+        min_samples=10,
+        output=str(tmp_path),
+        seed=21,
+        plot=False,
+        checkpointing=False,
+        min_iteration=2,
+        max_iteration=3,
+        flow_config=dict(n_blocks=2, n_neurons=4),
+        training_config=dict(max_epochs=3, patience=2, batch_size=50),
+    )
+    ins.nested_sampling_loop()
+    logZ_before = ins.log_evidence
+    ins.draw_final_samples(n_post=50, optimise_weights=True)
+    assert ins.final_samples is not None
+    assert len(ins.final_samples) >= 50
+    assert np.isfinite(ins.final_log_evidence)
+    # the final estimate should be in the same ballpark
+    assert abs(ins.final_log_evidence - logZ_before) < 2.0
