@@ -218,14 +218,65 @@ class Model(ABC):
 
         return callback_ll
 
+    #: base-class bookkeeping excluded from the program fingerprint
+    #: (these change during sampling and cannot affect traced programs)
+    _FINGERPRINT_EXCLUDE = frozenset(
+        {
+            "names",
+            "bounds",
+            "rng",
+            "pool",
+            "n_pool",
+            "likelihood_evaluations",
+            "likelihood_evaluation_time",
+            "likelihood_chunksize",
+            "parallelise_prior",
+            "allow_vectorised",
+            "allow_multi_valued_likelihood",
+        }
+    )
+
+    def _instance_state_token(self) -> tuple:
+        """Stable token over simple instance attributes (scalars, strings
+        and arrays — e.g. observed data the JAX likelihood closes over),
+        so two instances of the same class with different data get
+        different compiled programs. Complex attributes (objects,
+        callables) are ignored; override :attr:`program_fingerprint` if
+        your JAX hooks depend on such state."""
+        items = []
+        for k in sorted(self.__dict__):
+            if k.startswith("_") or k in self._FINGERPRINT_EXCLUDE:
+                continue
+            v = self.__dict__[k]
+            if isinstance(v, (bool, int, float, str)):
+                items.append((k, v))
+            elif isinstance(v, (list, tuple)) and all(
+                isinstance(x, (bool, int, float, str)) for x in v
+            ):
+                items.append((k, tuple(v)))
+            else:
+                try:
+                    arr = np.asarray(v)
+                except Exception:
+                    continue
+                if arr.dtype == object:
+                    continue
+                items.append(
+                    (k, arr.shape, str(arr.dtype), hash(arr.tobytes()))
+                )
+        return tuple(items)
+
     @property
     def program_fingerprint(self) -> tuple:
         """Identity of this model's device (JAX) functions for the
         process-global compiled-program cache: two model instances with
         equal fingerprints must trace identical ``jax_log_likelihood`` /
-        ``jax_log_prior`` programs. The default covers models whose JAX
-        hooks depend only on the class, parameter names and bounds;
-        override it if the hooks close over other instance state.
+        ``jax_log_prior`` programs. Covers the class, parameter names,
+        bounds and (via :meth:`_instance_state_token`) simple instance
+        attributes such as observed-data arrays; override it if the
+        hooks close over state this cannot see (e.g. attributes holding
+        arbitrary objects, or module-level data that differs between
+        reloads).
         """
         cls = type(self)
         return (
@@ -234,6 +285,7 @@ class Model(ABC):
             tuple(self.names),
             tuple(float(b) for b in np.asarray(self.lower_bounds).ravel()),
             tuple(float(b) for b in np.asarray(self.upper_bounds).ravel()),
+            self._instance_state_token(),
         )
 
     def to_unit_hypercube(self, x):

@@ -317,3 +317,85 @@ class TestProfiling:
                     jnp.sum(jnp.arange(8.0)).block_until_ready()
         # a trace directory should have been written
         assert any(tmp_path.iterdir())
+
+
+class TestProgramFingerprintInstanceData:
+    def test_different_data_different_fingerprint(self):
+        from nessai_tpu.model import Model
+
+        class DataModel(Model):
+            names = ["x", "y"]
+            bounds = {"x": [-10.0, 10.0], "y": [-10.0, 10.0]}
+
+            def __init__(self, obs):
+                self.obs = np.asarray(obs, float)
+
+            def log_prior(self, x):
+                return np.log(self.in_bounds(x), dtype=float)
+
+            def log_likelihood(self, x):
+                u = self.unstructured_view(np.atleast_1d(x)).reshape(-1, 2)
+                return -0.5 * np.sum((u - self.obs) ** 2, axis=-1)
+
+            def jax_log_likelihood(self, x):
+                import jax.numpy as jnp
+
+                return -0.5 * jnp.sum(
+                    (x - jnp.asarray(self.obs)) ** 2, axis=-1
+                )
+
+        a = DataModel([0.0, 0.0])
+        b = DataModel([2.0, -2.0])
+        assert a.program_fingerprint != b.program_fingerprint
+        assert (
+            DataModel([0.0, 0.0]).program_fingerprint
+            == a.program_fingerprint
+        )
+
+    def test_counters_do_not_change_fingerprint(self, model):
+        fp = model.program_fingerprint
+        model.likelihood_evaluations += 100
+        assert model.program_fingerprint == fp
+
+    def test_cached_programs_respect_instance_data(self, rng):
+        """Two same-class models with different observed data must not
+        share a compiled likelihood (the original silent-staleness
+        failure mode)."""
+        import jax
+
+        from nessai_tpu.model import Model
+
+        class DataModel(Model):
+            names = ["x", "y"]
+            bounds = {"x": [-10.0, 10.0], "y": [-10.0, 10.0]}
+
+            def __init__(self, obs):
+                self.obs = np.asarray(obs, float)
+
+            def log_prior(self, x):
+                return np.log(self.in_bounds(x), dtype=float)
+
+            def log_likelihood(self, x):
+                u = self.unstructured_view(np.atleast_1d(x)).reshape(-1, 2)
+                return -0.5 * np.sum((u - self.obs) ** 2, axis=-1)
+
+            def jax_log_likelihood(self, x):
+                import jax.numpy as jnp
+
+                return -0.5 * jnp.sum(
+                    (x - jnp.asarray(self.obs)) ** 2, axis=-1
+                )
+
+        from nessai_tpu.livepoint import numpy_array_to_live_points
+
+        pts = numpy_array_to_live_points(
+            rng.normal(size=(8, 2)), ["x", "y"]
+        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            a = DataModel([0.0, 0.0])
+            b = DataModel([3.0, 3.0])
+            la = a.batch_evaluate_log_likelihood(pts)
+            lb = b.batch_evaluate_log_likelihood(pts)
+        np.testing.assert_allclose(la, a.log_likelihood(pts), atol=1e-5)
+        np.testing.assert_allclose(lb, b.log_likelihood(pts), atol=1e-5)
+        assert not np.allclose(la, lb)
