@@ -47,6 +47,18 @@ class CombinedReparameterisation(dict):
         order = list(self.values())
         return list(reversed(order)) if self.reverse_order else order
 
+    @property
+    def to_prime_order(self):
+        """Application order to the prime space. Reference:
+        ``nessai/reparameterisations/combined.py:59``."""
+        return [r.name for r in self._order()]
+
+    @property
+    def from_prime_order(self):
+        """Application order from the prime space. Reference:
+        ``nessai/reparameterisations/combined.py:67``."""
+        return [r.name for r in reversed(self._order())]
+
     def add_reparameterisation(self, reparameterisation):
         if isinstance(reparameterisation, Reparameterisation):
             reparameterisation = [reparameterisation]

@@ -741,6 +741,18 @@ class ImportanceNestedSampler(BaseNestedSampler):
     # ------------------------------------------------------------------
     # Main loop
     # ------------------------------------------------------------------
+    def checkpoint(self, periodic: bool = False, force: bool = False):
+        """The INS cannot checkpoint mid-iteration (the sample store and
+        log_q matrix may be mid-update): only the periodic
+        end-of-iteration checkpoints are valid. Reference:
+        ``importancesampler.py:1408``."""
+        if periodic is False:
+            logger.warning(
+                "Importance Sampler cannot checkpoint mid iteration"
+            )
+            return
+        super().checkpoint(periodic=periodic, force=force)
+
     def nested_sampling_loop(self):
         """Reference: ``importancesampler.py:1498-1565``."""
         if self.finalised:

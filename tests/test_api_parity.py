@@ -399,3 +399,45 @@ class TestProgramFingerprintInstanceData:
         np.testing.assert_allclose(la, a.log_likelihood(pts), atol=1e-5)
         np.testing.assert_allclose(lb, b.log_likelihood(pts), atol=1e-5)
         assert not np.allclose(la, lb)
+
+
+class TestSmallParityAdditions:
+    def test_combined_order_properties(self):
+        from nessai_tpu.reparameterisations import get_reparameterisation
+        from nessai_tpu.reparameterisations.combined import (
+            CombinedReparameterisation,
+        )
+
+        cls, kw = get_reparameterisation("default")
+        r0 = cls(parameters=["a"], prior_bounds={"a": [0, 1]}, **kw)
+        cls, kw = get_reparameterisation("default")
+        r1 = cls(parameters=["b"], prior_bounds={"b": [0, 1]}, **kw)
+        c = CombinedReparameterisation([r0, r1])
+        assert c.to_prime_order == list(reversed(c.from_prime_order))
+        c2 = CombinedReparameterisation([r0, r1], reverse_order=True)
+        assert c2.to_prime_order == list(reversed(c.to_prime_order))
+
+    def test_ins_checkpoint_refuses_mid_iteration(
+        self, tmp_path, model, caplog
+    ):
+        import os
+
+        from nessai_tpu.samplers.importancesampler import (
+            ImportanceNestedSampler,
+        )
+
+        ins = ImportanceNestedSampler(
+            model,
+            nlive=100,
+            min_samples=10,
+            output=str(tmp_path),
+            seed=1,
+            plot=False,
+            checkpointing=True,
+        )
+        with caplog.at_level("WARNING"):
+            ins.checkpoint(periodic=False, force=True)
+        assert "cannot checkpoint mid iteration" in caplog.text
+        assert not os.path.exists(ins.resume_file)
+        ins.checkpoint(periodic=True, force=True)
+        assert os.path.exists(ins.resume_file)
