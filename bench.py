@@ -55,6 +55,24 @@ def _run_once(tag: str):
     return fs, wall, model.analytic_log_evidence
 
 
+def _run_with_retry(tag: str, retries: int = 1):
+    """The axon TPU tunnel occasionally drops mid-run
+    (FAILED_PRECONDITION / backend errors that are environmental, not
+    code); retry once so a transient flap doesn't fail the benchmark."""
+    for attempt in range(retries + 1):
+        try:
+            return _run_once(tag)
+        except Exception as e:  # pragma: no cover - environment-dependent
+            if attempt >= retries:
+                raise
+            logging.getLogger(__name__).warning(
+                "bench %s run failed (%s: %s); retrying once",
+                tag,
+                type(e).__name__,
+                e,
+            )
+
+
 def main():
     logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
 
@@ -64,9 +82,9 @@ def main():
     # compilation cache. The timed run below then measures steady-state
     # sampler performance with zero compiles — the regime any production
     # run reaches after its first iteration block.
-    _, warmup_wall, _ = _run_once("warmup")
+    _, warmup_wall, _ = _run_with_retry("warmup")
 
-    fs, wall, analytic = _run_once("timed")
+    fs, wall, analytic = _run_with_retry("timed")
 
     logZ = float(fs.logZ)
     err = float(fs.log_evidence_error)
