@@ -257,3 +257,33 @@ def test_fused_populate_sharded_matches_single_device(
             rtol=1e-5,
             atol=1e-5,
         )
+
+
+def test_full_ins_sampler_with_mesh(cpu_mesh, tmp_path):
+    """End-to-end importance nested sampling with each level's training
+    and density evaluation sharded over the 8-device mesh (the mesh
+    kwarg reaches ImportanceFlowProposal via the kwargs cascade)."""
+    from nessai_tpu.flowsampler import FlowSampler
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    fs = FlowSampler(
+        IntegrationTestModel(2),
+        output=str(tmp_path),
+        nlive=100,
+        min_samples=10,
+        seed=13,
+        resume=False,
+        plot=False,
+        checkpointing=False,
+        importance_nested_sampler=True,
+        min_iteration=2,
+        max_iteration=3,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=5, batch_size=64, patience=3),
+        mesh=cpu_mesh,
+    )
+    fs.run(plot=False, save=False)
+    assert fs.ns.proposal.mesh is cpu_mesh
+    assert fs.ns.proposal.flow.mesh is cpu_mesh
+    assert fs.ns.proposal.level_count >= 0
+    assert np.isfinite(fs.logZ)
