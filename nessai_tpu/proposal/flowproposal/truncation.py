@@ -30,6 +30,8 @@ __all__ = [
 
 
 class TruncationRule:
+    #: registry name of the rule (reference ``truncation.py:158``)
+    name = "base"
     """Base truncation rule; rules hook into one or more of three stages
     of :meth:`FlowProposal.populate`."""
 
@@ -56,6 +58,7 @@ class TruncationRule:
 
 
 class LatentRadiusTruncation(TruncationRule):
+    name = "latent_radius"
     """Truncate latent samples to a ball of radius ``r * fuzz``.
 
     Modes (reference ``truncation.py:201-365``):
@@ -142,6 +145,7 @@ class LatentRadiusTruncation(TruncationRule):
 
 
 class MinLogQTruncation(TruncationRule):
+    name = "min_log_q"
     """Drop samples whose log_q is below the minimum log_q of the training
     data. Reference: ``truncation.py:368-395``."""
 
@@ -167,6 +171,7 @@ class MinLogQTruncation(TruncationRule):
 
 
 class LikelihoodThresholdTruncation(TruncationRule):
+    name = "likelihood_threshold"
     """Drop samples below the worst point's log-likelihood.
 
     Requires evaluating likelihoods during population.
@@ -232,6 +237,31 @@ class TruncationScheme:
                 kwargs.setdefault("rng", rng)
             rules.append(rule_cls(**kwargs))
         return cls(rules)
+
+    @property
+    def rule_names(self):
+        """Reference: ``truncation.py:456``."""
+        return [rule.name for rule in self.rules]
+
+    def has_rule(self, name: str) -> bool:
+        """Reference: ``truncation.py:463``."""
+        return any(rule.name == name for rule in self.rules)
+
+    def get_rule(self, name: str):
+        """Reference: ``truncation.py:466``."""
+        for rule in self.rules:
+            if rule.name == name:
+                return rule
+        return None
+
+    def add_rule(self, rule, index=None) -> None:
+        """Reference: ``truncation.py:472``."""
+        if self.has_rule(rule.name):
+            raise ValueError(f"Duplicate truncation rule: {rule.name}")
+        if index is None:
+            self.rules.append(rule)
+        else:
+            self.rules.insert(index, rule)
 
     @property
     def requires_log_likelihood(self) -> bool:

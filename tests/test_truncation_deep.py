@@ -229,3 +229,24 @@ def test_scheme_first_latent_sampler_wins(proposal, rng):
     s2 = TruncationScheme.from_config("min_log_q", rng=rng)
     s2.rules[0]._min_log_q = 0.0
     assert s2.sample_latent(proposal, 5) is None
+
+
+def test_scheme_rule_names_has_get_add():
+    """Reference: ``truncation.py:456-480``."""
+    from nessai_tpu.proposal.flowproposal.truncation import (
+        LikelihoodThresholdTruncation,
+        MinLogQTruncation,
+        TruncationScheme,
+    )
+
+    scheme = TruncationScheme([MinLogQTruncation(quantile=0.5)])
+    assert scheme.rule_names == ["min_log_q"]
+    assert scheme.has_rule("min_log_q")
+    assert not scheme.has_rule("latent_radius")
+    assert scheme.get_rule("min_log_q") is scheme.rules[0]
+    assert scheme.get_rule("latent_radius") is None
+    rule = LikelihoodThresholdTruncation()
+    scheme.add_rule(rule, index=0)
+    assert scheme.rule_names == ["likelihood_threshold", "min_log_q"]
+    with pytest.raises(ValueError, match="Duplicate truncation rule"):
+        scheme.add_rule(LikelihoodThresholdTruncation())
