@@ -218,6 +218,10 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         unknown = set(self.boundary_inversion) - set(self.parameters)
         if unknown:
             raise RuntimeError(f"Unknown inversion parameters: {unknown}")
+        # Inversion parameters are always rescaled to [0, 1]
+        # (reference ``rescale.py:447-449``)
+        for p in self.boundary_inversion:
+            self.rescale_bounds[p] = [0.0, 1.0]
         if inversion_type not in ("split", "duplicate"):
             raise RuntimeError(f"Unknown inversion type: {inversion_type}")
         self.inversion_type = inversion_type
@@ -349,42 +353,53 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         """Boundary inversion: rescale to [0, 1], then reflect at the
         detected edge ('split': random half negated in place;
         'duplicate': append the mirrored copy, doubling the arrays).
+        When no edge is detected the parameter falls through to a plain
+        [-1, 1] rescale, mirrored exactly by the inverse.
 
-        Reference: ``nessai/reparameterisations/rescale.py:541-583``.
+        Reference: ``nessai/reparameterisations/rescale.py:541-585``.
         """
         lo, hi = self.bounds[p]
+        if self._edges[p] is None:
+            self._edges[p] = detect_edge(
+                (vals - lo) / (hi - lo), **self.detect_edges_kwargs
+            )
+        edge = self._edges[p]
+        if not edge:
+            # reference ``rescale.py:575-583``: plain [-1, 1] rescale
+            out = 2.0 * (vals - lo) / (hi - lo) - 1.0
+            lj = (np.log(2.0) - np.log(hi - lo)) * np.ones_like(out)
+            return x, x_prime, log_j, out, lj
         out = (vals - lo) / (hi - lo)
         lj = -np.log(hi - lo) * np.ones_like(out)
-        if self._edges[p] is None:
-            self._edges[p] = detect_edge(out, **self.detect_edges_kwargs)
-        edge = self._edges[p]
         if edge == "upper":
             out = 1.0 - out
-        if edge in ("lower", "upper"):
-            if self.inversion_type == "duplicate" or compute_radius:
-                x = np.concatenate([x, x])
-                x_prime = np.concatenate([x_prime, x_prime])
-                log_j = np.concatenate([log_j, log_j])
-                lj = np.concatenate([lj, lj])
-                out = np.concatenate([out, -out])
-            else:
-                mask = self.rng.random(len(out)) < 0.5
-                out[mask] *= -1.0
+        if self.inversion_type == "duplicate" or compute_radius:
+            x = np.concatenate([x, x])
+            x_prime = np.concatenate([x_prime, x_prime])
+            log_j = np.concatenate([log_j, log_j])
+            lj = np.concatenate([lj, lj])
+            out = np.concatenate([out, -out])
+        else:
+            mask = self.rng.random(len(out)) < 0.5
+            out[mask] *= -1.0
         return x, x_prime, log_j, out, lj
 
     def inverse_reparameterise(self, x, x_prime, log_j, **kwargs):
         for p, pp in zip(self.parameters, self.prime_parameters):
             vals = np.asarray(x_prime[pp], dtype=float).copy()
-            if p in self.boundary_inversion and self._edges.get(p) in (
-                "lower",
-                "upper",
-            ):
+            if p in self.boundary_inversion and self._edges.get(p):
                 vals = np.abs(vals)
                 if self._edges[p] == "upper":
                     vals = 1.0 - vals
                 lo, hi = self.bounds[p]
                 out = vals * (hi - lo) + lo
                 lj = np.log(hi - lo) * np.ones_like(out)
+            elif p in self.boundary_inversion:
+                # no edge detected: mirror of the plain [-1, 1] rescale
+                # (reference ``rescale.py:597-601``)
+                lo, hi = self.bounds[p]
+                out = (vals + 1.0) * (hi - lo) / 2.0 + lo
+                lj = (np.log(hi - lo) - np.log(2.0)) * np.ones_like(out)
             else:
                 vals, lj_post = self._apply_post_inv(vals)
                 out, lj = self._inverse_rescale_to_bounds(vals, p)

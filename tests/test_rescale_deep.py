@@ -449,6 +449,38 @@ def test_rtb_inversion_no_edge_plain_rescale():
     np.testing.assert_allclose(x_out["x"], x["x"], atol=1e-10)
 
 
+def test_rtb_inversion_truly_no_edge_roundtrip():
+    """Centered unimodal data genuinely detects NO edge (False); the
+    plain-rescale fallback must round-trip with matching Jacobians
+    (reference ``rescale.py:575-583`` forward, ``:597-601`` inverse)."""
+    rng = np.random.default_rng(3)
+    r = RescaleToBounds(
+        parameters=["x"],
+        prior_bounds={"x": [0.0, 1.0]},
+        boundary_inversion=True,
+        detect_edges=True,
+        rng=rng,
+    )
+    x = _x(["x"], np.clip(rng.normal(0.5, 0.08, 500), 0, 1)[:, None])
+    r.update(x)
+    x1, x_prime, log_j, x_out, log_j_inv = _roundtrip(r, x)
+    assert r._edges["x"] is False
+    np.testing.assert_allclose(x_out["x"], x["x"], atol=1e-12)
+    np.testing.assert_allclose(log_j, -log_j_inv, atol=1e-12)
+
+
+def test_rtb_inversion_forces_zero_one_rescale_bounds():
+    """Inversion parameters always use [0, 1] rescale bounds
+    (reference ``rescale.py:447-449``)."""
+    r = RescaleToBounds(
+        parameters=["x", "y"],
+        prior_bounds={"x": [0.0, 1.0], "y": [0.0, 2.0]},
+        boundary_inversion=["x"],
+    )
+    assert r.rescale_bounds["x"] == [0.0, 1.0]
+    assert r.rescale_bounds["y"] == [-1.0, 1.0]
+
+
 # ----------------------------------------------------------------------
 # Prime prior
 # ----------------------------------------------------------------------
