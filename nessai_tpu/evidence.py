@@ -49,9 +49,25 @@ class _NSIntegralState:
     Reference: ``nessai/evidence.py:120``.
     """
 
-    def __init__(self, nlive: int, track_gradients: bool = True, expand_factor=None):
+    #: class-level default so pre-round-3 pickles resume cleanly
+    expectation = "logt"
+
+    def __init__(
+        self,
+        nlive: int,
+        track_gradients: bool = True,
+        expand_factor=None,
+        expectation: str = "logt",
+    ):
         self.base_nlive = int(nlive)
         self.track_gradients = track_gradients
+        if expectation.lower() not in ("t", "logt"):
+            raise ValueError(
+                f"Expectation must be t or logt, got: {expectation}"
+            )
+        #: Shrinkage expectation: 'logt' uses <log t> = -1/N, 't' uses
+        #: <t> = N/(N+1) (reference ``evidence.py:115-128,160-171``)
+        self.expectation = expectation.lower()
         self.reset()
 
     def reset(self) -> None:
@@ -83,7 +99,10 @@ class _NSIntegralState:
                 self.logLs[-1],
                 logL,
             )
-        logt = -1.0 / nlive
+        if self.expectation == "logt":
+            logt = -1.0 / nlive  # <log t> = -1/N
+        else:
+            logt = -math.log1p(1.0 / nlive)  # <t> = N/(N+1)
         # log(1 - exp(logt)), logt < 0
         Wt = self.logw + logL + math.log(-math.expm1(logt))
         if Wt > self.logZ:
@@ -118,7 +137,10 @@ class _NSIntegralState:
         """Log-prior volumes of the current live points, assuming the
         run terminated now. Reference: ``nessai/evidence.py:193``."""
         nlive_per_iteration = np.arange(nlive, 0, -1, dtype=float)
-        logt = -1.0 / nlive_per_iteration
+        if self.expectation == "logt":
+            logt = -1.0 / nlive_per_iteration
+        else:
+            logt = -np.log1p(1.0 / nlive_per_iteration)
         return self.logw + np.cumsum(logt)
 
     @property
@@ -297,6 +319,20 @@ class _INSIntegralState:
                 - self.log_evidence_nested_samples
             )
         return self.log_evidence_live_points - self.log_evidence
+
+    def compute_evidence_ratio(self, ns_only: bool = False) -> float:
+        """Deprecated alias for :meth:`compute_log_evidence_ratio`.
+
+        Reference: ``nessai/evidence.py:406-421``."""
+        import warnings
+
+        warnings.warn(
+            "compute_evidence_ratio is deprecated, "
+            "use compute_log_evidence_ratio instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.compute_log_evidence_ratio(ns_only=ns_only)
 
     @property
     def log_evidence_ratio(self) -> float:

@@ -14,6 +14,7 @@ from typing import Optional
 
 import numpy as np
 
+from . import config
 from .livepoint import live_points_to_dict
 from .posterior import draw_posterior_samples
 from .utils.io import save_dict_to_hdf5, save_to_json
@@ -38,6 +39,9 @@ class FlowSampler:
         resume: bool = True,
         resume_file: str = "nested_sampler_resume.pkl",
         resume_data=None,
+        weights_file: Optional[str] = None,
+        weights_path: Optional[str] = None,
+        eps: Optional[float] = None,
         exit_code: int = 130,
         pytorch_threads=None,
         max_threads=None,
@@ -60,6 +64,12 @@ class FlowSampler:
 
         enable_compilation_cache()
         self.exit_code = exit_code
+        #: Reference ``flowsampler.py:100,116-118``: override the global
+        #: numerical epsilon used by e.g. the logit rescaling
+        self.eps = eps
+        if self.eps is not None:
+            logger.info("Setting eps to %s", self.eps)
+            config.general.eps = self.eps
         self.close_pool = close_pool
         self.result_extension = result_extension
         self._result = None
@@ -93,6 +103,9 @@ class FlowSampler:
         self.save_kwargs(kwargs)
 
         resumed = False
+        # reference ``flowsampler.py:160``: weights_file is the
+        # backwards-compatible alias for weights_path
+        weights_path = weights_path or weights_file
         if resume and not self.check_resume(resume_file, resume_data):
             logger.debug("Nothing to resume from")
         if resume_data is not None:
@@ -101,6 +114,7 @@ class FlowSampler:
                 model,
                 flow_config=kwargs.get("flow_config"),
                 training_config=kwargs.get("training_config"),
+                weights_path=weights_path,
                 rng=rng,
             )
             resumed = True
@@ -116,6 +130,7 @@ class FlowSampler:
                             model,
                             flow_config=kwargs.get("flow_config"),
                             training_config=kwargs.get("training_config"),
+                            weights_path=weights_path,
                             rng=rng,
                         )
                         resumed = True

@@ -33,6 +33,7 @@ from .utils.multiprocessing import (
     get_n_pool,
     initialise_pool_variables,
     log_likelihood_wrapper,
+    log_prior_unit_hypercube_wrapper,
     log_prior_wrapper,
 )
 
@@ -71,7 +72,10 @@ class Model(ABC):
     _dims = None
     _vectorised_likelihood = None
     _vectorised_prior = None
+    _vectorised_prior_unit_hypercube = None
     _pool_configured = False
+    #: Allow vectorised prior evaluation (reference ``model.py:118``)
+    allow_vectorised_prior: bool = True
 
     likelihood_evaluations: int = 0
     likelihood_evaluation_time = datetime.timedelta()
@@ -391,8 +395,11 @@ class Model(ABC):
 
     @property
     def vectorised_prior(self) -> bool:
-        """Reference: ``nessai/model.py:276-316``."""
+        """Reference: ``nessai/model.py:276-294``."""
         if self._vectorised_prior is None:
+            if not self.allow_vectorised_prior:
+                self._vectorised_prior = False
+                return False
             try:
                 x = empty_structured_array(4, names=self.names)
                 rng = self._require_rng()
@@ -407,6 +414,36 @@ class Model(ABC):
             except Exception:
                 self._vectorised_prior = False
         return self._vectorised_prior
+
+    @vectorised_prior.setter
+    def vectorised_prior(self, value):
+        """Manually set the flag (reference ``model.py:291-294``)."""
+        self._vectorised_prior = value
+
+    @property
+    def vectorised_prior_unit_hypercube(self) -> bool:
+        """Whether ``log_prior_unit_hypercube`` accepts batches.
+
+        Reference: ``nessai/model.py:296-316``."""
+        if self._vectorised_prior_unit_hypercube is None:
+            if not self.allow_vectorised_prior:
+                self._vectorised_prior_unit_hypercube = False
+                return False
+            try:
+                x = self.sample_unit_hypercube(n=4)
+                self._vectorised_prior_unit_hypercube = (
+                    check_vectorised_function(
+                        self.log_prior_unit_hypercube, x
+                    )
+                )
+            except Exception:
+                self._vectorised_prior_unit_hypercube = False
+        return self._vectorised_prior_unit_hypercube
+
+    @vectorised_prior_unit_hypercube.setter
+    def vectorised_prior_unit_hypercube(self, value):
+        """Manually set the flag (reference ``model.py:313-316``)."""
+        self._vectorised_prior_unit_hypercube = value
 
     # ------------------------------------------------------------------
     # Pool configuration (scalar python likelihoods)
@@ -559,8 +596,15 @@ class Model(ABC):
         return out
 
     def batch_evaluate_log_prior_unit_hypercube(self, x) -> np.ndarray:
-        """Reference: ``nessai/model.py:710``."""
-        return np.asarray(self.log_prior_unit_hypercube(x), dtype=float)
+        """Reference: ``nessai/model.py:710-735``."""
+        return batch_evaluate_function(
+            self.log_prior_unit_hypercube,
+            x,
+            self.vectorised_prior_unit_hypercube,
+            func_wrapper=log_prior_unit_hypercube_wrapper,
+            n_pool=self.n_pool if self.parallelise_prior else None,
+            pool=self.pool if self.parallelise_prior else None,
+        )
 
     def sample_unit_hypercube(self, n: int = 1) -> np.ndarray:
         """Uniform draws in the unit hypercube as live points.

@@ -562,9 +562,11 @@ class BaseFlowProposal(RejectionProposal):
                 x,
             )
         self._reparameterisation.update(x)
-        if hasattr(self, "_build_affine_map"):
-            # data-driven scales changed: refresh the fused-populate map
-            self._build_affine_map()
+        if hasattr(self, "_build_device_inverse"):
+            # structure is static, but rebuild defensively in case a
+            # subclass's stack changed; runtime values (bounds, edges,
+            # z-score estimates) are re-fetched on every device call
+            self._build_device_inverse()
         x_prime, _ = self.rescale(x)
         x_prime_array = live_points_to_array(
             x_prime, self.prime_parameters

@@ -87,7 +87,7 @@ class FlowProposal(BaseFlowProposal):
             self._truncation_scheme = TruncationScheme.from_config(
                 self._truncation_config, rng=self.rng
             )
-        self._build_affine_map()
+        self._build_device_inverse()
 
     #: cap on the acceptance-adaptive latent draw scale
     _max_draw_scale: float = 32.0
@@ -116,52 +116,42 @@ class FlowProposal(BaseFlowProposal):
     # ------------------------------------------------------------------
     # Fused device-side populate step
     # ------------------------------------------------------------------
-    def _build_affine_map(self):
-        """(col_index, scale, shift) arrays in model-name order when the
-        whole reparameterisation stack is per-parameter affine (the
-        default zscore fallback), else None.
+    def _build_device_inverse(self):
+        """Build the jittable inverse-reparameterisation stage when every
+        reparameterisation provides one (``Reparameterisation.jax_inverse``).
 
-        Enables the fused populate path: flow inverse, de-rescaling,
-        bounds check and (JAX) likelihood in ONE device program — one
-        host↔device round trip per populate batch.
+        Enables the fused populate path: flow inverse, inverse
+        reparameterisation (incl. RescaleToBounds/logit/inversion and
+        angle reparams), bounds check and (JAX) likelihood in ONE device
+        program — one host↔device round trip per populate batch. Runtime
+        values (data-driven bounds, detected edges, z-score estimates)
+        enter as arguments, so per-training updates never retrace.
         """
-        self._affine_map = None
+        self._device_inverse = None
         if self.map_to_unit_hypercube:
             return
-        # auxiliary/augment dimensions (angles' radii, augmented dims)
-        # carry extra priors the fused path does not evaluate
-        if list(self.parameters) != list(self.model.names) or len(
-            self.prime_parameters
-        ) != len(self.model.names):
+        if self._reparameterisation is None:
             return
-        from ...reparameterisations.rescale import ScaleAndShift
-
-        entries = {}
-        for r in self._reparameterisation.values():
-            if not isinstance(r, ScaleAndShift):
-                return
-            aff = r.as_affine()
-            if aff is None:
-                return
-            for p, pp in zip(r.parameters, r.prime_parameters):
-                entries[p] = (pp, *aff[p])
-        if set(entries) != set(self.model.names):
+        built = self._reparameterisation.jax_inverse()
+        if built is None:
             return
-        cols, scales, shifts = [], [], []
-        for name in self.model.names:
-            pp, s, t = entries[name]
-            cols.append(self.prime_parameters.index(pp))
-            scales.append(s)
-            shifts.append(t)
-        self._affine_map = (
-            np.asarray(cols, np.int32),
-            np.asarray(scales, np.float32),
-            np.asarray(shifts, np.float32),
+        fn, fingerprint = built
+        # the stage must consume exactly the flow's output columns and
+        # produce every x-space column (model + auxiliary); augmented
+        # proposals add extra prime dims no reparameterisation covers
+        combined = self._reparameterisation
+        produced = set(combined.parameters) | set(
+            combined.auxiliary_parameters
         )
+        if set(self.prime_parameters) != set(combined.prime_parameters):
+            return
+        if not set(self.parameters) <= produced:
+            return
+        self._device_inverse = (fn, fingerprint)
 
     @property
     def _can_fuse_populate(self) -> bool:
-        if getattr(self, "_affine_map", None) is None:
+        if getattr(self, "_device_inverse", None) is None:
             return False
         if self.model.has_jax_likelihood:
             return True
@@ -173,30 +163,40 @@ class FlowProposal(BaseFlowProposal):
         )
 
     def _fused_backward(self, z):
-        """One device call: z → x (model order) + log_q + logL + bounds.
+        """One device call: z → x (proposal-parameter order) + log_q +
+        logL + bounds.
 
-        Returns numpy arrays sliced to len(z)."""
+        Returns numpy arrays sliced to len(z); the x array has one column
+        per entry of ``self.parameters`` (model names plus auxiliary
+        reparameterisation outputs such as sampled radii)."""
         import jax
         import jax.numpy as jnp
 
         from ...flowmodel.base import _bucket_size, _pad_rows
 
-        cols, scale, shift = self._affine_map
+        fn_reparam, reparam_fp = self._device_inverse
         fm = self.flow
         flow = fm.flow
         model = self.model
         device_ll = model.get_device_log_likelihood()
         lower = np.asarray(model.lower_bounds, np.float32)
         upper = np.asarray(model.upper_bounds, np.float32)
+        prime_names = tuple(self.prime_parameters)
+        param_names = tuple(self.parameters)
+        model_idx = tuple(param_names.index(n) for n in model.names)
+        identity_gather = model_idx == tuple(range(len(param_names)))
 
-        def fn(params, z, scale, shift, lower, upper):
+        def fn(params, z, consts, lower, upper):
             x_prime, log_j_flow = flow.inverse(params, z)
             log_q = flow.base_log_prob(params, z) - log_j_flow
-            x_model = x_prime[:, tuple(cols)] * scale + shift
-            log_q = log_q - jnp.sum(jnp.log(jnp.abs(scale)))
+            cols = {pp: x_prime[:, i] for i, pp in enumerate(prime_names)}
+            cols, log_j_r = fn_reparam(cols, consts)
+            log_q = log_q - log_j_r
+            x = jnp.stack([cols[p] for p in param_names], axis=1)
+            x_model = x if identity_gather else x[:, model_idx]
             in_b = jnp.all((x_model >= lower) & (x_model <= upper), axis=1)
             log_l = device_ll(x_model)
-            return x_model, log_q, log_l, in_b
+            return x, log_q, log_l, in_b
 
         n = len(z)
         bucket = _bucket_size(n)
@@ -205,11 +205,16 @@ class FlowProposal(BaseFlowProposal):
             n_dev = int(fm.mesh.devices.size)
             bucket = ((bucket + n_dev - 1) // n_dev) * n_dev
         z_p = _pad_rows(z, bucket)
-        # key by the static column map and the model's program identity:
-        # the traced program captures the likelihood and the column gather
+        consts = self._reparameterisation.jax_inverse_consts()
+        # key by the reparameterisation structure, the parameter orders
+        # and the model's program identity: the traced program bakes in
+        # the likelihood, the column layout and the chosen branches
         key = (
             "fused_populate",
-            tuple(int(c) for c in cols),
+            reparam_fp,
+            prime_names,
+            param_names,
+            tuple(model.names),
             model.program_fingerprint,
             bool(model.has_jax_likelihood),
         )
@@ -218,8 +223,8 @@ class FlowProposal(BaseFlowProposal):
             z_in = jnp.asarray(z_p, jnp.float32)
         else:
             # batch-shard the whole populate program over the mesh: latent
-            # inverse, de-rescale, bounds and likelihood all run sharded;
-            # params/consts replicated (SURVEY.md §2.3 parallelism contract)
+            # inverse, inverse reparams, bounds and likelihood all run
+            # sharded; params/consts replicated (SURVEY.md §2.3 contract)
             from ...parallel.mesh import data_sharding, replicated_sharding
             from ...utils.programs import get_program
 
@@ -229,21 +234,21 @@ class FlowProposal(BaseFlowProposal):
                 ("fm", fm._scope_key(), key),
                 lambda: jax.jit(
                     fn,
-                    in_shardings=(rep, ds, rep, rep, rep, rep),
+                    in_shardings=(rep, ds, rep, rep, rep),
                     out_shardings=(ds, ds, ds, ds),
                 ),
             )
             z_in = jax.device_put(jnp.asarray(z_p, jnp.float32), ds)
-        x_model, log_q, log_l, in_b = jit_fn(
-            fm.params, z_in, scale, shift, lower, upper
+        x_arr, log_q, log_l, in_b = jit_fn(
+            fm.params, z_in, consts, lower, upper
         )
         from ...utils.transfer import arrays_to_host
 
-        x_model, log_q, log_l, in_b = arrays_to_host(
-            x_model, log_q, log_l, in_b
+        x_arr, log_q, log_l, in_b = arrays_to_host(
+            x_arr, log_q, log_l, in_b
         )
         return (
-            np.asarray(x_model, np.float64)[:n],
+            np.asarray(x_arr, np.float64)[:n],
             np.asarray(log_q, np.float64)[:n],
             np.asarray(log_l, np.float64)[:n],
             np.asarray(in_b)[:n],
@@ -288,6 +293,27 @@ class FlowProposal(BaseFlowProposal):
         accept = None
 
         fused = self._can_fuse_populate
+        if (
+            not fused
+            and getattr(self, "_device_inverse", None) is not None
+            and not self.model.has_jax_likelihood
+            and self.model.get_device_log_likelihood() is not None
+            and self.flow.mesh is not None
+            and not getattr(self, "_warned_callback_mesh", False)
+        ):
+            # host callbacks cannot run inside sharded device programs:
+            # make the silent loss of the mesh + fused path loud
+            logger.warning(
+                "Model uses a host-callback likelihood "
+                "(likelihood_callback=True) but the proposal is on a "
+                "%d-device mesh: pure_callback cannot run inside sharded "
+                "programs, so populate falls back to the unfused "
+                "single-device path. Provide jax_log_likelihood to keep "
+                "the mesh, or drop the mesh to keep the fused callback "
+                "path.",
+                int(self.flow.mesh.devices.size),
+            )
+            self._warned_callback_mesh = True
         likelihoods_in_pool = fused or self._truncation_scheme.requires_log_likelihood
 
         while n_accepted < n_samples:
@@ -314,7 +340,7 @@ class FlowProposal(BaseFlowProposal):
                 x = empty_structured_array(
                     int(keep.sum()), dtype=self.x_dtype
                 )
-                for i, name in enumerate(self.model.names):
+                for i, name in enumerate(self.parameters):
                     x[name] = x_arr[keep, i]
                 x["logL"] = log_l[keep]
                 log_q = log_q[keep]
@@ -422,4 +448,6 @@ class FlowProposal(BaseFlowProposal):
 
     def __getstate__(self):
         state = super().__getstate__()
+        # holds traced closures; rebuilt by initialise() on resume
+        state["_device_inverse"] = None
         return state

@@ -114,6 +114,31 @@ class Angle(Reparameterisation):
             return 0.0
         return self.chi.logpdf(x[self.radial])
 
+    def jax_inverse(self):
+        """Jittable polar -> (angle, radius) inverse."""
+        px, py = self.prime_parameters
+        angle_p, radial_p = self.angle, self.radial
+        zero_bound = bool(self._zero_bound)
+
+        def fn(cols, c):
+            import jax.numpy as jnp
+
+            (scale,) = c
+            cx, cy = cols[px], cols[py]
+            r = jnp.sqrt(cx**2 + cy**2)
+            angle = jnp.arctan2(cy, cx)
+            if zero_bound:
+                angle = angle % (2.0 * jnp.pi)
+            angle = angle / scale
+            return {radial_p: r, angle_p: angle}, -jnp.log(r)
+
+        return fn, ("angle", px, py, angle_p, radial_p, zero_bound)
+
+    def jax_inverse_consts(self):
+        import jax.numpy as jnp
+
+        return (jnp.float32(self.scale),)
+
 
 class ToCartesian(Angle):
     """Convert a *non-angular* bounded parameter to Cartesian coordinates
@@ -173,6 +198,36 @@ class ToCartesian(Angle):
         )
         x, x_prime, log_j = self._inverse_rescale_angle(x, x_prime, log_j)
         return x, x_prime, log_j
+
+    def jax_inverse(self):
+        """Jittable Cartesian -> bounded-parameter inverse: |angle| is
+        mapped back from [0, 1] to the prior bounds."""
+        px, py = self.prime_parameters
+        param, radial_p = self.parameters[0], self.radial
+
+        def fn(cols, c):
+            import jax.numpy as jnp
+
+            scale, b_lo, b_hi = c
+            cx, cy = cols[px], cols[py]
+            r = jnp.sqrt(cx**2 + cy**2)
+            angle = jnp.arctan2(cy, cx) / scale
+            width = b_hi - b_lo
+            out = jnp.abs(angle) * width + b_lo
+            log_j = -jnp.log(r) + jnp.log(width)
+            return {radial_p: r, param: out}, log_j
+
+        return fn, ("tocartesian", px, py, param, radial_p)
+
+    def jax_inverse_consts(self):
+        import jax.numpy as jnp
+
+        b = self.prior_bounds[self.parameters[0]]
+        return (
+            jnp.float32(self.scale),
+            jnp.float32(b[0]),
+            jnp.float32(b[1]),
+        )
 
 
 class AnglePair(Reparameterisation):
@@ -300,3 +355,28 @@ class AnglePair(Reparameterisation):
         if self.chi is None:
             return 0.0
         return self.chi.logpdf(x[self.radial])
+
+    def jax_inverse(self):
+        """Jittable 3-D Cartesian -> (alpha, beta, radius) inverse for
+        both sky conventions."""
+        px, py, pz = self.prime_parameters
+        a0, a1 = self._angles
+        radial_p = self.radial
+        ra_dec = self.convention == "ra-dec"
+
+        def fn(cols, c):
+            import jax.numpy as jnp
+
+            cx, cy, cz = cols[px], cols[py], cols[pz]
+            rho = jnp.sqrt(cx**2 + cy**2)
+            r = jnp.sqrt(cx**2 + cy**2 + cz**2)
+            alpha = jnp.arctan2(cy, cx) % (2.0 * jnp.pi)
+            if ra_dec:
+                beta = jnp.arctan2(cz, rho)
+                log_j = -2.0 * jnp.log(r) - jnp.log(jnp.abs(jnp.cos(beta)))
+            else:
+                beta = jnp.arctan2(rho, cz)
+                log_j = -2.0 * jnp.log(r) - jnp.log(jnp.abs(jnp.sin(beta)))
+            return {radial_p: r, a0: alpha, a1: beta}, log_j
+
+        return fn, ("anglepair", px, py, pz, a0, a1, radial_p, ra_dec)

@@ -114,6 +114,33 @@ class Reparameterisation:
     def update_bounds(self, x) -> None:
         """Alias kept for parity with the reference API."""
 
+    def jax_inverse(self):
+        """Jittable device-side inverse x' -> x, or None if unsupported.
+
+        Returns ``(fn, fingerprint)`` where
+        ``fn(cols: dict[str, jnp.ndarray], c) -> (updates, log_j)``:
+        ``cols`` maps parameter names (prime space, plus any x-space
+        parameters written by reparameterisations applied earlier in the
+        inverse order) to ``[n]`` arrays; ``updates`` are the x-space
+        columns this reparameterisation produces and ``log_j`` its
+        ``log|dx/dx'|`` contribution. ``c`` is the pytree returned by
+        :meth:`jax_inverse_consts` — ALL runtime numbers (bounds, scales,
+        detected edges) must flow through it so the traced program stays
+        valid across :meth:`update` calls; ``fingerprint`` must cover all
+        static structure baked into the trace (parameter names, chosen
+        branches, named rescaling functions).
+
+        Enables the fused single-program populate path
+        (``proposal/flowproposal/flowproposal.py``); reparameterisations
+        that return None fall back to the host-side inverse.
+        """
+        return None
+
+    def jax_inverse_consts(self):
+        """Current runtime values for :meth:`jax_inverse` (re-fetched on
+        every device call, so data-driven updates need no recompile)."""
+        return ()
+
     def x_prime_log_prior(self, x_prime):
         """Log-prior defined directly in the prime space (optional)."""
         raise RuntimeError(

@@ -102,6 +102,34 @@ class CombinedReparameterisation(dict):
             )
         return x, x_prime, log_j
 
+    def jax_inverse(self):
+        """Compose the children's jittable inverses in the same order as
+        :meth:`inverse_reparameterise`; None if any child lacks one."""
+        order = list(reversed(self._order()))
+        parts = []
+        for r in order:
+            built = r.jax_inverse()
+            if built is None:
+                return None
+            parts.append(built)
+        fns = tuple(f for f, _ in parts)
+        fingerprint = ("combined",) + tuple(fp for _, fp in parts)
+
+        def fn(cols, consts):
+            log_j = 0.0
+            for f, c in zip(fns, consts):
+                updates, lj = f(cols, c)
+                cols = {**cols, **updates}
+                log_j = log_j + lj
+            return cols, log_j
+
+        return fn, fingerprint
+
+    def jax_inverse_consts(self):
+        return tuple(
+            r.jax_inverse_consts() for r in reversed(self._order())
+        )
+
     def update(self, x) -> None:
         """Reference: ``combined.py:219``."""
         for r in self.values():

@@ -46,3 +46,20 @@ class Dequantise(RescaleToBounds):
         for p in self.parameters:
             x[p] = np.floor(x[p])
         return x, x_prime, log_j
+
+    def jax_inverse(self):
+        built = super().jax_inverse()
+        if built is None:
+            return None
+        parent_fn, parent_fp = built
+        params = tuple(self.parameters)
+
+        def fn(cols, c):
+            import jax.numpy as jnp
+
+            updates, log_j = parent_fn(cols, c)
+            for p in params:
+                updates[p] = jnp.floor(updates[p])
+            return updates, log_j
+
+        return fn, ("dequantise", parent_fp)

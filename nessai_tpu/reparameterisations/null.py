@@ -22,3 +22,12 @@ class NullReparameterisation(Reparameterisation):
         for p, pp in zip(self.parameters, self.prime_parameters):
             x[p] = x_prime[pp]
         return x, x_prime, log_j
+
+    def jax_inverse(self):
+        params = tuple(self.parameters)
+        primes = tuple(self.prime_parameters)
+
+        def fn(cols, c):
+            return {p: cols[pp] for p, pp in zip(params, primes)}, 0.0
+
+        return fn, ("null", params, primes)

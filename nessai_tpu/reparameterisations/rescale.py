@@ -29,8 +29,13 @@ class PrePostMixin:
 
     pre_rescaling = None
     post_rescaling = None
+    #: Names of the pre/post rescalings when given as registry strings
+    #: (None for custom callables) — required for the jittable inverse.
+    pre_rescaling_name = None
+    post_rescaling_name = None
 
     def _set_rescaling(self, attr, value):
+        setattr(self, attr + "_name", value if isinstance(value, str) else None)
         if value is None:
             setattr(self, attr, None)
             return
@@ -43,6 +48,27 @@ class PrePostMixin:
             setattr(self, attr, tuple(value))
         else:
             raise RuntimeError(f"Invalid rescaling: {value}")
+
+    def _jax_pre_post_inverses(self):
+        """(pre_inv, post_inv) jittable functions, or None if a custom
+        (non-registry) rescaling blocks the device path."""
+        from ..utils.rescaling import get_jax_rescaling
+
+        fns = []
+        for fn, name in (
+            (self.pre_rescaling, self.pre_rescaling_name),
+            (self.post_rescaling, self.post_rescaling_name),
+        ):
+            if fn is None:
+                fns.append(None)
+            elif name is None:
+                return None
+            else:
+                pair = get_jax_rescaling(name)
+                if pair is None:
+                    return None
+                fns.append(pair[1])
+        return tuple(fns)
 
     def _apply_pre(self, x):
         if self.pre_rescaling is None:
@@ -128,6 +154,56 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
             for p in self.parameters
         }
 
+    def jax_inverse(self):
+        """Jittable inverse: ``x = pre_inv(post_inv(x') * scale + shift)``
+        with scales/shifts as runtime consts (z-score estimates change on
+        every :meth:`update`)."""
+        fns = self._jax_pre_post_inverses()
+        if fns is None:
+            return None
+        pre_inv, post_inv = fns
+        params = tuple(self.parameters)
+        primes = tuple(self.prime_parameters)
+
+        def fn(cols, c):
+            import jax.numpy as jnp
+
+            scale, shift = c
+            log_j = 0.0
+            updates = {}
+            for i, (p, pp) in enumerate(zip(params, primes)):
+                v = cols[pp]
+                if post_inv is not None:
+                    v, lj_post = post_inv(v)
+                    log_j = log_j + lj_post
+                out = v * scale[i] + shift[i]
+                log_j = log_j + jnp.log(jnp.abs(scale[i]))
+                if pre_inv is not None:
+                    out, lj_pre = pre_inv(out)
+                    log_j = log_j + lj_pre
+                updates[p] = out
+            return updates, log_j
+
+        fingerprint = (
+            "scaleandshift",
+            params,
+            primes,
+            self.pre_rescaling_name,
+            self.post_rescaling_name,
+        )
+        return fn, fingerprint
+
+    def jax_inverse_consts(self):
+        import jax.numpy as jnp
+
+        scale = jnp.asarray(
+            [self.scale[p] for p in self.parameters], jnp.float32
+        )
+        shift = jnp.asarray(
+            [self.shift[p] for p in self.parameters], jnp.float32
+        )
+        return (scale, shift)
+
     def reparameterise(self, x, x_prime, log_j, **kwargs):
         for p, pp in zip(self.parameters, self.prime_parameters):
             vals, lj_pre = self._apply_pre(np.asarray(x[p], dtype=float))
@@ -208,13 +284,35 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         self._set_rescaling("pre_rescaling", pre_rescaling)
         self._set_rescaling("post_rescaling", post_rescaling)
 
-        if boundary_inversion is None:
-            boundary_inversion = []
+        if inversion_type not in ("split", "duplicate"):
+            raise RuntimeError(f"Unknown inversion type: {inversion_type}")
+        self.inversion_type = inversion_type
+        # reference ``rescale.py:424-445``: list / dict (per-parameter
+        # inversion type) / bool / str forms
+        if boundary_inversion is None or boundary_inversion is False:
+            inversion_types = {}
         elif boundary_inversion is True:
-            boundary_inversion = list(self.parameters)
+            inversion_types = {p: inversion_type for p in self.parameters}
         elif isinstance(boundary_inversion, str):
-            boundary_inversion = [boundary_inversion]
-        self.boundary_inversion = list(boundary_inversion)
+            inversion_types = {boundary_inversion: inversion_type}
+        elif isinstance(boundary_inversion, dict):
+            inversion_types = dict(boundary_inversion)
+        elif isinstance(boundary_inversion, (list, tuple)):
+            inversion_types = {p: inversion_type for p in boundary_inversion}
+        else:
+            raise TypeError(
+                "boundary_inversion must be a list, dict or bool. "
+                f"Got type: {type(boundary_inversion).__name__}"
+            )
+        bad = {
+            p: t
+            for p, t in inversion_types.items()
+            if t not in ("split", "duplicate")
+        }
+        if bad:
+            raise RuntimeError(f"Unknown inversion type: {bad}")
+        self._inversion_types = inversion_types
+        self.boundary_inversion = list(inversion_types)
         unknown = set(self.boundary_inversion) - set(self.parameters)
         if unknown:
             raise RuntimeError(f"Unknown inversion parameters: {unknown}")
@@ -222,9 +320,6 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         # (reference ``rescale.py:447-449``)
         for p in self.boundary_inversion:
             self.rescale_bounds[p] = [0.0, 1.0]
-        if inversion_type not in ("split", "duplicate"):
-            raise RuntimeError(f"Unknown inversion type: {inversion_type}")
-        self.inversion_type = inversion_type
         self.detect_edges = detect_edges
         if detect_edges and not self.boundary_inversion:
             raise RuntimeError(
@@ -373,7 +468,7 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         lj = -np.log(hi - lo) * np.ones_like(out)
         if edge == "upper":
             out = 1.0 - out
-        if self.inversion_type == "duplicate" or compute_radius:
+        if self._inversion_types[p] == "duplicate" or compute_radius:
             x = np.concatenate([x, x])
             x_prime = np.concatenate([x_prime, x_prime])
             log_j = np.concatenate([log_j, log_j])
@@ -409,6 +504,92 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
             x[p] = out
             log_j = log_j + lj + lj_pre
         return x, x_prime, log_j
+
+    # ------------------------------------------------------------------
+    def jax_inverse(self):
+        """Jittable inverse covering live bounds, offsets, pre/post
+        rescaling and boundary inversion. Detected edges enter as runtime
+        int codes (0 = none, 1 = lower/both, 2 = upper) so re-detection
+        after each training changes no traced program."""
+        fns = self._jax_pre_post_inverses()
+        if fns is None:
+            return None
+        pre_inv, post_inv = fns
+        params = tuple(self.parameters)
+        primes = tuple(self.prime_parameters)
+        inversion = tuple(p in self.boundary_inversion for p in params)
+
+        def fn(cols, c):
+            import jax.numpy as jnp
+
+            lo, hi, offset, rb0, rb1, edge = c
+            log_j = 0.0
+            updates = {}
+            for i, (p, pp) in enumerate(zip(params, primes)):
+                v = cols[pp]
+                width = hi[i] - lo[i]
+                if inversion[i]:
+                    # edge path: |v|, flipped for an upper edge
+                    va = jnp.abs(v)
+                    va = jnp.where(edge[i] == 2, 1.0 - va, va)
+                    out_e = va * width + lo[i]
+                    lj_e = jnp.log(width)
+                    # no-edge fallback: plain [-1, 1] rescale
+                    out_n = (v + 1.0) * width / 2.0 + lo[i]
+                    lj_n = jnp.log(width) - jnp.log(2.0)
+                    inverted = edge[i] > 0
+                    out = jnp.where(inverted, out_e, out_n)
+                    log_j = log_j + jnp.where(inverted, lj_e, lj_n)
+                else:
+                    if post_inv is not None:
+                        v, lj_post = post_inv(v)
+                        log_j = log_j + lj_post
+                    out = width * (v - rb0[i]) / (rb1[i] - rb0[i]) + lo[i]
+                    log_j = log_j + jnp.log(width) - jnp.log(rb1[i] - rb0[i])
+                out = out + offset[i]
+                if pre_inv is not None:
+                    out, lj_pre = pre_inv(out)
+                    log_j = log_j + lj_pre
+                updates[p] = out
+            return updates, log_j
+
+        fingerprint = (
+            "rescaletobounds",
+            params,
+            primes,
+            self.pre_rescaling_name,
+            self.post_rescaling_name,
+            inversion,
+        )
+        return fn, fingerprint
+
+    def jax_inverse_consts(self):
+        import jax.numpy as jnp
+
+        lo = jnp.asarray(
+            [self.bounds[p][0] for p in self.parameters], jnp.float32
+        )
+        hi = jnp.asarray(
+            [self.bounds[p][1] for p in self.parameters], jnp.float32
+        )
+        offset = jnp.asarray(
+            [self.offsets[p] for p in self.parameters], jnp.float32
+        )
+        rb0 = jnp.asarray(
+            [self.rescale_bounds[p][0] for p in self.parameters], jnp.float32
+        )
+        rb1 = jnp.asarray(
+            [self.rescale_bounds[p][1] for p in self.parameters], jnp.float32
+        )
+        edge = jnp.asarray(
+            [
+                2 if self._edges.get(p) == "upper"
+                else (1 if self._edges.get(p) else 0)
+                for p in self.parameters
+            ],
+            jnp.int32,
+        )
+        return (lo, hi, offset, rb0, rb1, edge)
 
     # ------------------------------------------------------------------
     def x_prime_log_prior(self, x_prime):

@@ -175,7 +175,10 @@ class BaseNestedSampler(ABC):
             self.checkpoint_callback(self)
         else:
             safe_file_dump(
-                self, self.resume_file, module=pickle, save_existing=True
+                self,
+                self.resume_file,
+                module=pickle,
+                save_existing=getattr(self, "save_existing_checkpoint", True),
             )
         self.sampling_start_time = datetime.datetime.now()
         self._last_checkpoint_time = time.time()

@@ -167,6 +167,9 @@ class ImportanceNestedSampler(BaseNestedSampler):
         plot_likelihood_levels: bool = True,
         plot_level_cdf: bool = False,
         plot_training_data: bool = False,
+        plot_extra_state: bool = False,
+        trace_plot_kwargs: Optional[dict] = None,
+        save_existing_checkpoint: bool = False,
         replace_all: bool = False,
         threshold_method: Literal["entropy", "quantile"] = "entropy",
         threshold_kwargs: Optional[dict] = None,
@@ -226,6 +229,15 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self._plot_pool = plot_pool
         self._plot_trace = plot_trace
         self._plot_likelihood_levels = plot_likelihood_levels
+        #: Reference ``importancesampler.py:362-363,421-423``
+        self._plot_extra_state = plot_extra_state
+        self.trace_plot_kwargs = (
+            {} if trace_plot_kwargs is None else dict(trace_plot_kwargs)
+        )
+        #: Keep the previous resume file as ``.old`` when checkpointing
+        #: (reference ``importancesampler.py:342,1418``; default False —
+        #: INS resume files can be large)
+        self.save_existing_checkpoint = save_existing_checkpoint
         self._plot_level_cdf = plot_level_cdf
         self.plot_training_data = plot_training_data
 
@@ -1170,7 +1182,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
             return None
         return fig
 
-    def plot_trace(self, filename: Optional[str] = None):
+    def plot_trace(self, filename: Optional[str] = None, **kwargs):
         """Trace of the stored samples vs log prior volume. Reference:
         ``importancesampler.py:2105``."""
         from ..plot import plot_trace as _plot_trace
@@ -1182,7 +1194,42 @@ class ImportanceNestedSampler(BaseNestedSampler):
             -np.arange(len(ns)) / max(self.nlive, 1),
             ns,
             filename=filename,
+            **kwargs,
         )
+
+    def plot_extra_state(self, filename: Optional[str] = None):
+        """State plot of the extra tracked statistics (logX, gradient,
+        leakage, entropies). Reference: ``importancesampler.py:2021``."""
+        import matplotlib.pyplot as plt
+
+        h = self.history
+        if not h or not h.get("logX"):
+            return None
+        fig, axs = plt.subplots(4, 1, sharex=True, figsize=(10, 12))
+        its = np.arange(len(h["logX"]))
+        axs[0].plot(its, h["logX"])
+        axs[0].set_ylabel("Log X")
+        axs[1].plot(its, h["gradients"][: len(its)])
+        axs[1].set_ylabel("dlogL/dlogX")
+        axs[2].plot(
+            its, h["leakage_live_points"][: len(its)], label="Total leakage"
+        )
+        axs[2].plot(
+            its, h["leakage_new_points"][: len(its)], label="New leakage"
+        )
+        axs[2].set_ylabel("Leakage")
+        axs[2].legend()
+        axs[3].plot(its, h["samples_entropy"][: len(its)], label="Overall")
+        axs[3].plot(its, h["proposal_entropy"][: len(its)], label="Current")
+        axs[3].set_ylabel("Differential\n entropy")
+        axs[3].legend()
+        axs[-1].set_xlabel("Iteration")
+        fig.tight_layout()
+        if filename:
+            fig.savefig(filename)
+            plt.close(fig)
+            return None
+        return fig
 
     def produce_plots(self, override: bool = False) -> None:
         """All periodic plots. Reference:
@@ -1192,13 +1239,20 @@ class ImportanceNestedSampler(BaseNestedSampler):
         try:
             self.plot_state(os.path.join(self.output, "state.png"))
             if self._plot_trace and self.samples_unit is not None:
-                self.plot_trace(os.path.join(self.output, "trace.png"))
+                self.plot_trace(
+                    os.path.join(self.output, "trace.png"),
+                    **self.trace_plot_kwargs,
+                )
             if (
                 self._plot_likelihood_levels
                 and self.samples_unit is not None
             ):
                 self.plot_likelihood_levels(
                     os.path.join(self.output, "likelihood_levels.png")
+                )
+            if self._plot_extra_state:
+                self.plot_extra_state(
+                    os.path.join(self.output, "state_extra.png")
                 )
         except Exception as e:  # pragma: no cover
             logger.warning("Could not produce INS plots: %s", e)

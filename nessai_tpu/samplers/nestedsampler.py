@@ -73,10 +73,12 @@ class NestedSampler(BaseNestedSampler):
         reset_acceptance: bool = False,
         reset_flow=False,
         flow_class=None,
+        flow_proposal_class=None,
+        trace_parameters: Optional[list] = None,
         flow_config: Optional[dict] = None,
         training_config: Optional[dict] = None,
         proposal_plots: bool = False,
-        shrinkage_expectation: str = "t",
+        shrinkage_expectation: str = "logt",
         batched_bookkeeping: bool = True,
         **kwargs,
     ):
@@ -97,6 +99,21 @@ class NestedSampler(BaseNestedSampler):
         )
         self.prior_sampling = prior_sampling
         self.batched_bookkeeping = batched_bookkeeping
+        #: Parameters shown in the trace plot (reference
+        #: ``nestedsampler.py:199,236-238``; default: all model names)
+        self.trace_parameters = (
+            list(trace_parameters)
+            if trace_parameters is not None
+            else list(model.names)
+        )
+        if flow_proposal_class is not None:
+            # current reference name (``nestedsampler.py:186``);
+            # ``flow_class`` kept as the backwards-compatible alias
+            if flow_class is not None:
+                raise RuntimeError(
+                    "Specify only one of flow_proposal_class / flow_class"
+                )
+            flow_class = flow_proposal_class
         self.checkpoint_on_training = checkpoint_on_training
         self.max_iteration = max_iteration
         self.acceptance_threshold = acceptance_threshold
@@ -113,7 +130,11 @@ class NestedSampler(BaseNestedSampler):
         )
         self.reset_acceptance = reset_acceptance
 
-        self.state = _NSIntegralState(self.nlive, track_gradients=plot)
+        self.state = _NSIntegralState(
+            self.nlive,
+            track_gradients=plot,
+            expectation=shrinkage_expectation,
+        )
 
         self.stopping_criterion = StoppingCriterionRegistry.get(
             stopping_criterion, tolerance=stopping
@@ -589,7 +610,10 @@ class NestedSampler(BaseNestedSampler):
         ids = np.arange(n, dtype=np.int64)
         R_it = R["it"]
 
-        logt = -1.0 / n
+        if state.expectation == "logt":
+            logt = -1.0 / n
+        else:
+            logt = -math.log1p(1.0 / n)
         log1mexp_logt = math.log(-math.expm1(logt))
         logZ = float(state.logZ)
         oldZ = float(state.oldZ)
@@ -963,6 +987,7 @@ class NestedSampler(BaseNestedSampler):
             return plot_trace(
                 self.state.log_vols[1:],
                 ns,
+                parameters=self.trace_parameters,
                 filename=filename,
             )
         except Exception as e:  # pragma: no cover

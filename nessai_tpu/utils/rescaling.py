@@ -27,6 +27,7 @@ __all__ = [
     "configure_edge_detection",
     "determine_rescaled_bounds",
     "rescaling_functions",
+    "get_jax_rescaling",
 ]
 
 
@@ -210,6 +211,48 @@ rescaling_functions = {
     "gaussian_cdf": (gaussian_cdf, inverse_gaussian_cdf),
     "inv_gaussian_cdf": (inverse_gaussian_cdf, gaussian_cdf),
 }
+
+
+def get_jax_rescaling(name: str):
+    """Jittable (forward, inverse) pair for a named rescaling function,
+    or None if the name is unknown. Same ``f(x) -> (out, log_j)``
+    convention as :data:`rescaling_functions`, but traceable under
+    ``jax.jit`` — used by the fused device-side populate path."""
+    import jax.numpy as jnp
+    from jax.scipy.special import erf, erfinv
+
+    eps = config.general.eps
+
+    def j_logit(x):
+        x = jnp.clip(x, eps, 1.0 - eps)
+        log_j = -jnp.log(x) - jnp.log1p(-x)
+        return jnp.log(x) - jnp.log1p(-x), log_j
+
+    def j_sigmoid(x):
+        y = 1.0 / (1.0 + jnp.exp(-x))
+        return y, jnp.log(y) + jnp.log1p(-y)
+
+    def j_log(x):
+        return jnp.log(x), -jnp.log(x)
+
+    def j_exp(x):
+        return jnp.exp(x), x
+
+    def j_gauss_cdf(x):
+        y = 0.5 * (1.0 + erf(x / jnp.sqrt(2.0)))
+        return y, -0.5 * x**2 - 0.5 * jnp.log(2 * jnp.pi)
+
+    def j_inv_gauss_cdf(x):
+        y = jnp.sqrt(2.0) * erfinv(2.0 * x - 1.0)
+        return y, 0.5 * y**2 + 0.5 * jnp.log(2 * jnp.pi)
+
+    pairs = {
+        "logit": (j_logit, j_sigmoid),
+        "log": (j_log, j_exp),
+        "gaussian_cdf": (j_gauss_cdf, j_inv_gauss_cdf),
+        "inv_gaussian_cdf": (j_inv_gauss_cdf, j_gauss_cdf),
+    }
+    return pairs.get(name)
 
 
 def logistic_function(x, x0: float = 0.0, k: float = 1.0):

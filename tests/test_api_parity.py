@@ -441,3 +441,149 @@ class TestSmallParityAdditions:
         assert not os.path.exists(ins.resume_file)
         ins.checkpoint(periodic=True, force=True)
         assert os.path.exists(ins.resume_file)
+
+
+class TestRound3KwargParity:
+    """Plugin-facing kwargs closed in round 3 (VERDICT item 7)."""
+
+    def test_nested_sampler_flow_proposal_class_alias(self, model, tmp_path):
+        from nessai_tpu.proposal import FlowProposal
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        ns = NestedSampler(
+            model,
+            nlive=50,
+            output=str(tmp_path),
+            seed=1,
+            plot=False,
+            flow_proposal_class=FlowProposal,
+        )
+        assert isinstance(ns._flow_proposal, FlowProposal)
+
+    def test_nested_sampler_both_flow_class_names_error(self, model, tmp_path):
+        from nessai_tpu.proposal import FlowProposal
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        with pytest.raises(RuntimeError, match="only one of"):
+            NestedSampler(
+                model,
+                nlive=50,
+                output=str(tmp_path),
+                seed=1,
+                plot=False,
+                flow_class=FlowProposal,
+                flow_proposal_class=FlowProposal,
+            )
+
+    def test_trace_parameters(self, model, tmp_path):
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        ns = NestedSampler(
+            model, nlive=50, output=str(tmp_path), seed=1, plot=False
+        )
+        assert ns.trace_parameters == list(model.names)
+        ns2 = NestedSampler(
+            model,
+            nlive=50,
+            output=str(tmp_path),
+            seed=1,
+            plot=False,
+            trace_parameters=["x_0"],
+        )
+        assert ns2.trace_parameters == ["x_0"]
+
+    def test_ins_extra_plot_kwargs(self, model, tmp_path):
+        from nessai_tpu.samplers.importancesampler import (
+            ImportanceNestedSampler,
+        )
+
+        ins = ImportanceNestedSampler(
+            model,
+            nlive=100,
+            min_samples=10,
+            output=str(tmp_path),
+            seed=1,
+            plot=False,
+            plot_extra_state=True,
+            trace_plot_kwargs={"labels": ["a", "b"]},
+            save_existing_checkpoint=True,
+        )
+        assert ins._plot_extra_state is True
+        assert ins.trace_plot_kwargs == {"labels": ["a", "b"]}
+        assert ins.save_existing_checkpoint is True
+        # default matches the reference (False)
+        ins2 = ImportanceNestedSampler(
+            model,
+            nlive=100,
+            min_samples=10,
+            output=str(tmp_path),
+            seed=1,
+            plot=False,
+        )
+        assert ins2.save_existing_checkpoint is False
+
+    def test_flowsampler_eps(self, model, tmp_path):
+        from nessai_tpu import config
+        from nessai_tpu.flowsampler import FlowSampler
+
+        old = config.general.eps
+        try:
+            fs = FlowSampler(
+                model,
+                output=str(tmp_path),
+                resume=False,
+                seed=1,
+                nlive=50,
+                plot=False,
+                eps=1e-6,
+            )
+            assert fs.eps == 1e-6
+            assert config.general.eps == 1e-6
+        finally:
+            config.general.eps = old
+
+    def test_flowsampler_weights_kwargs_accepted(self, model, tmp_path):
+        import inspect
+
+        from nessai_tpu.flowsampler import FlowSampler
+
+        sig = inspect.signature(FlowSampler.__init__)
+        for k in ("weights_file", "weights_path", "eps"):
+            assert k in sig.parameters
+
+    def test_vectorised_prior_unit_hypercube(self, model):
+        assert model.vectorised_prior_unit_hypercube is True
+        model.vectorised_prior_unit_hypercube = False
+        assert model.vectorised_prior_unit_hypercube is False
+
+    def test_allow_vectorised_prior_disables_detection(self, rng):
+        from nessai_tpu.utils.testing import IntegrationTestModel
+
+        m = IntegrationTestModel(2)
+        m.set_rng(rng)
+        m.allow_vectorised_prior = False
+        assert m.vectorised_prior is False
+        assert m.vectorised_prior_unit_hypercube is False
+
+    def test_compute_evidence_ratio_deprecated_alias(self):
+        from nessai_tpu.evidence import _INSIntegralState
+
+        s = _INSIntegralState()
+        with pytest.warns(DeprecationWarning, match="deprecated"):
+            s.compute_evidence_ratio()
+
+    def test_ins_plot_extra_state_method(self, model, tmp_path):
+        from nessai_tpu.samplers.importancesampler import (
+            ImportanceNestedSampler,
+        )
+
+        ins = ImportanceNestedSampler(
+            model,
+            nlive=100,
+            min_samples=10,
+            output=str(tmp_path),
+            seed=1,
+            plot=False,
+        )
+        # no history yet -> returns None without error
+        assert ins.plot_extra_state() is None

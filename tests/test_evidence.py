@@ -120,3 +120,43 @@ def test_ins_evidence_ratio():
     assert state.difference_log_evidence > 0
     assert np.isfinite(state.fractional_error)
     config.livepoints.reset()
+
+
+def test_shrinkage_expectation_t_vs_logt():
+    """'t' uses <t> = N/(N+1), 'logt' uses <log t> = -1/N (reference
+    evidence.py:160-171); both must be accepted and differ slightly."""
+    import numpy as np
+
+    from nessai_tpu.evidence import _NSIntegralState
+
+    s_logt = _NSIntegralState(100, expectation="logt")
+    s_t = _NSIntegralState(100, expectation="t")
+    rng = np.random.default_rng(1)
+    logls = np.sort(rng.normal(size=50))
+    for ll in logls:
+        s_logt.increment(ll)
+        s_t.increment(ll)
+    assert s_logt.logZ != s_t.logZ
+    np.testing.assert_allclose(s_logt.logZ, s_t.logZ, atol=0.05)
+    # log_vols shrink faster with logt (-1/N < -log1p(1/N))
+    assert s_logt.log_vols[-1] < s_t.log_vols[-1]
+    with pytest.raises(ValueError, match="Expectation"):
+        _NSIntegralState(100, expectation="bad")
+
+
+def test_sampler_threads_shrinkage_expectation(model, tmp_path):
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    ns = NestedSampler(
+        model, nlive=50, output=str(tmp_path), seed=1, plot=False
+    )
+    assert ns.state.expectation == "logt"  # reference default
+    ns2 = NestedSampler(
+        model,
+        nlive=50,
+        output=str(tmp_path),
+        seed=1,
+        plot=False,
+        shrinkage_expectation="t",
+    )
+    assert ns2.state.expectation == "t"

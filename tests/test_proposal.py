@@ -170,12 +170,12 @@ def test_fused_populate_path(model, rng, tmp_path, flow_config, training_config)
         plot=False,
     )
     fp.initialise()
-    assert fp._affine_map is not None
+    assert fp._device_inverse is not None
     assert fp._can_fuse_populate
     x = model.new_point(200)
     x["logL"] = model.batch_evaluate_log_likelihood(x)
     fp.train(x, plot=False)
-    assert fp._affine_map is not None  # refreshed after training
+    assert fp._device_inverse is not None  # still available after training
     before = model.likelihood_evaluations
     fp.populate(x[np.argmin(x["logL"])], n_samples=100)
     assert model.likelihood_evaluations > before  # counters maintained

@@ -530,3 +530,49 @@ def test_rtb_multi_parameter_mixed_options():
     np.testing.assert_allclose(x_out["x"], x["x"], atol=1e-10)
     np.testing.assert_allclose(x_out["y"], x["y"], atol=1e-9)
     np.testing.assert_allclose(log_j + log_j_inv, 0.0, atol=1e-10)
+
+
+def test_rtb_boundary_inversion_dict_per_param_types():
+    """Dict form maps parameter -> inversion type (reference
+    ``rescale.py:424-445``): one parameter can duplicate while another
+    splits."""
+    rng = np.random.default_rng(3)
+    r = RescaleToBounds(
+        parameters=["x", "y"],
+        prior_bounds={"x": [0.0, 1.0], "y": [0.0, 1.0]},
+        boundary_inversion={"x": "duplicate", "y": "split"},
+        rng=rng,
+    )
+    assert r.boundary_inversion == ["x", "y"]
+    assert r._inversion_types == {"x": "duplicate", "y": "split"}
+    x = _x(
+        ["x", "y"],
+        np.stack([rng.beta(1, 5, 100), rng.beta(1, 5, 100)], axis=1),
+    )
+    r.update(x)
+    r._edges["x"] = "lower"
+    r._edges["y"] = "lower"
+    x_prime = _prime_array(len(x), r)
+    x1, x_prime, log_j = r.reparameterise(
+        x.copy(), x_prime, np.zeros(len(x))
+    )
+    # x duplicates -> batch doubles once (y splits in place)
+    assert len(x_prime) == 2 * len(x)
+
+
+def test_rtb_boundary_inversion_invalid_type_raises():
+    with pytest.raises(TypeError, match="list, dict or bool"):
+        RescaleToBounds(
+            parameters=["x"],
+            prior_bounds={"x": [0.0, 1.0]},
+            boundary_inversion=42,
+        )
+
+
+def test_rtb_boundary_inversion_dict_bad_inversion_type():
+    with pytest.raises(RuntimeError, match="Unknown inversion type"):
+        RescaleToBounds(
+            parameters=["x"],
+            prior_bounds={"x": [0.0, 1.0]},
+            boundary_inversion={"x": "reflect"},
+        )
