@@ -79,12 +79,15 @@ for _det in range(2):
     DATA.append(_waveform(freqs, xp=np, **TRUE) + noise)
 DATA = np.asarray(DATA)
 
-_freqs_j = jnp.asarray(freqs, jnp.float32)
-# complex arrays are split into real/imag parts: the TPU backend (and
-# its transfer path) does not support complex dtypes
-_data_re_j = jnp.asarray(DATA.real, jnp.float32)
-_data_im_j = jnp.asarray(DATA.imag, jnp.float32)
-_inv_psd_j = jnp.asarray(1.0 / PSD, jnp.float32)
+# Keep captured constants as HOST numpy arrays: jit embeds them into the
+# program at trace time, and embedding a *device* array forces a
+# device->host fetch on every lowering (~seconds per program through the
+# remote tunnel). Complex arrays are split into real/imag parts: the TPU
+# backend (and its transfer path) does not support complex dtypes.
+_freqs_j = np.asarray(freqs, np.float32)
+_data_re_j = np.ascontiguousarray(DATA.real, dtype=np.float32)
+_data_im_j = np.ascontiguousarray(DATA.imag, dtype=np.float32)
+_inv_psd_j = np.asarray(1.0 / PSD, np.float32)
 
 
 class BasicGWModel(UniformPriorMixin, Model):
@@ -105,6 +108,15 @@ class BasicGWModel(UniformPriorMixin, Model):
             "phase": [0.0, 2 * np.pi],
             "geocent_time": [-0.1, 0.1],
         }
+        # observed data as a RUNTIME ARGUMENT to the jitted likelihood:
+        # lowering never fetches device constants, and every same-shape
+        # injection shares one compiled program (see docs/model.md)
+        self.jax_likelihood_data = {
+            "freqs": _freqs_j,
+            "data_re": _data_re_j,
+            "data_im": _data_im_j,
+            "inv_psd": _inv_psd_j,
+        }
 
     def log_likelihood(self, x):
         x = np.atleast_1d(x)
@@ -122,22 +134,24 @@ class BasicGWModel(UniformPriorMixin, Model):
             out[i] = -2.0 * DF * np.sum(np.abs(r) ** 2 / PSD[None, :])
         return out
 
-    def jax_log_likelihood(self, x):
+    def jax_log_likelihood(self, x, data):
         """Whittle log-likelihood for a [batch, 4] parameter array —
         the full template bank in one device program. Real arithmetic
         only (h = amp * e^{-i psi} split into re/im): TPU compute and
-        transfers do not support complex dtypes."""
+        transfers do not support complex dtypes. ``data`` is
+        :attr:`jax_likelihood_data` passed in as a runtime argument."""
         mc = x[:, 0:1]
         dl = x[:, 1:2]
         phase = x[:, 2:3]
         tc = x[:, 3:4]
-        amp, psi = _amp_psi(_freqs_j[None, :], mc, dl, phase, tc, xp=jnp)
+        amp, psi = _amp_psi(data["freqs"][None, :], mc, dl, phase, tc, xp=jnp)
         h_re = amp * jnp.cos(psi)
         h_im = -amp * jnp.sin(psi)
-        r_re = _data_re_j[None, :, :] - h_re[:, None, :]
-        r_im = _data_im_j[None, :, :] - h_im[:, None, :]
+        r_re = data["data_re"][None, :, :] - h_re[:, None, :]
+        r_im = data["data_im"][None, :, :] - h_im[:, None, :]
         return -2.0 * DF * jnp.sum(
-            (r_re**2 + r_im**2) * _inv_psd_j[None, None, :], axis=(-2, -1)
+            (r_re**2 + r_im**2) * data["inv_psd"][None, None, :],
+            axis=(-2, -1),
         )
 
 

@@ -91,10 +91,12 @@ for d in range(2):
     DATA_IM.append(-amp * np.sin(psi) + _sigma * rng_data.normal(size=freqs.size))
 DATA_RE, DATA_IM = np.asarray(DATA_RE), np.asarray(DATA_IM)
 
-_freqs_j = jnp.asarray(freqs, jnp.float32)
-_data_re_j = jnp.asarray(DATA_RE, jnp.float32)
-_data_im_j = jnp.asarray(DATA_IM, jnp.float32)
-_inv_psd_j = jnp.asarray(1.0 / PSD, jnp.float32)
+# host numpy constants: embedding a device array into a jitted program
+# forces a device->host fetch per lowering (slow through the tunnel)
+_freqs_j = np.asarray(freqs, np.float32)
+_data_re_j = np.asarray(DATA_RE, np.float32)
+_data_im_j = np.asarray(DATA_IM, np.float32)
+_inv_psd_j = np.asarray(1.0 / PSD, np.float32)
 
 
 class CalibratedGWModel(Model):

@@ -100,10 +100,12 @@ _h_re, _h_im = _template(freqs[None, :], {k: np.float64(v) for k, v in TRUE.item
 DATA_RE = _h_re[0] + _sigma * rng_data.normal(size=(2, freqs.size))
 DATA_IM = _h_im[0] + _sigma * rng_data.normal(size=(2, freqs.size))
 
-_freqs_j = jnp.asarray(freqs, jnp.float32)
-_data_re_j = jnp.asarray(DATA_RE, jnp.float32)
-_data_im_j = jnp.asarray(DATA_IM, jnp.float32)
-_inv_psd_j = jnp.asarray(1.0 / PSD, jnp.float32)
+# host numpy constants: embedding a device array into a jitted program
+# forces a device->host fetch per lowering (slow through the tunnel)
+_freqs_j = np.asarray(freqs, np.float32)
+_data_re_j = np.asarray(DATA_RE, np.float32)
+_data_im_j = np.asarray(DATA_IM, np.float32)
+_inv_psd_j = np.asarray(1.0 / PSD, np.float32)
 
 
 class FullGWModel(UniformPriorMixin, Model):

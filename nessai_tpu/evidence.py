@@ -49,8 +49,9 @@ class _NSIntegralState:
     Reference: ``nessai/evidence.py:120``.
     """
 
-    #: class-level default so pre-round-3 pickles resume cleanly
+    #: class-level defaults so pre-round-3 pickles resume cleanly
     expectation = "logt"
+    nonmonotonic_count = 0
 
     def __init__(
         self,
@@ -74,6 +75,7 @@ class _NSIntegralState:
         self.logZ = -np.inf
         self.oldZ = -np.inf
         self.logw = 0.0
+        self.nonmonotonic_count = 0
         self.info = [0.0]
         # logLs[0] = -inf ; log_vols[0] = 0 (X=1)
         self.logLs: List[float] = [-np.inf]
@@ -94,11 +96,24 @@ class _NSIntegralState:
         if nlive is None:
             nlive = self.base_nlive
         if logL <= self.logLs[-1]:
-            logger.warning(
-                "NS integrator received non-monotonic logL: %.5f -> %.5f",
-                self.logLs[-1],
-                logL,
-            )
+            # rate-limited: f32 device likelihoods tie at large |logL|
+            # (quantisation ~1e-4 at logL ~ -2000), which would otherwise
+            # emit thousands of lines per GW-scale run
+            self.nonmonotonic_count += 1
+            if self.nonmonotonic_count <= 5:
+                logger.warning(
+                    "NS integrator received non-monotonic logL: "
+                    "%.5f -> %.5f",
+                    self.logLs[-1],
+                    logL,
+                )
+            elif self.nonmonotonic_count % 1000 == 0:
+                logger.warning(
+                    "NS integrator received %d non-monotonic logL values "
+                    "so far (ties are expected with float32 device "
+                    "likelihoods at large |logL|)",
+                    self.nonmonotonic_count,
+                )
         if self.expectation == "logt":
             logt = -1.0 / nlive  # <log t> = -1/N
         else:

@@ -173,6 +173,15 @@ class Model(ABC):
     jax_log_likelihood = None
     jax_log_prior = None
 
+    #: Optional pytree of arrays the JAX likelihood needs (observed
+    #: data, PSDs, ...). When set, ``jax_log_likelihood`` is called as
+    #: ``jax_log_likelihood(x, data)`` and the data enters every jitted
+    #: program as a RUNTIME ARGUMENT instead of a baked-in constant:
+    #: lowering stays fast (no device->host constant fetches) and
+    #: same-shape instances (e.g. different injections in a p-p study)
+    #: share one compiled executable instead of recompiling per dataset.
+    jax_likelihood_data = None
+
     #: Escape hatch for non-JAX likelihoods (e.g. lalsuite-style C
     #: extensions): when True and no ``jax_log_likelihood`` is defined,
     #: the host ``log_likelihood`` is wrapped with ``jax.pure_callback``
@@ -201,26 +210,65 @@ class Model(ABC):
         )
         return np.asarray(out, np.float32)
 
-    def get_device_log_likelihood(self):
-        """A callable evaluating the log-likelihood of a ``[n, dims]``
-        jax array *inside* a jitted program, or None.
+    def device_log_likelihood_fn(self):
+        """``(fn, data)`` where ``fn(x, data)`` evaluates the
+        log-likelihood of a ``[n, dims]`` jax array *inside* a jitted
+        program, or None if no device path exists.
 
-        Prefers the native ``jax_log_likelihood`` hook; falls back to a
+        ``data`` is :attr:`jax_likelihood_data` (None when unused) and
+        must be passed through the enclosing jitted program as a runtime
+        argument so it is never baked in as a constant. Prefers the
+        native ``jax_log_likelihood`` hook; falls back to a
         ``jax.pure_callback`` wrapper around the host ``log_likelihood``
         when :attr:`likelihood_callback` is True (SURVEY.md §7 escape
         hatch for non-JAX likelihoods).
         """
         if self.has_jax_likelihood:
-            return self.jax_log_likelihood
+            ll = self.jax_log_likelihood
+            if self.jax_likelihood_data is not None:
+                return (lambda x, data: ll(x, data)), (
+                    self._device_likelihood_data()
+                )
+            return (lambda x, data: ll(x)), None
         if not self.likelihood_callback:
             return None
         import jax
 
-        def callback_ll(x):
+        def callback_ll(x, data):
             shape = jax.ShapeDtypeStruct(x.shape[:-1], np.dtype(np.float32))
             return jax.pure_callback(self._callback_log_likelihood, shape, x)
 
-        return callback_ll
+        return callback_ll, None
+
+    def _device_likelihood_data(self):
+        """:attr:`jax_likelihood_data` transferred to the device ONCE and
+        cached: jit arguments that are already-committed device arrays
+        cost no per-call host->device transfer (several tunnel round
+        trips per call otherwise). Invalidated when the attribute is
+        rebound to a new object."""
+        data = self.jax_likelihood_data
+        if data is None:
+            return None
+        cached = getattr(self, "_ll_data_device_cache", None)
+        if cached is not None and cached[0] is data:
+            return cached[1]
+        import jax.numpy as jnp
+        import jax
+
+        device = jax.tree.map(lambda leaf: jnp.asarray(leaf), data)
+        self._ll_data_device_cache = (data, device)
+        return device
+
+    def get_device_log_likelihood(self):
+        """Back-compat wrapper of :meth:`device_log_likelihood_fn`: a
+        ``fn(x)`` callable (data bound), or None. Prefer
+        ``device_log_likelihood_fn`` inside jitted programs so the data
+        pytree stays a runtime argument."""
+        built = self.device_log_likelihood_fn()
+        if built is None:
+            return None
+        fn, data = built
+        return lambda x: fn(x, data)
 
     #: base-class bookkeeping excluded from the program fingerprint
     #: (these change during sampling and cannot affect traced programs)
@@ -237,6 +285,10 @@ class Model(ABC):
             "parallelise_prior",
             "allow_vectorised",
             "allow_multi_valued_likelihood",
+            # runtime program ARGUMENT: only its shapes/dtypes affect the
+            # trace (added separately in program_fingerprint), so
+            # same-shape datasets share one compiled program
+            "jax_likelihood_data",
         }
     )
 
@@ -283,6 +335,21 @@ class Model(ABC):
         reloads).
         """
         cls = type(self)
+        # jax_likelihood_data is a runtime argument: only its STRUCTURE
+        # (shapes/dtypes) shapes the traced program
+        data = self.jax_likelihood_data
+        if data is not None:
+            try:
+                import jax
+
+                data_token = tuple(
+                    (np.shape(leaf), str(np.asarray(leaf).dtype))
+                    for leaf in jax.tree.leaves(data)
+                )
+            except Exception:  # pragma: no cover - defensive
+                data_token = ("unhashable",)
+        else:
+            data_token = None
         return (
             cls.__module__,
             cls.__qualname__,
@@ -290,6 +357,7 @@ class Model(ABC):
             tuple(float(b) for b in np.asarray(self.lower_bounds).ravel()),
             tuple(float(b) for b in np.asarray(self.upper_bounds).ravel()),
             self._instance_state_token(),
+            data_token,
         )
 
     def to_unit_hypercube(self, x):
@@ -532,14 +600,15 @@ class Model(ABC):
         bucket = max(256, 1 << (n - 1).bit_length()) if n else 256
         if n < bucket:
             arr = np.concatenate([arr, np.repeat(arr[-1:], bucket - n, axis=0)])
+        fn, data = self.device_log_likelihood_fn()
         if not hasattr(self, "_jax_ll_jit"):
             from .utils.programs import get_program
 
             self._jax_ll_jit = get_program(
                 ("model_ll", self.program_fingerprint),
-                lambda: jax.jit(lambda a: self.jax_log_likelihood(a)),
+                lambda: jax.jit(fn),
             )
-        out = self._jax_ll_jit(jnp.asarray(arr, jnp.float32))
+        out = self._jax_ll_jit(jnp.asarray(arr, jnp.float32), data)
         return np.asarray(out, dtype=float)[:n]
 
     @property

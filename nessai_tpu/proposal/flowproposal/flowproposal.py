@@ -41,6 +41,13 @@ class FlowProposal(BaseFlowProposal):
         performed per batch with ``logW - max(logW)`` normalisation.
     latent_temperature : scale applied to the base-distribution variance
         when sampling (1.0 = exact).
+    fuse_likelihood : whether the fused populate program also evaluates
+        the likelihood for EVERY draw (True: one device round trip per
+        batch, but the likelihood runs on rejected draws too), or the
+        likelihood is evaluated in a second device call on the accepted
+        pool only (False). None (default) decides automatically from a
+        one-off timing probe: cheap likelihoods fuse, expensive ones
+        (e.g. GW template banks) split.
     """
 
     def __init__(
@@ -55,6 +62,7 @@ class FlowProposal(BaseFlowProposal):
         latent_temperature: float = 1.0,
         constant_volume_mode: bool = True,
         volume_fraction: float = 0.95,
+        fuse_likelihood: Optional[bool] = None,
         **kwargs,
     ):
         super().__init__(model, **kwargs)
@@ -62,6 +70,8 @@ class FlowProposal(BaseFlowProposal):
         self.accumulate_weights = accumulate_weights
         self.max_samples = max_samples
         self.latent_temperature = latent_temperature
+        self.fuse_likelihood = fuse_likelihood
+        self._fuse_likelihood_resolved = None
         if truncation is None and constant_volume_mode:
             truncation = {
                 "latent_radius": {
@@ -162,13 +172,97 @@ class FlowProposal(BaseFlowProposal):
             and self.flow.mesh is None
         )
 
-    def _fused_backward(self, z):
+    #: per-batch device likelihood time above which the likelihood is
+    #: split out of the fused program (≈ a few tunnel round trips)
+    _fuse_likelihood_threshold_s: float = 0.05
+
+    def _resolve_fuse_likelihood(self) -> bool:
+        """Decide (once) whether the fused program also evaluates the
+        likelihood. Truncation rules that gate on logL force fusing;
+        otherwise a one-off timing probe at the populate batch size
+        compares the likelihood cost of a full draw batch against the
+        extra round trip the split costs."""
+        if self._fuse_likelihood_resolved is not None:
+            return self._fuse_likelihood_resolved
+        if self._truncation_scheme.requires_log_likelihood:
+            self._fuse_likelihood_resolved = True
+        elif self.fuse_likelihood is not None:
+            self._fuse_likelihood_resolved = bool(self.fuse_likelihood)
+        elif not self.model.has_jax_likelihood:
+            # callback likelihoods: the host pays per eval — never run
+            # them on rejected draws
+            self._fuse_likelihood_resolved = False
+        else:
+            import time as _time
+
+            from ...flowmodel.base import _bucket_size
+            from ...livepoint import empty_structured_array
+
+            try:
+                # Time two SMALL batches (whose programs the sampler
+                # compiles anyway) and extrapolate the marginal
+                # likelihood cost linearly to the largest batch the
+                # acceptance-adaptive draw can reach. The difference
+                # cancels the fixed dispatch/transfer floor (~15 ms on
+                # remote transports); probing the big bucket directly
+                # would cost a one-off multi-minute remote compile.
+                if self.drawsize:
+                    n_max = _bucket_size(int(self.drawsize))
+                else:
+                    n_max = _bucket_size(
+                        int(self._poolsize * self._max_draw_scale)
+                    )
+                n_small = min(_bucket_size(self._poolsize), n_max)
+                n_big = min(4 * n_small, n_max)
+                mid = 0.5 * (self.model.lower_bounds + self.model.upper_bounds)
+
+                def timed(n):
+                    probe = empty_structured_array(n, names=self.model.names)
+                    for i, name in enumerate(self.model.names):
+                        probe[name] = mid[i]
+                    self.model._jax_batch_log_likelihood(probe)  # compile
+                    t0 = _time.perf_counter()
+                    self.model._jax_batch_log_likelihood(probe)
+                    return _time.perf_counter() - t0
+
+                dt_small = timed(n_small)
+                dt_big = timed(n_big) if n_big > n_small else dt_small
+                marginal = max(dt_big - dt_small, 0.0)
+                if n_big > n_small:
+                    est = marginal * (n_max - n_small) / (n_big - n_small)
+                else:
+                    est = 0.0
+                self._fuse_likelihood_resolved = (
+                    est < self._fuse_likelihood_threshold_s
+                )
+                logger.info(
+                    "Likelihood probe: %.1f ms @%d, %.1f ms @%d "
+                    "(est. %.1f ms marginal @%d) -> %s populate",
+                    1e3 * dt_small,
+                    n_small,
+                    1e3 * dt_big,
+                    n_big,
+                    1e3 * est,
+                    n_max,
+                    "fused" if self._fuse_likelihood_resolved else "split",
+                )
+            except Exception as e:  # pragma: no cover - defensive
+                logger.debug("Likelihood probe failed (%s); fusing", e)
+                self._fuse_likelihood_resolved = True
+        return self._fuse_likelihood_resolved
+
+    def _fused_backward(self, z, with_likelihood: bool = True):
         """One device call: z → x (proposal-parameter order) + log_q +
-        logL + bounds.
+        [logL +] bounds.
 
         Returns numpy arrays sliced to len(z); the x array has one column
         per entry of ``self.parameters`` (model names plus auxiliary
-        reparameterisation outputs such as sampled radii)."""
+        reparameterisation outputs such as sampled radii). With
+        ``with_likelihood=False`` the program skips the likelihood
+        (``log_l`` is returned as None) — used when the likelihood is
+        expensive enough that evaluating it on rejected draws costs more
+        than the extra accepted-only device call (see
+        :meth:`_resolve_fuse_likelihood`)."""
         import jax
         import jax.numpy as jnp
 
@@ -178,7 +272,8 @@ class FlowProposal(BaseFlowProposal):
         fm = self.flow
         flow = fm.flow
         model = self.model
-        device_ll = model.get_device_log_likelihood()
+        built = model.device_log_likelihood_fn()
+        device_ll, ll_data = built if built is not None else (None, None)
         lower = np.asarray(model.lower_bounds, np.float32)
         upper = np.asarray(model.upper_bounds, np.float32)
         prime_names = tuple(self.prime_parameters)
@@ -186,7 +281,7 @@ class FlowProposal(BaseFlowProposal):
         model_idx = tuple(param_names.index(n) for n in model.names)
         identity_gather = model_idx == tuple(range(len(param_names)))
 
-        def fn(params, z, consts, lower, upper):
+        def fn(params, z, consts, lower, upper, ll_data):
             x_prime, log_j_flow = flow.inverse(params, z)
             log_q = flow.base_log_prob(params, z) - log_j_flow
             cols = {pp: x_prime[:, i] for i, pp in enumerate(prime_names)}
@@ -195,8 +290,10 @@ class FlowProposal(BaseFlowProposal):
             x = jnp.stack([cols[p] for p in param_names], axis=1)
             x_model = x if identity_gather else x[:, model_idx]
             in_b = jnp.all((x_model >= lower) & (x_model <= upper), axis=1)
-            log_l = device_ll(x_model)
-            return x, log_q, log_l, in_b
+            if with_likelihood:
+                log_l = device_ll(x_model, ll_data)
+                return x, log_q, log_l, in_b
+            return x, log_q, in_b
 
         n = len(z)
         bucket = _bucket_size(n)
@@ -217,7 +314,9 @@ class FlowProposal(BaseFlowProposal):
             tuple(model.names),
             model.program_fingerprint,
             bool(model.has_jax_likelihood),
+            bool(with_likelihood),
         )
+        n_out = 4 if with_likelihood else 3
         if fm.mesh is None:
             jit_fn = fm._jit(key, fn)
             z_in = jnp.asarray(z_p, jnp.float32)
@@ -234,23 +333,24 @@ class FlowProposal(BaseFlowProposal):
                 ("fm", fm._scope_key(), key),
                 lambda: jax.jit(
                     fn,
-                    in_shardings=(rep, ds, rep, rep, rep),
-                    out_shardings=(ds, ds, ds, ds),
+                    in_shardings=(rep, ds, rep, rep, rep, rep),
+                    out_shardings=(ds,) * n_out,
                 ),
             )
             z_in = jax.device_put(jnp.asarray(z_p, jnp.float32), ds)
-        x_arr, log_q, log_l, in_b = jit_fn(
-            fm.params, z_in, consts, lower, upper
-        )
+        out = jit_fn(fm.params, z_in, consts, lower, upper, ll_data)
         from ...utils.transfer import arrays_to_host
 
-        x_arr, log_q, log_l, in_b = arrays_to_host(
-            x_arr, log_q, log_l, in_b
-        )
+        out = arrays_to_host(*out)
+        if with_likelihood:
+            x_arr, log_q, log_l, in_b = out
+        else:
+            x_arr, log_q, in_b = out
+            log_l = None
         return (
             np.asarray(x_arr, np.float64)[:n],
             np.asarray(log_q, np.float64)[:n],
-            np.asarray(log_l, np.float64)[:n],
+            None if log_l is None else np.asarray(log_l, np.float64)[:n],
             np.asarray(in_b)[:n],
         )
 
@@ -293,6 +393,7 @@ class FlowProposal(BaseFlowProposal):
         accept = None
 
         fused = self._can_fuse_populate
+        fused_ll = fused and self._resolve_fuse_likelihood()
         if (
             not fused
             and getattr(self, "_device_inverse", None) is not None
@@ -314,7 +415,9 @@ class FlowProposal(BaseFlowProposal):
                 int(self.flow.mesh.devices.size),
             )
             self._warned_callback_mesh = True
-        likelihoods_in_pool = fused or self._truncation_scheme.requires_log_likelihood
+        likelihoods_in_pool = (
+            fused_ll or self._truncation_scheme.requires_log_likelihood
+        )
 
         while n_accepted < n_samples:
             z = self.sample_latent_distribution(self._draw_n)
@@ -326,23 +429,27 @@ class FlowProposal(BaseFlowProposal):
                     break
                 continue
             if fused:
-                # one device program: inverse + de-rescale + bounds +
-                # likelihood (see _fused_backward)
+                # one device program: inverse + inverse reparams + bounds
+                # (+ likelihood when fused_ll; see _fused_backward)
                 import datetime as _dt
 
                 st_lik = _dt.datetime.now()
-                x_arr, log_q, log_l, in_b = self._fused_backward(z)
-                self.model.likelihood_evaluation_time += (
-                    _dt.datetime.now() - st_lik
+                x_arr, log_q, log_l, in_b = self._fused_backward(
+                    z, with_likelihood=fused_ll
                 )
-                self.model.likelihood_evaluations += len(z)
+                if fused_ll:
+                    self.model.likelihood_evaluation_time += (
+                        _dt.datetime.now() - st_lik
+                    )
+                    self.model.likelihood_evaluations += len(z)
                 keep = in_b & np.isfinite(log_q)
                 x = empty_structured_array(
                     int(keep.sum()), dtype=self.x_dtype
                 )
                 for i, name in enumerate(self.parameters):
                     x[name] = x_arr[keep, i]
-                x["logL"] = log_l[keep]
+                if fused_ll:
+                    x["logL"] = log_l[keep]
                 log_q = log_q[keep]
                 z = z[keep]
             else:
@@ -356,7 +463,7 @@ class FlowProposal(BaseFlowProposal):
                     break
                 continue
             if self._truncation_scheme.requires_log_likelihood:
-                if not fused:
+                if not fused_ll:
                     x["logL"] = self.model.batch_evaluate_log_likelihood(
                         x, unit_hypercube=self.map_to_unit_hypercube
                     )

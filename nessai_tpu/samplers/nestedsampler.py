@@ -701,14 +701,24 @@ class NestedSampler(BaseNestedSampler):
                 j = K - (cnt - 1)
                 break
             last_w = w
-            # ---- evidence increment (mirrors _NSIntegralState.increment)
+            # ---- evidence increment (mirrors _NSIntegralState.increment
+            # incl. its rate-limited non-monotonic warning)
             if w <= lastL:
-                logger.warning(
-                    "NS integrator received non-monotonic logL: "
-                    "%.5f -> %.5f",
-                    lastL,
-                    w,
-                )
+                state.nonmonotonic_count += 1
+                if state.nonmonotonic_count <= 5:
+                    logger.warning(
+                        "NS integrator received non-monotonic logL: "
+                        "%.5f -> %.5f",
+                        lastL,
+                        w,
+                    )
+                elif state.nonmonotonic_count % 1000 == 0:
+                    logger.warning(
+                        "NS integrator received %d non-monotonic logL "
+                        "values so far (ties are expected with float32 "
+                        "device likelihoods at large |logL|)",
+                        state.nonmonotonic_count,
+                    )
             Wt = logw + w + log1mexp_logt
             if Wt > logZ:
                 logZ = Wt + log1p(exp(logZ - Wt))

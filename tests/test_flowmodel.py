@@ -134,3 +134,24 @@ def test_lars_base_dist(rng):
     assert np.isfinite(history["loss"]).all()
     x, lp = fm.sample_and_log_prob(16)
     assert np.isfinite(lp).all()
+
+
+def test_update_config_legacy_split():
+    """update_config splits a legacy combined dict into flow/training
+    configs (reference flowmodel/utils.py:70)."""
+    from nessai_tpu.flowmodel.utils import update_config
+
+    fc, tc = update_config(None)
+    assert fc.n_blocks is not None
+    fc2, tc2 = update_config(
+        {
+            "n_blocks": 3,
+            "max_epochs": 7,
+            "patience": 2,
+            "model_config": {"n_neurons": 11},
+        }
+    )
+    assert fc2.n_blocks == 3
+    assert fc2.n_neurons == 11
+    assert tc2.max_epochs == 7
+    assert tc2.patience == 2

@@ -306,3 +306,128 @@ def test_callback_likelihood_mesh_warns_and_falls_back(
     with caplog.at_level(_logging.WARNING):
         fp.populate(x[0], n_samples=30)
     assert "pure_callback" not in caplog.text
+
+
+class DataArgModel(Model):
+    """Model whose JAX likelihood takes its observed data as a runtime
+    argument (jax_likelihood_data) instead of a captured constant."""
+
+    def __init__(self, center=0.0):
+        self.names = ["a", "b"]
+        self.bounds = {"a": [-10.0, 10.0], "b": [-10.0, 10.0]}
+        self.jax_likelihood_data = {
+            "center": np.full(2, center, dtype=np.float32)
+        }
+
+    def log_prior(self, x):
+        log_p = np.log(self.in_bounds(x), dtype="float64")
+        return log_p - 2 * np.log(20.0)
+
+    def log_likelihood(self, x):
+        c = np.asarray(self.jax_likelihood_data["center"], float)
+        out = np.zeros(len(np.atleast_1d(x)))
+        for i, n in enumerate(self.names):
+            out += -0.5 * (np.asarray(x[n], float) - c[i]) ** 2
+        return out
+
+    def jax_log_likelihood(self, x, data):
+        import jax.numpy as jnp
+
+        return -0.5 * jnp.sum((x - data["center"]) ** 2, axis=-1)
+
+
+def test_jax_likelihood_data_argument_path(rng, tmp_path):
+    """jax_likelihood_data enters programs as a runtime argument: two
+    same-shape datasets share one program fingerprint yet evaluate their
+    OWN data (no cross-instance staleness)."""
+    m1 = DataArgModel(0.0)
+    m2 = DataArgModel(3.0)
+    m1.set_rng(rng)
+    m2.set_rng(np.random.default_rng(1))
+    assert m1.program_fingerprint == m2.program_fingerprint
+    x = m1.new_point(8)
+    out1 = m1.batch_evaluate_log_likelihood(x)
+    out2 = m2.batch_evaluate_log_likelihood(x)
+    np.testing.assert_allclose(out1, m1.log_likelihood(x), atol=1e-4)
+    np.testing.assert_allclose(out2, m2.log_likelihood(x), atol=1e-4)
+    assert not np.allclose(out1, out2)
+
+
+def test_fused_populate_with_data_argument(
+    rng, tmp_path, flow_config, training_config
+):
+    m = DataArgModel(1.0)
+    m.set_rng(rng)
+    fp = FlowProposal(
+        m,
+        output=str(tmp_path),
+        poolsize=60,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    _train_proposal(fp, m, n=128)
+    assert fp._can_fuse_populate
+    _assert_fused_matches_host(fp, n_z=100)
+    x = m.new_point(10)
+    x["logL"] = m.batch_evaluate_log_likelihood(x)
+    fp.populate(x[np.argmin(x["logL"])], n_samples=30)
+    assert fp.populated
+
+
+@pytest.mark.parametrize("fuse_likelihood", [True, False])
+def test_fuse_likelihood_modes_equivalent_pools(
+    rng, tmp_path, flow_config, training_config, fuse_likelihood
+):
+    """Forced fused vs split likelihood both produce valid pools with
+    correct logL (split evaluates accepted samples only)."""
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        poolsize=60,
+        flow_config=flow_config,
+        training_config=training_config,
+        fuse_likelihood=fuse_likelihood,
+        rng=rng,
+        plot=False,
+    )
+    _train_proposal(fp, model, n=128)
+    before = model.likelihood_evaluations
+    x = model.new_point(10)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.populate(x[np.argmin(x["logL"])], n_samples=40)
+    assert fp._fuse_likelihood_resolved is fuse_likelihood
+    s = fp.samples
+    direct = model.log_likelihood(s)
+    np.testing.assert_allclose(s["logL"], direct, rtol=1e-4, atol=1e-4)
+    evals = model.likelihood_evaluations - before
+    if not fuse_likelihood:
+        # split mode: likelihood ran on (at most) the accepted pool plus
+        # the 10 direct calls above, far fewer than the latent draws
+        assert evals < 10_000
+
+
+def test_fuse_likelihood_auto_probe_cheap_fuses(
+    rng, tmp_path, flow_config, training_config
+):
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        poolsize=60,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    _train_proposal(fp, model, n=128)
+    x = model.new_point(5)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.populate(x[0], n_samples=30)
+    # a trivial Gaussian likelihood on-device is far under the probe
+    # threshold -> fused
+    assert fp._fuse_likelihood_resolved is True

@@ -187,3 +187,102 @@ def test_stopping_criteria_reference_names():
                  "log_evidence_ratio", "effective_sample_size"):
         c = StoppingCriterionRegistry.get(name)
         assert c is not None
+
+
+def test_reparameterisation_dict_duplicate_and_entry_points():
+    """ReparameterisationDict: duplicate registration raises; entry-point
+    loading skips non-KnownReparameterisation objects and rejects
+    duplicates (reference reparameterisations/utils.py:26-118)."""
+    from unittest.mock import patch
+
+    from nessai_tpu.reparameterisations import NullReparameterisation
+    from nessai_tpu.reparameterisations.utils import (
+        KnownReparameterisation,
+        ReparameterisationDict,
+    )
+
+    d = ReparameterisationDict()
+    d.add_reparameterisation("null", NullReparameterisation)
+    with pytest.raises(ValueError, match="already registered"):
+        d.add_reparameterisation("null", NullReparameterisation)
+
+    class FakeEP:
+        def __init__(self, obj):
+            self._obj = obj
+
+        def load(self):
+            return self._obj
+
+    known = KnownReparameterisation("ext-null", NullReparameterisation, {})
+    with patch(
+        "nessai_tpu.utils.entry_points.get_entry_points",
+        return_value={"a": FakeEP(known), "b": FakeEP(object())},
+    ):
+        d.add_external_reparameterisations("group")
+    assert "ext-null" in d
+    # duplicate via entry point
+    with patch(
+        "nessai_tpu.utils.entry_points.get_entry_points",
+        return_value={"a": FakeEP(known)},
+    ):
+        with pytest.raises(ValueError, match="already registered"):
+            d.add_external_reparameterisations("group")
+
+
+def test_get_reparameterisation_class_and_invalid():
+    from nessai_tpu.reparameterisations import (
+        NullReparameterisation,
+        get_reparameterisation,
+    )
+
+    cls, kwargs = get_reparameterisation(NullReparameterisation)
+    assert cls is NullReparameterisation
+    assert kwargs == {}
+    with pytest.raises(TypeError, match="must be a str"):
+        get_reparameterisation(42)
+
+
+def test_reparameterisation_base_validation_errors():
+    from nessai_tpu.reparameterisations import Reparameterisation
+
+    with pytest.raises(RuntimeError, match="Must specify parameters"):
+        Reparameterisation()
+    with pytest.raises(TypeError, match="str or list of str"):
+        Reparameterisation(parameters=[1, 2])
+    with pytest.raises(RuntimeError, match="dict for multiple"):
+        Reparameterisation(parameters=["a", "b"], prior_bounds=[0, 1])
+    with pytest.raises(RuntimeError, match="Mismatched"):
+        Reparameterisation(
+            parameters=["a", "b"], prior_bounds={"a": [0, 1]}
+        )
+
+    class NeedsBounds(Reparameterisation):
+        requires_bounded_prior = True
+
+    with pytest.raises(RuntimeError, match="requires prior bounds"):
+        NeedsBounds(parameters=["a"])
+
+
+def test_assert_structured_arrays_equal_paths():
+    from nessai_tpu.livepoint import empty_structured_array
+    from nessai_tpu.utils.testing import assert_structured_arrays_equal
+
+    a = empty_structured_array(3, names=["x"])
+    b = empty_structured_array(3, names=["x"])
+    a["x"] = [1.0, 2.0, np.nan]
+    b["x"] = [1.0, 2.0, np.nan]
+    assert_structured_arrays_equal(a, b)  # NaNs equal in exact mode
+    b["x"] = [1.0, 2.0, 3.0]
+    with pytest.raises(AssertionError, match="differs"):
+        assert_structured_arrays_equal(a, b)
+    # tolerance mode
+    a["x"] = [1.0, 2.0, 3.0]
+    b["x"] = [1.0, 2.0, 3.0 + 1e-9]
+    assert_structured_arrays_equal(a, b, atol=1e-6)
+    # dtype / shape mismatches
+    c = empty_structured_array(2, names=["x"])
+    with pytest.raises(AssertionError, match="shapes differ"):
+        assert_structured_arrays_equal(a, c)
+    d = empty_structured_array(3, names=["y"])
+    with pytest.raises(AssertionError, match="dtypes differ"):
+        assert_structured_arrays_equal(a, d)

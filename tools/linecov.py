@@ -119,8 +119,34 @@ def pytest_sessionfinish(session, exitstatus):
     sys.stderr.write(f"\n[linecov] wrote {path}\n")
 
 
+def missing(rel_path, dump_path=OUT_PATH, root=PACKAGE_ROOT):
+    """Print the uncovered executable line ranges of one file."""
+    with open(dump_path) as f:
+        hits = {k: set(v) for k, v in json.load(f).items()}
+    path = os.path.join(root, rel_path)
+    ex = executable_lines(path)
+    miss = sorted(ex - hits.get(path, set()))
+    # collapse to ranges
+    ranges, start = [], None
+    prev = None
+    for ln in miss:
+        if start is None:
+            start = prev = ln
+        elif ln == prev + 1:
+            prev = ln
+        else:
+            ranges.append((start, prev))
+            start = prev = ln
+    if start is not None:
+        ranges.append((start, prev))
+    for a, b in ranges:
+        print(f"{a}-{b}" if a != b else f"{a}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "report":
         report(sys.argv[2] if len(sys.argv) > 2 else OUT_PATH)
+    elif len(sys.argv) > 1 and sys.argv[1] == "missing":
+        missing(sys.argv[2], *(sys.argv[3:4] or []))
     else:
         print(__doc__)
