@@ -46,17 +46,16 @@ def run_seed(seed: int, nlive: int):
     err = float(fs.log_evidence_error)
     n_samples = int(len(fs.ns.samples_unit))
 
-    # Paired exact importance sampling: same seed stream, same sample
-    # budget, draws exactly from the prior (logW known analytically).
+    # Paired exact importance sampling: same seed, same sample budget,
+    # draws exactly from the prior. Z = E_prior[L], so the estimator is
+    # simply mean(L) over prior draws — no extra volume factor.
     rng = np.random.default_rng(seed)
     x = rng.uniform(-10.0, 10.0, size=(n_samples, 2))
     logl = -0.5 * np.sum(x**2, axis=1) - np.log(2 * np.pi)
-    # Z = (1/N) sum L(x_i) with x_i ~ prior; prior volume factors cancel
-    # into the uniform prior density (1/400) already inside analytic.
     l = np.exp(logl - logl.max())
     z_hat = float(np.mean(l))
     se = float(np.std(l, ddof=1) / np.sqrt(n_samples))
-    logZ_exact = float(np.log(z_hat) + logl.max() - np.log(400.0))
+    logZ_exact = float(np.log(z_hat) + logl.max())
     err_exact = float(se / z_hat)
 
     return {

@@ -21,11 +21,9 @@ import numpy as np
 
 
 def _build(flow_type: str, dims: int):
-    import jax
-
     from nessai_tpu.flows.utils import configure_model
 
-    flow = configure_model(
+    flow, params, _ = configure_model(
         dict(
             ftype=flow_type,
             n_inputs=dims,
@@ -34,7 +32,6 @@ def _build(flow_type: str, dims: int):
             n_layers=2,
         )
     )
-    params = flow.init(jax.random.PRNGKey(0))
     return flow, params
 
 

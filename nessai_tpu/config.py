@@ -102,7 +102,10 @@ class ComputeConfig:
     #: Whether to jit host-facing flow ops (disable for debugging).
     jit: bool = True
     #: Use the Pallas TPU kernels (ops/) inside the bijectors. Only valid
-    #: on TPU backends; leave False on CPU.
+    #: on TPU backends; leave False on CPU. Default False BY MEASUREMENT:
+    #: at nested-sampling shapes (dims <= 32, batch <= 16k) the flow
+    #: programs are dispatch-bound (~0.1 ms) and XLA matches Pallas
+    #: within noise — see VALIDATION.md "XLA vs Pallas" (round 3).
     use_pallas: bool = False
 
 

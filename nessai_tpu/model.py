@@ -77,6 +77,12 @@ class Model(ABC):
     #: Allow vectorised prior evaluation (reference ``model.py:118``)
     allow_vectorised_prior: bool = True
 
+    #: Set True when ``log_prior`` is the uniform-box density over
+    #: ``bounds`` (constant inside, -inf outside): the proposal can then
+    #: evaluate it inside device programs without a ``jax_log_prior``
+    #: hook. ``UniformPriorMixin`` sets it automatically.
+    uniform_prior_box: bool = False
+
     likelihood_evaluations: int = 0
     likelihood_evaluation_time = datetime.timedelta()
     #: If set, vectorised likelihood calls are chunked to this size.
@@ -769,6 +775,10 @@ class UniformPriorMixin:
     Use as ``class MyModel(UniformPriorMixin, Model)``. Gives INS support
     (hypercube maps) for free.
     """
+
+    #: Uniform-box priors are a device-expressible constant, which lets
+    #: the proposal run its whole populate loop in one device program
+    uniform_prior_box: bool = True
 
     def log_prior(self, x):
         with np.errstate(divide="ignore"):

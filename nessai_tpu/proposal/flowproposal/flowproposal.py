@@ -63,6 +63,7 @@ class FlowProposal(BaseFlowProposal):
         constant_volume_mode: bool = True,
         volume_fraction: float = 0.95,
         fuse_likelihood: Optional[bool] = None,
+        populate_mode: str = "auto",
         **kwargs,
     ):
         super().__init__(model, **kwargs)
@@ -71,6 +72,18 @@ class FlowProposal(BaseFlowProposal):
         self.max_samples = max_samples
         self.latent_temperature = latent_temperature
         self.fuse_likelihood = fuse_likelihood
+        if populate_mode not in ("auto", "rounds", "device_loop"):
+            raise ValueError(
+                f"Unknown populate_mode: {populate_mode} "
+                "(expected auto, rounds or device_loop)"
+            )
+        #: 'device_loop' runs the whole populate (latent sampling,
+        #: truncation, flow inverse, inverse reparams, prior, rejection
+        #: and — for native JAX likelihoods — the pool likelihood) as ONE
+        #: device program built around ``lax.while_loop``; 'rounds' is
+        #: the per-batch host loop; 'auto' picks device_loop whenever the
+        #: configuration supports it.
+        self.populate_mode = populate_mode
         self._fuse_likelihood_resolved = None
         if truncation is None and constant_volume_mode:
             truncation = {
@@ -221,9 +234,14 @@ class FlowProposal(BaseFlowProposal):
                     for i, name in enumerate(self.model.names):
                         probe[name] = mid[i]
                     self.model._jax_batch_log_likelihood(probe)  # compile
-                    t0 = _time.perf_counter()
-                    self.model._jax_batch_log_likelihood(probe)
-                    return _time.perf_counter() - t0
+                    # min of 3: remote transports have 50-100 ms latency
+                    # spikes that would otherwise flip the decision
+                    best = np.inf
+                    for _ in range(3):
+                        t0 = _time.perf_counter()
+                        self.model._jax_batch_log_likelihood(probe)
+                        best = min(best, _time.perf_counter() - t0)
+                    return best
 
                 dt_small = timed(n_small)
                 dt_big = timed(n_big) if n_big > n_small else dt_small
@@ -354,6 +372,244 @@ class FlowProposal(BaseFlowProposal):
             np.asarray(in_b)[:n],
         )
 
+    # ------------------------------------------------------------------
+    # Single-dispatch device populate loop
+    # ------------------------------------------------------------------
+    @property
+    def _can_device_loop(self) -> bool:
+        """Whether populate can run as one ``lax.while_loop`` device
+        program: jittable inverse reparams, latent-radius-only (or no)
+        truncation, a device-expressible prior (``jax_log_prior`` hook or
+        a uniform box) incl. auxiliary reparam priors, single device."""
+        if getattr(self, "_device_inverse", None) is None:
+            return False
+        if self.map_to_unit_hypercube or self.accept_all:
+            return False
+        if self.accumulate_weights:
+            return False
+        if self.flow is None or self.flow.mesh is not None:
+            return False
+        scheme = self._truncation_scheme
+        if scheme is None or scheme.requires_log_likelihood:
+            return False
+        if any(r.name != "latent_radius" for r in scheme.rules):
+            return False
+        m = self.model
+        if not (m.has_jax_prior or getattr(m, "uniform_prior_box", False)):
+            return False
+        if self._reparameterisation.jax_log_prior_fn() is None:
+            return False
+        return True
+
+    def _use_device_loop(self) -> bool:
+        if self.populate_mode == "rounds":
+            return False
+        ok = self._can_device_loop
+        if self.populate_mode == "device_loop" and not ok:
+            raise RuntimeError(
+                "populate_mode='device_loop' requested but the "
+                "configuration does not support it (requires jittable "
+                "reparameterisations, latent-radius-only truncation, a "
+                "jax_log_prior hook or uniform box prior, and a single "
+                "device)"
+            )
+        return ok
+
+    def _device_loop_populate(self, n_samples: int):
+        """Populate the pool with ONE device dispatch (per call): a
+        ``lax.while_loop`` samples the flow base, masks to the latent
+        radius, inverts flow + reparameterisations, evaluates the prior
+        and performs rejection sampling into a fixed-size buffer; the
+        pool likelihood runs on the accepted buffer only. Sets ``self.x``
+        and returns ``(n_accepted, n_proposed, likelihoods_in_pool)``.
+
+        Semantics mirror the per-batch rounds path (same truncated
+        proposal, same per-batch ``logW - max(logW)`` rejection); the
+        random stream is the device PRNG keyed from ``self.rng``, so
+        per-seed realisations differ from the rounds path but the
+        distribution is identical.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ...flowmodel.base import _bucket_size
+
+        fm = self.flow
+        flow = fm.flow
+        model = self.model
+        fn_reparam, reparam_fp = self._device_inverse
+        aux_fn, aux_fp = self._reparameterisation.jax_log_prior_fn()
+        with_ll = bool(model.has_jax_likelihood)
+        if with_ll:
+            device_ll, ll_data = model.device_log_likelihood_fn()
+        else:
+            device_ll, ll_data = None, None
+        prior_kind = "jax" if model.has_jax_prior else "box"
+        jax_prior = model.jax_log_prior if prior_kind == "jax" else None
+
+        lower = np.asarray(model.lower_bounds, np.float32)
+        upper = np.asarray(model.upper_bounds, np.float32)
+        log_p_box = np.float32(
+            -np.sum(np.log(np.asarray(model.upper_bounds) - np.asarray(model.lower_bounds)))
+        )
+        prime_names = tuple(self.prime_parameters)
+        param_names = tuple(self.parameters)
+        model_idx = tuple(param_names.index(n) for n in model.names)
+        identity_gather = model_idx == tuple(range(len(param_names)))
+        n_params = len(param_names)
+
+        # Fixed inner batch: loop rounds cost no host round trips, so
+        # acceptance adaptation is unnecessary and one compiled program
+        # per config suffices (vs one per adaptive draw scale).
+        B = _bucket_size(
+            int(self.drawsize) if self.drawsize else 4 * self._poolsize
+        )
+        cap = int(n_samples)
+        max_proposed = int(min(self.max_samples, 2**31 - B - 1))
+        max_rounds = max(max_proposed // B, 1)
+        sqrt_t = float(np.sqrt(self.latent_temperature))
+
+        rule = self._truncation_scheme.get_rule("latent_radius")
+        if rule is not None and getattr(rule, "r", None):
+            r_max = np.float32(rule.r * rule.fuzz)
+        else:
+            r_max = np.float32(np.inf)
+
+        def fn(params, key, consts, r_max, lower, upper, log_p0, ll_data):
+            def body(state):
+                key, buf_x, buf_logq, count, n_prop = state
+                key, k1, k2 = jax.random.split(key, 3)
+                z = flow.sample_base(params, k1, B)
+                if sqrt_t != 1.0:
+                    z = sqrt_t * z
+                in_ball = jnp.sum(z * z, axis=1) <= r_max * r_max
+                x_prime, log_j_flow = flow.inverse(params, z)
+                log_q = flow.base_log_prob(params, z) - log_j_flow
+                cols = {
+                    pp: x_prime[:, i] for i, pp in enumerate(prime_names)
+                }
+                cols, log_j_r = fn_reparam(cols, consts)
+                log_q = log_q - log_j_r
+                x = jnp.stack([cols[p] for p in param_names], axis=1)
+                x_model = x if identity_gather else x[:, model_idx]
+                in_b = jnp.all(
+                    (x_model >= lower) & (x_model <= upper), axis=1
+                )
+                if prior_kind == "jax":
+                    log_p = jax_prior(x_model)
+                else:
+                    log_p = log_p0
+                log_p = log_p + aux_fn(cols)
+                ok = in_ball & in_b & jnp.isfinite(log_q)
+                log_w = jnp.where(ok, log_p - log_q, -jnp.inf)
+                m = jnp.max(log_w)
+                log_u = jnp.log(jax.random.uniform(k2, (B,)))
+                accept = ok & (log_u < (log_w - m))
+                pos = count + jnp.cumsum(accept) - 1
+                idx = jnp.where(accept & (pos < cap), pos, cap)
+                buf_x = buf_x.at[idx].set(x)
+                buf_logq = buf_logq.at[idx].set(log_q)
+                count = count + jnp.sum(accept)
+                n_prop = n_prop + B
+                return key, buf_x, buf_logq, count, n_prop
+
+            def cond(state):
+                _, _, _, count, n_prop = state
+                return (count < cap) & (n_prop // B < max_rounds)
+
+            init = (
+                key,
+                jnp.zeros((cap + 1, n_params), jnp.float32),
+                jnp.zeros((cap + 1,), jnp.float32),
+                jnp.int32(0),
+                jnp.int32(0),
+            )
+            _, buf_x, buf_logq, count, n_prop = jax.lax.while_loop(
+                cond, body, init
+            )
+            buf_x = buf_x[:cap]
+            buf_logq = buf_logq[:cap]
+            if with_ll:
+                x_model = (
+                    buf_x if identity_gather else buf_x[:, model_idx]
+                )
+                log_l = device_ll(x_model, ll_data)
+                return buf_x, buf_logq, log_l, count, n_prop
+            return buf_x, buf_logq, count, n_prop
+
+        key = (
+            "device_loop_populate",
+            reparam_fp,
+            aux_fp,
+            prime_names,
+            param_names,
+            tuple(model.names),
+            model.program_fingerprint,
+            prior_kind,
+            B,
+            cap,
+            max_rounds,
+            sqrt_t,
+            with_ll,
+        )
+        jit_fn = fm._jit(key, fn)
+
+        from ...utils.transfer import arrays_to_host
+
+        parts_x, parts_ll = [], []
+        filled = 0
+        total_acc = 0
+        total_prop = 0
+        while filled < cap:
+            seed = int(self.rng.integers(2**31 - 1))
+            consts = self._reparameterisation.jax_inverse_consts()
+            out = jit_fn(
+                fm.params,
+                jax.random.PRNGKey(seed),
+                consts,
+                r_max,
+                lower,
+                upper,
+                log_p_box,
+                ll_data,
+            )
+            out = arrays_to_host(*out)
+            if with_ll:
+                buf_x, _, log_l, count, n_prop = out
+            else:
+                buf_x, _, count, n_prop = out
+                log_l = None
+            count = int(count)
+            n_prop = int(n_prop)
+            k = min(count, cap - filled, cap)
+            if k > 0:
+                parts_x.append(np.asarray(buf_x, np.float64)[:k])
+                if log_l is not None:
+                    parts_ll.append(np.asarray(log_l, np.float64)[:k])
+            filled += k
+            total_acc += count
+            total_prop += n_prop
+            if with_ll:
+                model.likelihood_evaluations += cap
+            if total_prop >= self.max_samples and filled < cap:
+                logger.warning(
+                    "Reached max samples (%s)", self.max_samples
+                )
+                break
+
+        if not filled:
+            raise RuntimeError(
+                "Failed to populate the proposal pool (0 accepted samples)"
+            )
+        x_arr = np.concatenate(parts_x, axis=0)[:cap]
+        x = empty_structured_array(len(x_arr), dtype=self.x_dtype)
+        for i, name in enumerate(param_names):
+            x[name] = x_arr[:, i]
+        if parts_ll:
+            x["logL"] = np.concatenate(parts_ll)[: len(x_arr)]
+        self.x = x
+        return total_acc, total_prop, with_ll
+
     def sample_latent_distribution(self, n: int):
         """Latent draws, honouring the truncation scheme's sampler and the
         latent temperature."""
@@ -380,6 +636,21 @@ class FlowProposal(BaseFlowProposal):
             )
         self._truncation_scheme.prepare(self, worst_point, radius=r)
         self.indices = []
+
+        if self._use_device_loop():
+            (
+                n_accepted,
+                n_proposed,
+                likelihoods_in_pool,
+            ) = self._device_loop_populate(n_samples)
+            return self._finalise_population(
+                st,
+                n_accepted,
+                n_proposed,
+                likelihoods_in_pool,
+                plot,
+                worst_point,
+            )
 
         if self.accumulate_weights:
             samples = empty_structured_array(0, dtype=self.x_dtype)
@@ -528,6 +799,16 @@ class FlowProposal(BaseFlowProposal):
                 "Failed to populate the proposal pool (0 accepted samples)"
             )
 
+        return self._finalise_population(
+            st, n_accepted, n_proposed, likelihoods_in_pool, plot, worst_point
+        )
+
+    def _finalise_population(
+        self, st, n_accepted, n_proposed, likelihoods_in_pool, plot, worst_point
+    ) -> None:
+        """Shared populate tail: convert ``self.x`` to samples, plots,
+        timing, pool likelihoods (when not already evaluated), acceptance
+        bookkeeping and the pop order."""
         self.samples = self.convert_to_samples(self.x, plot=plot)
         if self._plot_pool and plot:
             self.plot_pool(self.samples)

@@ -139,6 +139,21 @@ class Angle(Reparameterisation):
 
         return (jnp.float32(self.scale),)
 
+    def jax_log_prior_fn(self):
+        """chi(2) prior on the auxiliary radius:
+        ``log f(r) = log r - r^2 / 2``."""
+        if self.chi is None:
+            return None
+        radial = self.radial
+
+        def fn(cols):
+            import jax.numpy as jnp
+
+            r = cols[radial]
+            return jnp.log(r) - 0.5 * r**2
+
+        return fn, ("chi2", radial)
+
 
 class ToCartesian(Angle):
     """Convert a *non-angular* bounded parameter to Cartesian coordinates
@@ -380,3 +395,22 @@ class AnglePair(Reparameterisation):
             return {radial_p: r, a0: alpha, a1: beta}, log_j
 
         return fn, ("anglepair", px, py, pz, a0, a1, radial_p, ra_dec)
+
+    def jax_log_prior_fn(self):
+        """chi(3) prior on the auxiliary radius:
+        ``log f(r) = 2 log r - r^2/2 + log sqrt(2/pi)``."""
+        if self.chi is None:
+            return None
+        radial = self.radial
+
+        def fn(cols):
+            import jax.numpy as jnp
+
+            r = cols[radial]
+            return (
+                2.0 * jnp.log(r)
+                - 0.5 * r**2
+                + 0.5 * jnp.log(2.0 / jnp.pi)
+            )
+
+        return fn, ("chi3", radial)

@@ -141,6 +141,14 @@ class Reparameterisation:
         every device call, so data-driven updates need no recompile)."""
         return ()
 
+    def jax_log_prior_fn(self):
+        """Jittable counterpart of :meth:`log_prior` (auxiliary-parameter
+        prior terms), or None if unsupported. Returns
+        ``(fn, fingerprint)`` with ``fn(cols) -> log_p`` reading x-space
+        columns. Only consulted when :attr:`has_prior` is set; used by
+        the single-dispatch device populate loop."""
+        return None
+
     def x_prime_log_prior(self, x_prime):
         """Log-prior defined directly in the prime space (optional)."""
         raise RuntimeError(

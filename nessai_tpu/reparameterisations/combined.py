@@ -130,6 +130,31 @@ class CombinedReparameterisation(dict):
             r.jax_inverse_consts() for r in reversed(self._order())
         )
 
+    def jax_log_prior_fn(self):
+        """Composed jittable auxiliary priors; None if any child with a
+        prior lacks a device form. Children without priors contribute
+        nothing (mirrors :meth:`log_prior`)."""
+        parts = []
+        fps = []
+        for r in self.values():
+            if not getattr(r, "has_prior", False):
+                continue
+            built = r.jax_log_prior_fn()
+            if built is None:
+                return None
+            parts.append(built[0])
+            fps.append(built[1])
+        if not parts:
+            return (lambda cols: 0.0), ("no-aux-priors",)
+
+        def fn(cols):
+            log_p = 0.0
+            for p in parts:
+                log_p = log_p + p(cols)
+            return log_p
+
+        return fn, tuple(fps)
+
     def update(self, x) -> None:
         """Reference: ``combined.py:219``."""
         for r in self.values():

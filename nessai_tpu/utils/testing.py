@@ -15,6 +15,8 @@ class IntegrationTestModel(Model):
     inside the prior box to excellent accuracy).
     """
 
+    uniform_prior_box = True
+
     def __init__(self, dims: int = 2):
         self.names = [f"x_{i}" for i in range(dims)]
         self.bounds = {n: [-10.0, 10.0] for n in self.names}

@@ -31,6 +31,8 @@ class AngleGaussianModel(Model):
     """2-D model with one periodic parameter (phase) and one bounded
     amplitude, with a JAX likelihood — the GW-analogue shape."""
 
+    uniform_prior_box = True
+
     def __init__(self):
         self.names = ["amp", "phi"]
         self.bounds = {"amp": [-5.0, 5.0], "phi": [0.0, 2 * np.pi]}
@@ -391,6 +393,7 @@ def test_fuse_likelihood_modes_equivalent_pools(
         flow_config=flow_config,
         training_config=training_config,
         fuse_likelihood=fuse_likelihood,
+        populate_mode="rounds",
         rng=rng,
         plot=False,
     )
@@ -421,6 +424,7 @@ def test_fuse_likelihood_auto_probe_cheap_fuses(
         poolsize=60,
         flow_config=flow_config,
         training_config=training_config,
+        populate_mode="rounds",
         rng=rng,
         plot=False,
     )
