@@ -221,3 +221,233 @@ def test_configure_model_requires_n_inputs():
 
     with pytest.raises(TypeError):
         configure_model(dict(n_blocks=2))
+
+
+# ----------------------------------------------------------------------
+# Round-3 coverage additions
+# ----------------------------------------------------------------------
+class TestSamplingHelpers:
+    def test_draw_surface_nsphere_norms(self, rng):
+        from nessai_tpu.utils.sampling import draw_surface_nsphere
+
+        x = draw_surface_nsphere(3, r=2.0, N=500, rng=rng)
+        np.testing.assert_allclose(
+            np.linalg.norm(x, axis=1), 2.0, atol=1e-12
+        )
+        # default rng branch
+        y = draw_surface_nsphere(2, N=10)
+        assert y.shape == (10, 2)
+
+    def test_draw_nsphere_within_radius(self, rng):
+        from nessai_tpu.utils.sampling import draw_nsphere
+
+        x = draw_nsphere(4, r=3.0, N=500, fuzz=1.1, rng=rng)
+        assert (np.linalg.norm(x, axis=1) <= 3.3 + 1e-12).all()
+        y = draw_nsphere(2, N=5)
+        assert y.shape == (5, 2)
+
+    def test_draw_uniform_and_gaussian(self, rng):
+        from nessai_tpu.utils.sampling import draw_gaussian, draw_uniform
+
+        u = draw_uniform(3, N=100, rng=rng)
+        assert u.shape == (100, 3)
+        assert ((u >= 0) & (u <= 1)).all()
+        assert draw_uniform(2, N=4).shape == (4, 2)
+        g = draw_gaussian(3, N=100, rng=rng)
+        assert g.shape == (100, 3)
+        assert draw_gaussian(2, N=4).shape == (4, 2)
+
+    def test_draw_truncated_gaussian_radius(self, rng):
+        from nessai_tpu.utils.sampling import draw_truncated_gaussian
+
+        x = draw_truncated_gaussian(2, r=1.5, N=300, rng=rng)
+        assert (np.linalg.norm(x, axis=1) <= 1.5 + 1e-12).all()
+        assert draw_truncated_gaussian(2, r=2.0, N=5).shape == (5, 2)
+
+    def test_compute_radius_monotonic(self):
+        from nessai_tpu.utils.sampling import compute_radius
+
+        r1 = compute_radius(2, 0.5)
+        r2 = compute_radius(2, 0.95)
+        r3 = compute_radius(8, 0.95)
+        assert r1 < r2 < r3
+
+
+class TestIOHelpers:
+    def test_is_jsonable(self):
+        from nessai_tpu.utils.io import is_jsonable
+
+        assert is_jsonable({"a": 1})
+        assert not is_jsonable({"a": object()})
+
+    def test_json_encoder_types(self):
+        import json
+
+        from nessai_tpu.utils.io import NessaiJSONEncoder
+
+        payload = {
+            "i": np.int64(3),
+            "f": np.float32(1.5),
+            "arr": np.arange(3),
+            "fn": len,
+            "cls": dict,
+            "obj": object(),
+        }
+        out = json.loads(json.dumps(payload, cls=NessaiJSONEncoder))
+        assert out["i"] == 3
+        assert out["f"] == 1.5
+        assert out["arr"] == [0, 1, 2]
+        assert "len" in out["fn"]
+        assert "dict" in out["cls"]
+        assert isinstance(out["obj"], str)
+
+    def test_json_encoder_jax_array(self):
+        import json
+
+        import jax.numpy as jnp
+
+        from nessai_tpu.utils.io import NessaiJSONEncoder
+
+        out = json.loads(
+            json.dumps({"x": jnp.arange(2)}, cls=NessaiJSONEncoder)
+        )
+        assert out["x"] == [0, 1]
+
+
+class TestProposalBaseHelpers:
+    def test_evaluate_likelihoods_and_reset(self, model, rng):
+        from nessai_tpu.proposal.analytic import AnalyticProposal
+
+        p = AnalyticProposal(model, poolsize=20, rng=rng)
+        p.initialise()
+        p.populate(N=20)
+        assert p.populated
+        p.evaluate_likelihoods()
+        assert np.isfinite(p.samples["logL"]).all()
+        p.reset()
+        assert not p.populated
+        assert len(p.samples) == 0
+
+    def test_train_noop_logs(self, model, rng, caplog):
+        import logging
+
+        from nessai_tpu.proposal.analytic import AnalyticProposal
+
+        p = AnalyticProposal(model, poolsize=5, rng=rng)
+        with caplog.at_level(logging.DEBUG):
+            p.train(None)
+        assert "cannot be trained" in caplog.text
+
+    def test_getstate_drops_model_and_resume(self, model, rng):
+        import pickle
+
+        from nessai_tpu.proposal.analytic import AnalyticProposal
+
+        p = AnalyticProposal(model, poolsize=5, rng=rng)
+        s = pickle.loads(pickle.dumps(p))
+        assert s.model is None
+        s.resume(model)
+        assert s.model is model
+
+
+class TestMultiprocessingHelpers:
+    def test_get_n_pool_variants(self, caplog):
+        import logging
+        from concurrent.futures import ThreadPoolExecutor
+
+        from nessai_tpu.utils.multiprocessing import get_n_pool
+
+        assert get_n_pool(None) is None
+        ex = ThreadPoolExecutor(max_workers=3)
+        assert get_n_pool(ex) == 3
+        ex.shutdown()
+
+        class Weird:
+            pass
+
+        with caplog.at_level(logging.WARNING):
+            assert get_n_pool(Weird()) is None
+        assert "Could not determine" in caplog.text
+
+    def test_check_start_method_warns_on_spawn(self, caplog, monkeypatch):
+        import logging
+
+        import nessai_tpu.utils.multiprocessing as mp_utils
+
+        monkeypatch.setattr(
+            mp_utils.multiprocessing,
+            "get_start_method",
+            lambda allow_none=True: "spawn",
+        )
+        with caplog.at_level(logging.WARNING):
+            mp_utils.check_multiprocessing_start_method()
+        assert "fork" in caplog.text
+
+    def test_wrappers_use_global_model(self, model):
+        from nessai_tpu.utils.multiprocessing import (
+            initialise_pool_variables,
+            log_likelihood_wrapper,
+            log_prior_unit_hypercube_wrapper,
+            log_prior_wrapper,
+        )
+
+        initialise_pool_variables(model)
+        x = model.new_point(3)
+        np.testing.assert_allclose(
+            log_likelihood_wrapper(x), model.log_likelihood(x)
+        )
+        np.testing.assert_allclose(
+            log_prior_wrapper(x), model.log_prior(x)
+        )
+        u = model.to_unit_hypercube(x)
+        np.testing.assert_allclose(
+            log_prior_unit_hypercube_wrapper(u),
+            model.log_prior_unit_hypercube(u),
+        )
+
+    def test_batch_evaluate_chunked_vectorised(self):
+        from nessai_tpu.utils.multiprocessing import batch_evaluate_function
+
+        calls = []
+
+        def f(x):
+            calls.append(len(x))
+            return np.asarray(x, float).sum(axis=-1)
+
+        x = np.arange(10.0)[:, None]
+        out = batch_evaluate_function(f, x, True, chunksize=4)
+        np.testing.assert_allclose(out, x.ravel())
+        assert calls == [4, 4, 2]
+
+    def test_batch_evaluate_pooled_scalar_and_vectorised(self):
+        from nessai_tpu.utils.multiprocessing import batch_evaluate_function
+
+        class FakePool:
+            def map(self, fn, items):
+                return [fn(i) for i in items]
+
+        x = np.arange(6.0)[:, None]
+        out = batch_evaluate_function(
+            lambda r: float(np.sum(r)),
+            x,
+            False,
+            pool=FakePool(),
+            n_pool=2,
+        )
+        np.testing.assert_allclose(out, x.ravel())
+        out2 = batch_evaluate_function(
+            lambda b: np.sum(b, axis=-1),
+            x,
+            True,
+            pool=FakePool(),
+            n_pool=2,
+        )
+        np.testing.assert_allclose(out2, x.ravel())
+
+    def test_check_vectorised_function_input_validation(self):
+        from nessai_tpu.utils.multiprocessing import (
+            check_vectorised_function,
+        )
+
+        with pytest.raises(ValueError, match="length <= 1"):
+            check_vectorised_function(lambda x: x, np.zeros(1))
