@@ -169,3 +169,133 @@ def test_resume_fallback_to_old(model, tmp_path, flow_config, training_config):
         training_config=training_config,
     )
     assert fs2.ns.iteration == 20
+
+
+class TestRound3Branches:
+    """Config/maintenance branches: update_output, memory-augmented
+    training, flow resets (reference nestedsampler.py:560,861-961)."""
+
+    def _sampler(self, model, tmp_path, **kw):
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        kw.setdefault("nlive", 50)
+        kw.setdefault("plot", False)
+        kw.setdefault("seed", 1)
+        return NestedSampler(model, output=str(tmp_path), **kw)
+
+    def test_update_output_moves_resume_and_proposal(self, model, tmp_path):
+        ns = self._sampler(model, tmp_path / "a")
+        new = tmp_path / "b"
+        ns.update_output(str(new))
+        assert ns.output == str(new)
+        assert ns.resume_file.startswith(str(new))
+        assert ns._flow_proposal.output.startswith(str(new))
+
+    def test_proposal_population_time_sums(self, model, tmp_path):
+        import datetime
+
+        ns = self._sampler(model, tmp_path)
+        ns._uninformed_proposal.population_time = datetime.timedelta(
+            seconds=2
+        )
+        ns._flow_proposal.population_time = datetime.timedelta(seconds=3)
+        assert ns.proposal_population_time.total_seconds() == 5
+
+    def test_check_flow_model_reset_acceptance(self, model, tmp_path):
+        from unittest.mock import MagicMock
+
+        ns = self._sampler(model, tmp_path, reset_acceptance=True)
+        ns._flow_proposal.training_count = 1
+        ns._flow_proposal.flow = MagicMock()
+        ns.mean_block_acceptance = 0.0
+        ns.check_flow_model_reset()
+        ns._flow_proposal.flow.reset_model.assert_called_once_with(
+            weights=True, permutations=True
+        )
+
+    def test_check_flow_model_reset_schedules(self, model, tmp_path):
+        from unittest.mock import MagicMock
+
+        ns = self._sampler(
+            model, tmp_path, reset_weights=2, reset_permutations=3
+        )
+        ns._flow_proposal.training_count = 6  # divisible by both
+        ns._flow_proposal.flow = MagicMock()
+        ns.check_flow_model_reset()
+        ns._flow_proposal.flow.reset_model.assert_called_once_with(
+            weights=True, permutations=True
+        )
+
+    def test_check_flow_model_reset_untrained_noop(self, model, tmp_path):
+        from unittest.mock import MagicMock
+
+        ns = self._sampler(model, tmp_path, reset_weights=1)
+        ns._flow_proposal.training_count = 0
+        ns._flow_proposal.flow = MagicMock()
+        ns.check_flow_model_reset()
+        ns._flow_proposal.flow.reset_model.assert_not_called()
+
+    def test_train_proposal_cooldown_skip(self, model, tmp_path):
+        from unittest.mock import MagicMock
+
+        ns = self._sampler(model, tmp_path, cooldown=100)
+        ns._flow_proposal = MagicMock()
+        ns.iteration = 10
+        ns.last_updated = 0
+        ns.train_proposal(force=False)
+        ns._flow_proposal.train.assert_not_called()
+
+    def test_train_proposal_memory_concatenates(self, model, tmp_path):
+        from unittest.mock import MagicMock
+
+        ns = self._sampler(model, tmp_path, memory=5, cooldown=0)
+        ns.live_points = model.new_point(10)
+        pts = model.new_point(8)
+        ns.nested_samples = list(pts)
+        ns._flow_proposal = MagicMock()
+        ns._flow_proposal.training_count = 1
+        ns.train_proposal(force=True)
+        (args, kwargs) = ns._flow_proposal.train.call_args
+        assert len(args[0]) == 15  # 10 live + 5 memory
+        assert ns.train_count == 1
+        assert ns.completed_training
+
+    def test_check_training_branches(self, model, tmp_path):
+        ns = self._sampler(
+            model,
+            tmp_path,
+            cooldown=10,
+            training_frequency=20,
+            retrain_acceptance=True,
+            acceptance_threshold=0.5,
+        )
+
+        class P:
+            populated = False
+
+        ns.proposal = P()
+        # incomplete training resumes training
+        ns.completed_training = False
+        assert ns.check_training() == (True, True)
+        ns.completed_training = True
+        # populated pool -> no training
+        P.populated = True
+        assert ns.check_training() == (False, False)
+        P.populated = False
+        # train_on_empty forces
+        assert ns.check_training() == (True, True)
+        ns.train_on_empty = False
+        # acceptance-triggered (needs block_iteration >= cooldown)
+        ns.mean_block_acceptance = 0.1
+        ns.block_iteration = 20
+        assert ns.check_training() == (True, True)
+        # frequency-triggered (not forced) but within cooldown -> no
+        ns.mean_block_acceptance = 1.0
+        ns.iteration = 21
+        ns.last_updated = 20
+        ns.training_frequency = 1
+        assert ns.check_training() == (False, False)
+        # frequency-triggered outside cooldown
+        ns.iteration = 40
+        ns.last_updated = 20
+        assert ns.check_training() == (True, False)
