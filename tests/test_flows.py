@@ -279,3 +279,68 @@ def test_external_bijector_wrapper():
 
     with pytest.raises(TypeError):
         ExternalBijector(init_fn, "nope", inverse_fn)
+
+
+class TestRound3FlowConfigBranches:
+    def test_nsf_custom_masks(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nessai_tpu.flows.utils import configure_model
+
+        # 1-D mask alternates automatically
+        flow, params, _ = configure_model(
+            dict(
+                ftype="nsf",
+                n_inputs=4,
+                n_blocks=2,
+                n_neurons=8,
+                kwargs=dict(mask=[1, 1, -1, -1]),
+            )
+        )
+        x = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+        z, lj = flow.forward(params, x)
+        x2, lj_inv = flow.inverse(params, z)
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x), atol=1e-4
+        )
+        # 2-D mask list taken as-is
+        flow2, p2, _ = configure_model(
+            dict(
+                ftype="nsf",
+                n_inputs=4,
+                n_blocks=2,
+                n_neurons=8,
+                kwargs=dict(mask=[[1, 1, -1, -1], [-1, -1, 1, 1]]),
+            )
+        )
+        z2, _ = flow2.forward(p2, x)
+        assert z2.shape == x.shape
+
+    def test_nsf_pre_transform_logit_and_actnorm(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from nessai_tpu.flows.utils import configure_model
+
+        flow, params, _ = configure_model(
+            dict(
+                ftype="nsf",
+                n_inputs=2,
+                n_blocks=2,
+                n_neurons=8,
+                kwargs=dict(
+                    pre_transform="logit",
+                    batch_norm_between_layers=True,
+                ),
+            )
+        )
+        x = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 2)), jnp.float32)
+        z, lj = flow.forward(params, x)
+        x2, lj_inv = flow.inverse(params, z)
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(x), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lj + lj_inv), 0.0, atol=1e-4
+        )

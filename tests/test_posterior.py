@@ -1,6 +1,7 @@
 """Tests for posterior weight computation and sample drawing."""
 
 import numpy as np
+import pytest
 from scipy.special import logsumexp
 
 from nessai_tpu.livepoint import numpy_array_to_live_points
@@ -52,3 +53,46 @@ def test_draw_posterior_indices(rng):
         x, nlive=100, return_indices=True, rng=rng
     )
     np.testing.assert_array_equal(x[idx]["logL"], post["logL"])
+
+
+class TestRound3PosteriorBranches:
+    def test_compute_weights_nlive_array_and_t_expectation(self, rng):
+        from nessai_tpu.posterior import compute_weights
+
+        logl = np.sort(rng.normal(size=50))
+        # int nlive consumes the final live points one by one; the
+        # equivalent explicit array must include that decreasing tail
+        nlive = np.full(50, 25.0)
+        nlive[-25:] = np.arange(25, 0, -1)
+        lv1, lw1 = compute_weights(logl, nlive)
+        lv2, lw2 = compute_weights(logl, 25)
+        np.testing.assert_allclose(lw1, lw2, atol=1e-12)
+        lv3, lw3 = compute_weights(logl, 25, expectation="t")
+        assert not np.allclose(lw2, lw3)
+        with pytest.raises(ValueError, match="nlive array must match"):
+            compute_weights(logl, np.full(10, 25.0))
+        with pytest.raises(ValueError, match="Unknown expectation"):
+            compute_weights(logl, 25, expectation="bad")
+
+    def test_draw_posterior_rejection_capped_n(self, rng):
+        from nessai_tpu.livepoint import empty_structured_array
+        from nessai_tpu.posterior import draw_posterior_samples
+
+        ns = empty_structured_array(200, names=["x"])
+        ns["x"] = np.linspace(0, 1, 200)
+        ns["logL"] = np.sort(rng.normal(size=200))
+        out = draw_posterior_samples(
+            ns, nlive=50, n=5, method="rejection_sampling", rng=rng
+        )
+        assert len(out) <= 5
+
+    def test_draw_posterior_unknown_method(self, rng):
+        from nessai_tpu.livepoint import empty_structured_array
+        from nessai_tpu.posterior import draw_posterior_samples
+
+        ns = empty_structured_array(20, names=["x"])
+        ns["logL"] = np.sort(rng.normal(size=20))
+        with pytest.raises(ValueError, match="method"):
+            draw_posterior_samples(
+                ns, nlive=10, method="not-a-method", rng=rng
+            )

@@ -60,3 +60,41 @@ def test_or_group():
 def test_none_value_not_met():
     c = StoppingCriterionRegistry.get("ratio")
     assert not c.is_met(None)
+
+
+class TestRound3CriteriaBranches:
+    def test_criterion_and_or_operators(self):
+        from nessai_tpu.stopping_criteria import StoppingCriterionRegistry
+
+        a = StoppingCriterionRegistry.get("dlogZ", tolerance=0.1)
+        b = StoppingCriterionRegistry.get("ess", tolerance=100)
+        g_and = a & b
+        g_or = a | b
+        assert g_and.mode == "and"
+        assert g_or.mode == "or"
+        assert set(g_and.names) == {"dlogZ", "ess"}
+        vals_one = {"dlogZ": 0.01, "ess": 10.0}
+        assert not g_and.is_met(vals_one)
+        assert g_or.is_met(vals_one)
+        vals_both = {"dlogZ": 0.01, "ess": 500.0}
+        assert g_and.is_met(vals_both)
+
+    def test_group_merge_and_repr(self):
+        from nessai_tpu.stopping_criteria import StoppingCriterionRegistry
+
+        a = StoppingCriterionRegistry.get("dlogZ", tolerance=0.1)
+        b = StoppingCriterionRegistry.get("ess", tolerance=100)
+        c = StoppingCriterionRegistry.get("ratio", tolerance=0.0)
+        g = (a & b) & c
+        assert len(g.criteria) == 3
+        assert "&" in repr(g)
+        g2 = (a | b) | c
+        assert "|" in repr(g2)
+        assert repr(a) == "dlogZ<=0.1"
+
+    def test_group_tolerances_dict(self):
+        from nessai_tpu.stopping_criteria import StoppingCriterionRegistry
+
+        a = StoppingCriterionRegistry.get("dlogZ", tolerance=0.2)
+        g = a & StoppingCriterionRegistry.get("ess", tolerance=50)
+        assert g.tolerances == {"dlogZ": 0.2, "ess": 50}

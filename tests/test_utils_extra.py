@@ -451,3 +451,95 @@ class TestMultiprocessingHelpers:
 
         with pytest.raises(ValueError, match="length <= 1"):
             check_vectorised_function(lambda x: x, np.zeros(1))
+
+
+class TestRescalingBranches:
+    def test_determine_rescaled_bounds_inversion_branches(self):
+        from nessai_tpu.utils.rescaling import determine_rescaled_bounds
+
+        base = dict(prior_min=0.0, prior_max=1.0, x_min=0.0, x_max=1.0)
+        lo, hi = determine_rescaled_bounds(**base)
+        assert (lo, hi) == (-1.0, 1.0)
+        lo, hi = determine_rescaled_bounds(**base, inversion=True)
+        assert (lo, hi) == (-3.0, 1.0)  # conservative widening
+        lo, hi = determine_rescaled_bounds(
+            **base, inversion=True, invert="upper"
+        )
+        assert (lo, hi) == (-1.0, 3.0)
+        lo, hi = determine_rescaled_bounds(
+            **base, inversion=True, invert="lower"
+        )
+        assert (lo, hi) == (-3.0, 1.0)
+        lo, hi = determine_rescaled_bounds(
+            **base, inversion=True, invert="both"
+        )
+        assert (lo, hi) == (-2.0, 2.0)
+        with pytest.raises(ValueError, match="Invalid invert"):
+            determine_rescaled_bounds(
+                **base, inversion=True, invert="sideways"
+            )
+        with pytest.raises(RuntimeError, match="equal"):
+            determine_rescaled_bounds(0.0, 1.0, 0.5, 0.5)
+
+    def test_get_jax_rescaling_unknown_returns_none(self):
+        from nessai_tpu.utils.rescaling import get_jax_rescaling
+
+        assert get_jax_rescaling("nope") is None
+
+    def test_get_jax_rescaling_forward_pairs_roundtrip(self):
+        import jax.numpy as jnp
+
+        from nessai_tpu.utils.rescaling import get_jax_rescaling
+
+        x = jnp.linspace(0.05, 0.95, 7)
+        for name in ("logit", "log", "gaussian_cdf", "inv_gaussian_cdf"):
+            fwd, inv = get_jax_rescaling(name)
+            y, lj = fwd(x)
+            x2, lj_inv = inv(y)
+            np.testing.assert_allclose(
+                np.asarray(x2), np.asarray(x), atol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(lj + lj_inv), 0.0, atol=2e-4
+            )
+
+
+class TestHistBranches:
+    def test_auto_bins_degenerate_iqr(self):
+        from nessai_tpu.utils.hist import auto_bins
+
+        x = np.concatenate([np.zeros(50), [1.0]])
+        assert auto_bins(x) >= 1
+        with pytest.raises(RuntimeError):
+            auto_bins(np.array([]))
+
+
+class TestStructuresBranches:
+    def test_get_subset_arrays_and_inverse_indices(self, rng):
+        from nessai_tpu.utils.structures import (
+            array_split_chunksize,
+            get_inverse_indices,
+            get_subset_arrays,
+            isfinite_struct,
+        )
+
+        a = np.arange(10)
+        b = np.arange(10) * 2.0
+        idx = np.array([1, 3, 5])
+        sa, sb = get_subset_arrays(idx, a, b)
+        np.testing.assert_array_equal(sa, [1, 3, 5])
+        np.testing.assert_array_equal(sb, [2.0, 6.0, 10.0])
+        # single array
+        (only,) = (get_subset_arrays(idx, a),)
+        chunks = array_split_chunksize(np.arange(10), 4)
+        assert [len(c) for c in chunks] == [4, 4, 2]
+        with pytest.raises(ValueError):
+            array_split_chunksize(np.arange(4), 0)
+        inv = get_inverse_indices(6, np.array([0, 2, 4]))
+        np.testing.assert_array_equal(inv, [1, 3, 5])
+        from nessai_tpu.livepoint import empty_structured_array
+
+        x = empty_structured_array(3, names=["a"])
+        x["a"] = [1.0, np.inf, 2.0]
+        fin = isfinite_struct(x, names=["a"])
+        np.testing.assert_array_equal(fin, [True, False, True])
