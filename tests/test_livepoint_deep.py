@@ -164,3 +164,53 @@ class TestUnstructuredView:
     def test_shape(self, rng):
         x = numpy_array_to_live_points(rng.normal(size=(4, 2)), ["a", "b"])
         assert unstructured_view(x).shape == (4, 2)
+
+
+class TestRound3LivepointEdges:
+    @pytest.mark.parametrize(
+        "converter",
+        ["dict", "dataframe", "array"],
+    )
+    def test_roundtrip_converters(self, rng, converter):
+        from nessai_tpu.livepoint import (
+            dataframe_to_live_points,
+            dict_to_live_points,
+            live_points_to_array,
+            live_points_to_dataframe,
+            live_points_to_dict,
+            numpy_array_to_live_points,
+        )
+
+        x = numpy_array_to_live_points(
+            rng.normal(size=(7, 2)), ["a", "b"]
+        )
+        if converter == "dict":
+            d = live_points_to_dict(x)
+            y = dict_to_live_points(d)
+            np.testing.assert_allclose(y["a"], x["a"])
+        elif converter == "dataframe":
+            df = live_points_to_dataframe(x)
+            y = dataframe_to_live_points(df)
+            np.testing.assert_allclose(y["b"], x["b"])
+        else:
+            arr = live_points_to_array(x, ["a", "b"])
+            y = numpy_array_to_live_points(arr, ["a", "b"])
+            np.testing.assert_allclose(y["a"], x["a"])
+
+    def test_empty_structured_array_zero_rows(self):
+        from nessai_tpu.livepoint import empty_structured_array
+
+        x = empty_structured_array(0, names=["a"])
+        assert len(x) == 0
+        assert "logL" in x.dtype.names
+
+    def test_unstructured_view_is_zero_copy(self, rng):
+        from nessai_tpu.livepoint import (
+            numpy_array_to_live_points,
+            unstructured_view,
+        )
+
+        x = numpy_array_to_live_points(rng.normal(size=(4, 2)), ["a", "b"])
+        v = unstructured_view(x, names=["a", "b"])
+        v[0, 0] = 123.0
+        assert x["a"][0] == 123.0

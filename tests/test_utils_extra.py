@@ -334,8 +334,16 @@ class TestProposalBaseHelpers:
         from nessai_tpu.proposal.analytic import AnalyticProposal
 
         p = AnalyticProposal(model, poolsize=5, rng=rng)
-        with caplog.at_level(logging.DEBUG):
+        # earlier tests may configure the package logger with
+        # propagate=False; capture on the specific logger
+        caplog.set_level(logging.DEBUG, logger="nessai_tpu.proposal.base")
+        logger = logging.getLogger("nessai_tpu.proposal.base")
+        old_propagate = logger.propagate
+        logger.propagate = True
+        try:
             p.train(None)
+        finally:
+            logger.propagate = old_propagate
         assert "cannot be trained" in caplog.text
 
     def test_getstate_drops_model_and_resume(self, model, rng):
@@ -543,3 +551,35 @@ class TestStructuresBranches:
         x["a"] = [1.0, np.inf, 2.0]
         fin = isfinite_struct(x, names=["a"])
         np.testing.assert_array_equal(fin, [True, False, True])
+
+
+@pytest.mark.parametrize(
+    "name", ["logit", "log", "gaussian_cdf", "inv_gaussian_cdf"]
+)
+@pytest.mark.parametrize("direction", ["forward", "inverse"])
+def test_jax_rescaling_matches_host(name, direction):
+    """The jnp rescaling pairs must match the host numpy pairs value-
+    and Jacobian-wise (the fused populate path depends on it)."""
+    import jax.numpy as jnp
+
+    from nessai_tpu.utils.rescaling import (
+        get_jax_rescaling,
+        rescaling_functions,
+    )
+
+    host = rescaling_functions[name][0 if direction == "forward" else 1]
+    dev = get_jax_rescaling(name)[0 if direction == "forward" else 1]
+    if name in ("logit",) and direction == "forward":
+        x = np.linspace(0.05, 0.95, 11)
+    elif name == "inv_gaussian_cdf" and direction == "forward":
+        x = np.linspace(0.05, 0.95, 11)
+    elif name == "log" and direction == "forward":
+        x = np.linspace(0.1, 3.0, 11)
+    elif name == "gaussian_cdf" and direction == "inverse":
+        x = np.linspace(0.05, 0.95, 11)
+    else:
+        x = np.linspace(-2.0, 2.0, 11)
+    y_h, lj_h = host(x)
+    y_d, lj_d = dev(jnp.asarray(x, jnp.float32))
+    np.testing.assert_allclose(np.asarray(y_d), y_h, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(lj_d), lj_h, atol=3e-4)
