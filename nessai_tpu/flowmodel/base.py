@@ -953,16 +953,34 @@ class FlowModel:
             "inv", lambda p, z, c: self.flow.inverse(p, z, c), z, conditional
         )
 
-    def inverse_and_log_prob(self, z, conditional=None):
+    def inverse_and_log_prob(self, z, conditional=None, temperature=None):
         """z -> (x, log q(x)) fused into one device program (the hot
         path of :meth:`FlowProposal.populate`): inverse pass, base
-        log-prob and the Jacobian correction together."""
+        log-prob and the Jacobian correction together.
+
+        With ``temperature`` T (not None/1.0) the latent density is the
+        tempered one — ``base_log_prob(z / sqrt(T)) - (d/2) log T`` — the
+        exact density of ``sqrt(T) * z0`` for ``z0`` from the base
+        distribution (any base). Reference:
+        ``nessai/proposal/flowproposal/base.py:401-414`` applied in
+        ``flowproposal.py:345-356``.
+        """
+        t = None if temperature in (None, 1.0) else float(temperature)
 
         def fn(p, z, c):
             x, log_j = self.flow.inverse(p, z, c)
-            return x, self.flow.base_log_prob(p, z) - log_j
+            if t is None:
+                log_q = self.flow.base_log_prob(p, z)
+            else:
+                sqrt_t = np.float32(np.sqrt(t))
+                d = z.shape[-1]
+                log_q = self.flow.base_log_prob(
+                    p, z / sqrt_t
+                ) - d * np.float32(np.log(sqrt_t))
+            return x, log_q - log_j
 
-        return self._run_bucketed("inv_lp", fn, z, conditional)
+        # t is baked into the traced program: key by it
+        return self._run_bucketed(("inv_lp", t), fn, z, conditional)
 
     def log_prob(self, x, conditional=None):
         return self._run_bucketed(
@@ -1021,10 +1039,26 @@ class FlowModel:
         )
         return np.asarray(fn(self.params, self.next_key()), np.float64)[:n]
 
-    def base_log_prob(self, z):
-        return self._run_bucketed(
-            "base_lp", lambda p, z: self.flow.base_log_prob(p, z), z
-        )
+    def base_log_prob(self, z, temperature=None):
+        """Latent log-density, optionally tempered (see
+        :meth:`inverse_and_log_prob`)."""
+        t = None if temperature in (None, 1.0) else float(temperature)
+
+        def fn(p, z):
+            if t is None:
+                return self.flow.base_log_prob(p, z)
+            sqrt_t = np.float32(np.sqrt(t))
+            d = z.shape[-1]
+            return self.flow.base_log_prob(p, z / sqrt_t) - d * np.float32(
+                np.log(sqrt_t)
+            )
+
+        return self._run_bucketed(("base_lp", t), fn, z)
+
+    #: Reference-parity alias (``nessai/flows/base.py:BaseFlow
+    #: .base_distribution_log_prob``).
+    def base_distribution_log_prob(self, z, temperature=None):
+        return self.base_log_prob(z, temperature=temperature)
 
     # ------------------------------------------------------------------
     # Persistence

@@ -62,6 +62,11 @@ class Flow:
     def base_log_prob(self, params, z):
         return self.base.log_prob(params["base"], z)
 
+    #: Reference-parity alias (``nessai/flows/base.py:BaseFlow
+    #: .base_distribution_log_prob``).
+    def base_distribution_log_prob(self, params, z):
+        return self.base_log_prob(params, z)
+
     def sample_base(self, params, key, n: int):
         return self.base.sample(params["base"], key, n)
 

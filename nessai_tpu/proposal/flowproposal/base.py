@@ -135,11 +135,12 @@ class BaseFlowProposal(RejectionProposal):
         """Alias kept for reference parity."""
         return self.rescaled_dims
 
-    def latent_log_prob(self, z):
-        """Log-prob of latent samples under the base distribution.
+    def latent_log_prob(self, z, temperature=None):
+        """Log-prob of latent samples under the (optionally tempered)
+        base distribution.
 
-        Reference: ``flowproposal/base.py:401``."""
-        return self.flow.base_log_prob(z)
+        Reference: ``flowproposal/base.py:401-414``."""
+        return self.flow.base_log_prob(z, temperature=temperature)
 
     def reset_model_weights(self, weights: bool = True, permutations: bool = False):
         """Reset the flow's weights/permutations. Reference:
@@ -484,7 +485,10 @@ class BaseFlowProposal(RejectionProposal):
                         getattr(self, "drawsize", None) or self._poolsize
                     )
                     fm.inverse_and_log_prob(
-                        np.zeros((draw_n, dims), np.float32)
+                        np.zeros((draw_n, dims), np.float32),
+                        temperature=getattr(
+                            self, "latent_temperature", None
+                        ),
                     )
 
                 def warm_forward():
@@ -605,7 +609,9 @@ class BaseFlowProposal(RejectionProposal):
 
         Reference: ``flowproposal/flowproposal.py:345-389``.
         """
-        x_prime_array, log_q = self.flow.inverse_and_log_prob(z)
+        x_prime_array, log_q = self.flow.inverse_and_log_prob(
+            z, temperature=getattr(self, "latent_temperature", None)
+        )
         x_prime = np.zeros(len(x_prime_array), dtype=self.x_prime_dtype)
         for i, p in enumerate(self.prime_parameters):
             x_prime[p] = x_prime_array[:, i]
@@ -642,6 +648,16 @@ class BaseFlowProposal(RejectionProposal):
             )
         else:
             log_p = self.model.batch_evaluate_log_prior(x)
+        if self._reparameterisation is not None:
+            log_p = log_p + self._reparameterisation.log_prior(x)
+        return log_p
+
+    def unit_hypercube_log_prior(self, x):
+        """Log-prior evaluated in the unit hypercube (incl. auxiliary
+        reparameterisation priors). Reference-parity name for the
+        hypercube branch of :meth:`log_prior`
+        (``flowproposal/base.py:1053``)."""
+        log_p = self.model.batch_evaluate_log_prior(x, unit_hypercube=True)
         if self._reparameterisation is not None:
             log_p = log_p + self._reparameterisation.log_prior(x)
         return log_p

@@ -70,7 +70,17 @@ class FlowProposal(BaseFlowProposal):
         self.drawsize = drawsize
         self.accumulate_weights = accumulate_weights
         self.max_samples = max_samples
-        self.latent_temperature = latent_temperature
+        # Reference-parity validation (flowproposal.py:263-270); None
+        # means no scaling (stored as 1.0 so device programs see a float)
+        if latent_temperature is None:
+            latent_temperature = 1.0
+        if isinstance(latent_temperature, bool) or not isinstance(
+            latent_temperature, (int, float)
+        ):
+            raise TypeError("latent_temperature must be a float")
+        if latent_temperature <= 0.0:
+            raise ValueError("latent_temperature must be positive")
+        self.latent_temperature = float(latent_temperature)
         self.fuse_likelihood = fuse_likelihood
         if populate_mode not in ("auto", "rounds", "device_loop"):
             raise ValueError(
@@ -299,9 +309,22 @@ class FlowProposal(BaseFlowProposal):
         model_idx = tuple(param_names.index(n) for n in model.names)
         identity_gather = model_idx == tuple(range(len(param_names)))
 
+        # Tempered latent density: z was drawn as sqrt(T) * z0, so
+        # q(z) = base(z / sqrt(T)) * T^(-d/2) (reference
+        # flowproposal.py:345-356 via base.py:401-414).
+        sqrt_t = float(np.sqrt(self.latent_temperature or 1.0))
+
         def fn(params, z, consts, lower, upper, ll_data):
             x_prime, log_j_flow = flow.inverse(params, z)
-            log_q = flow.base_log_prob(params, z) - log_j_flow
+            if sqrt_t != 1.0:
+                d = z.shape[-1]
+                log_q = (
+                    flow.base_log_prob(params, z / np.float32(sqrt_t))
+                    - d * np.float32(np.log(sqrt_t))
+                    - log_j_flow
+                )
+            else:
+                log_q = flow.base_log_prob(params, z) - log_j_flow
             cols = {pp: x_prime[:, i] for i, pp in enumerate(prime_names)}
             cols, log_j_r = fn_reparam(cols, consts)
             log_q = log_q - log_j_r
@@ -333,6 +356,7 @@ class FlowProposal(BaseFlowProposal):
             model.program_fingerprint,
             bool(model.has_jax_likelihood),
             bool(with_likelihood),
+            sqrt_t,
         )
         n_out = 4 if with_likelihood else 3
         if fm.mesh is None:
@@ -479,12 +503,17 @@ class FlowProposal(BaseFlowProposal):
             def body(state):
                 key, buf_x, buf_logq, count, n_prop = state
                 key, k1, k2 = jax.random.split(key, 3)
-                z = flow.sample_base(params, k1, B)
-                if sqrt_t != 1.0:
-                    z = sqrt_t * z
+                z0 = flow.sample_base(params, k1, B)
+                z = sqrt_t * z0 if sqrt_t != 1.0 else z0
                 in_ball = jnp.sum(z * z, axis=1) <= r_max * r_max
                 x_prime, log_j_flow = flow.inverse(params, z)
-                log_q = flow.base_log_prob(params, z) - log_j_flow
+                # tempered latent density: q(z) = base(z0) * T^(-d/2)
+                # for z = sqrt(T) * z0 (reference flowproposal.py:345)
+                log_q = flow.base_log_prob(params, z0) - log_j_flow
+                if sqrt_t != 1.0:
+                    log_q = log_q - z.shape[-1] * np.float32(
+                        np.log(sqrt_t)
+                    )
                 cols = {
                     pp: x_prime[:, i] for i, pp in enumerate(prime_names)
                 }
