@@ -63,72 +63,105 @@ def reset_extra_live_points_parameters():
     config.livepoints.reset()
 
 
-def get_dtype(names: List[str], array_dtype=None) -> np.dtype:
+def get_dtype(
+    names: List[str], array_dtype=None, non_sampling_parameters: bool = True
+) -> np.dtype:
     """Structured dtype for live points with the given parameter names.
+
+    With ``non_sampling_parameters=False`` the dtype holds only the
+    sampling parameters (no logP/logL/it fields).
 
     Reference: ``nessai/livepoint.py:74``.
     """
     if array_dtype is None:
         array_dtype = config.livepoints.default_float_dtype
-    fields = [(n, array_dtype) for n in names] + list(
-        zip(
-            config.livepoints.non_sampling_parameters,
-            config.livepoints.non_sampling_dtype,
+    fields = [(n, array_dtype) for n in names]
+    if non_sampling_parameters:
+        fields += list(
+            zip(
+                config.livepoints.non_sampling_parameters,
+                config.livepoints.non_sampling_dtype,
+            )
         )
-    )
     return np.dtype(fields)
 
 
-def empty_structured_array(n: int, names=None, dtype=None):
+def empty_structured_array(
+    n: int, names=None, dtype=None, non_sampling_parameters: bool = True
+):
     """Structured array of length n with non-sampling defaults filled.
 
     Reference: ``nessai/livepoint.py:105``.
     """
     if dtype is None:
-        dtype = get_dtype(names)
-    elif names is None:
-        names = [
-            f
-            for f in np.dtype(dtype).names
-            if f not in config.livepoints.non_sampling_parameters
-        ]
+        dtype = get_dtype(
+            names, non_sampling_parameters=non_sampling_parameters
+        )
+    else:
+        if names is None:
+            names = [
+                f
+                for f in np.dtype(dtype).names
+                if f not in config.livepoints.non_sampling_parameters
+            ]
     out = np.empty(n, dtype=dtype)
     if n == 0:
         return out
     for name in names:
         out[name] = np.nan
-    for f, v in zip(
-        config.livepoints.non_sampling_parameters,
-        config.livepoints.non_sampling_defaults,
-    ):
-        out[f] = v
+    if non_sampling_parameters:
+        try:
+            for f, v in zip(
+                config.livepoints.non_sampling_parameters,
+                config.livepoints.non_sampling_defaults,
+            ):
+                out[f] = v
+        except ValueError:
+            raise ValueError(
+                "Could not create empty structured array. Maybe the "
+                "non-sampling parameters are missing?"
+            )
     return out
 
 
-def parameters_to_live_point(parameters, names):
+def parameters_to_live_point(
+    parameters, names, non_sampling_parameters: bool = True
+):
     """Single live point from a sequence of parameter values.
 
-    Reference: ``nessai/livepoint.py:133``.
+    Reference: ``nessai/livepoint.py:185``.
     """
-    out = empty_structured_array(1, names=names)
     if not len(parameters):
-        return np.empty(0, dtype=get_dtype(names))
+        return empty_structured_array(
+            0, names, non_sampling_parameters=non_sampling_parameters
+        )
+    out = empty_structured_array(
+        1, names=names, non_sampling_parameters=non_sampling_parameters
+    )
     for n, v in zip(names, parameters):
         out[n] = v
     return out
 
 
-def numpy_array_to_live_points(array: np.ndarray, names):
+def numpy_array_to_live_points(
+    array: np.ndarray, names, non_sampling_parameters: bool = True
+):
     """Convert an unstructured ``[n, dims]`` array into live points.
 
     Reference: ``nessai/livepoint.py:227``.
     """
     array = np.atleast_1d(np.asarray(array))
     if array.size == 0:
-        return np.empty(0, dtype=get_dtype(names))
+        return empty_structured_array(
+            0, names=names, non_sampling_parameters=non_sampling_parameters
+        )
     if array.ndim == 1:
         array = array[None, :]
-    out = empty_structured_array(array.shape[0], names=names)
+    out = empty_structured_array(
+        array.shape[0],
+        names=names,
+        non_sampling_parameters=non_sampling_parameters,
+    )
     for i, n in enumerate(names):
         out[n] = array[:, i]
     return out

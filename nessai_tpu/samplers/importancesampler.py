@@ -41,6 +41,10 @@ class OrderedSamples:
     Reference: ``nessai/samplers/importancesampler.py:39-277``.
     """
 
+    #: class-level default so checkpoints pickled before this attribute
+    #: existed still unpickle cleanly
+    _live_points_cleared = False
+
     def __init__(self, strict_threshold: bool = False, replace_all: bool = False):
         self.samples = None
         self.log_q = None
@@ -50,12 +54,23 @@ class OrderedSamples:
         self.replace_all = replace_all
         self.log_likelihood_threshold = -np.inf
         self.state = _INSIntegralState()
+        self._live_points_cleared = False
 
     @property
     def live_points(self):
-        if self.samples is None:
+        if self.samples is None or self._live_points_cleared:
             return None
         return self.samples[~self.is_nested]
+
+    @live_points.setter
+    def live_points(self, value):
+        """Only ``None`` is accepted: moves every sample to the nested
+        set (reference ``importancesampler.py:79-83``)."""
+        if value is not None:
+            raise ValueError("Can only set live points to None!")
+        if self.is_nested is not None:
+            self.is_nested[:] = True
+        self._live_points_cleared = True
 
     @property
     def nested_samples(self):
@@ -68,6 +83,7 @@ class OrderedSamples:
         self.samples = samples[order]
         self.log_q = log_q[order]
         self.is_nested = np.zeros(len(samples), dtype=bool)
+        self._live_points_cleared = False
 
     def add_samples(self, samples, log_q) -> None:
         """Merge new samples keeping global logL order.
@@ -87,6 +103,7 @@ class OrderedSamples:
         self.samples = all_samples[order]
         self.log_q = all_log_q[order]
         self.is_nested = all_nested[order]
+        self._live_points_cleared = False
 
     def update_log_likelihood_threshold(self, threshold: float) -> None:
         self.log_likelihood_threshold = float(threshold)
@@ -109,7 +126,7 @@ class OrderedSamples:
         )
 
     def finalise(self) -> None:
-        self.is_nested[:] = True
+        self.live_points = None
         self.state.update_evidence(self.samples, live_points=None)
 
     def compute_importance(self, importance_ratio: float = 0.5):
@@ -278,9 +295,9 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.importance = {}
         self.sample_counts = {}
         self.live_points_ess = np.nan
-        self.final_samples = None
+        self._final_samples_unit = None
         self.final_log_w = None
-        self.final_log_evidence = None
+        self._final_state = None
         self.check_configuration()
         self.training_time = datetime.timedelta()
         self.draw_samples_time = datetime.timedelta()
@@ -332,6 +349,11 @@ class ImportanceNestedSampler(BaseNestedSampler):
     def live_points_unit(self):
         return self.training_samples.live_points
 
+    @live_points_unit.setter
+    def live_points_unit(self, samples) -> None:
+        if samples is not None:
+            raise RuntimeError("Cannot set live points")
+
     @property
     def nested_samples_unit(self):
         return self.training_samples.nested_samples
@@ -369,7 +391,18 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     @property
     def live_points(self):
-        return self.live_points_unit
+        """Current live points in the model space (reference
+        ``importancesampler.py:589``). Use :attr:`live_points_unit` for
+        the unit-hypercube representation."""
+        lp = self.live_points_unit
+        if lp is None:
+            return None
+        return self.model.from_unit_hypercube(lp)
+
+    @live_points.setter
+    def live_points(self, samples) -> None:
+        if samples is not None:
+            raise RuntimeError("Cannot set live points")
 
     @property
     def nested_samples(self):
@@ -850,9 +883,24 @@ class ImportanceNestedSampler(BaseNestedSampler):
         return getattr(self, "_current_proposal_entropy", np.nan)
 
     @property
-    def final_log_evidence_error(self) -> float:
+    def final_state(self) -> Optional[_INSIntegralState]:
+        """Evidence state of the redrawn final samples; ``None`` before
+        :meth:`draw_final_samples`. Reference:
+        ``importancesampler.py:624``."""
+        return self._final_state
+
+    @property
+    def final_log_evidence(self) -> Optional[float]:
+        """Reference: ``importancesampler.py:497``."""
+        if self._final_state is None:
+            return None
+        return self._final_state.log_evidence
+
+    @property
+    def final_log_evidence_error(self) -> Optional[float]:
+        """Reference: ``importancesampler.py:504``."""
         if self.final_log_w is None:
-            return np.nan
+            return None
         n = len(self.final_log_w)
         u = np.exp(np.asarray(self.final_log_w, dtype=np.longdouble))
         z = u.mean()
@@ -868,7 +916,15 @@ class ImportanceNestedSampler(BaseNestedSampler):
     def final_samples_unit(self) -> Optional[np.ndarray]:
         """The redrawn final samples in the unit hypercube. Reference:
         ``importancesampler.py:611``."""
-        return self.final_samples
+        return self._final_samples_unit
+
+    @property
+    def final_samples(self) -> Optional[np.ndarray]:
+        """The redrawn final samples in the model space. Reference:
+        ``importancesampler.py:620``."""
+        if self._final_samples_unit is None:
+            return None
+        return self.model.from_unit_hypercube(self._final_samples_unit)
 
     @staticmethod
     def sort_samples(samples, *arrays):
@@ -1087,11 +1143,10 @@ class ImportanceNestedSampler(BaseNestedSampler):
             logger.warning(
                 "Failed to reach target ESS in %d batches", max_its
             )
-        self.final_samples = samples
+        self._final_samples_unit = samples
         self.final_log_w = samples["logL"] + samples["logW"]
-        self.final_log_evidence = float(
-            logsumexp(self.final_log_w) - np.log(len(samples))
-        )
+        self._final_state = _INSIntegralState()
+        self._final_state.update_evidence(samples, live_points=None)
         self.draw_final_samples_time += datetime.datetime.now() - st
         logger.info(
             "Redraw: %d samples, ESS %.1f, logZ %.3f",
@@ -1149,8 +1204,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         use_final_samples: bool = True,
     ):
         """Reference: ``importancesampler.py:1594``."""
-        if use_final_samples and self.final_samples is not None:
-            samples = self.final_samples
+        if use_final_samples and self.final_samples_unit is not None:
+            samples = self.final_samples_unit
             log_w = self.final_log_w
         else:
             samples = self.posterior_samples_set.samples
@@ -1319,8 +1374,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
                 ),
             )
         )
-        if self.final_samples is not None:
-            d["final_samples"] = self.final_samples
+        if self.final_samples_unit is not None:
+            d["final_samples"] = self.final_samples_unit
             d["final_log_evidence"] = self.final_log_evidence
         return d
 
@@ -1338,6 +1393,23 @@ class ImportanceNestedSampler(BaseNestedSampler):
                     obj.log_q = None
                     state[key] = obj
         return state
+
+    def __setstate__(self, state):
+        # migrate checkpoints written when final_samples /
+        # final_log_evidence were plain attributes (now properties)
+        if "final_samples" in state:
+            state["_final_samples_unit"] = state.pop("final_samples")
+        if "final_log_evidence" in state:
+            lz = state.pop("final_log_evidence")
+            if lz is not None and state.get("_final_samples_unit") is not None:
+                st = _INSIntegralState()
+                st.update_evidence(
+                    state["_final_samples_unit"], live_points=None
+                )
+                state["_final_state"] = st
+        state.setdefault("_final_samples_unit", None)
+        state.setdefault("_final_state", None)
+        self.__dict__.update(state)
 
     @classmethod
     def resume_from_pickled_sampler(

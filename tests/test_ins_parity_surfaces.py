@@ -1,0 +1,192 @@
+"""Reference-parity surfaces on the importance sampler and livepoint
+codec: model-space ``live_points``/``final_samples`` properties with
+their unit-hypercube twins and read-only setters
+(``nessai/samplers/importancesampler.py:579-630``), the
+``final_state``/``final_log_evidence`` family (``:497-510, 624-630``)
+and the ``non_sampling_parameters`` switch in the livepoint codec
+(``nessai/livepoint.py:74-254``).
+"""
+
+import numpy as np
+import pickle
+import pytest
+
+from nessai_tpu import config
+from nessai_tpu.livepoint import (
+    empty_structured_array,
+    get_dtype,
+    numpy_array_to_live_points,
+    parameters_to_live_point,
+)
+from nessai_tpu.samplers.importancesampler import ImportanceNestedSampler
+from nessai_tpu.utils.testing import IntegrationTestModel
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def ins(tmp_path, rng):
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    s = ImportanceNestedSampler(
+        model,
+        output=str(tmp_path),
+        rng=rng,
+        nlive=100,
+        min_samples=10,
+        plot=False,
+        checkpointing=False,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=5, batch_size=64),
+    )
+    return s
+
+
+# ---------------------------------------------------------------------------
+# livepoint non_sampling_parameters
+# ---------------------------------------------------------------------------
+
+
+def test_get_dtype_without_non_sampling_parameters():
+    dt = get_dtype(["a", "b"], non_sampling_parameters=False)
+    assert dt.names == ("a", "b")
+    dt_full = get_dtype(["a", "b"])
+    assert set(dt_full.names) == {"a", "b"} | set(
+        config.livepoints.non_sampling_parameters
+    )
+
+
+def test_empty_structured_array_without_non_sampling_parameters():
+    out = empty_structured_array(
+        3, names=["a"], non_sampling_parameters=False
+    )
+    assert out.dtype.names == ("a",)
+    assert len(out) == 3
+    # defaults still filled when enabled
+    full = empty_structured_array(3, names=["a"])
+    assert np.all(full["it"] == config.livepoints.non_sampling_defaults[
+        config.livepoints.non_sampling_parameters.index("it")
+    ])
+
+
+def test_empty_structured_array_dtype_missing_fields_raises():
+    dt = np.dtype([("a", "f8")])
+    with pytest.raises(ValueError, match="non-sampling"):
+        empty_structured_array(2, dtype=dt)
+
+
+def test_parameters_to_live_point_without_non_sampling_parameters():
+    lp = parameters_to_live_point(
+        [1.0, 2.0], ["a", "b"], non_sampling_parameters=False
+    )
+    assert lp.dtype.names == ("a", "b")
+    assert lp["a"][0] == 1.0
+    empty = parameters_to_live_point(
+        [], ["a"], non_sampling_parameters=False
+    )
+    assert empty.size == 0
+    assert empty.dtype.names == ("a",)
+
+
+def test_numpy_array_to_live_points_without_non_sampling_parameters():
+    arr = np.arange(6, dtype=float).reshape(3, 2)
+    lp = numpy_array_to_live_points(
+        arr, ["a", "b"], non_sampling_parameters=False
+    )
+    assert lp.dtype.names == ("a", "b")
+    np.testing.assert_array_equal(lp["b"], [1.0, 3.0, 5.0])
+
+
+# ---------------------------------------------------------------------------
+# INS live-point / final-sample properties
+# ---------------------------------------------------------------------------
+
+
+def test_live_points_model_space(ins):
+    ins.populate_live_points()
+    lp_unit = ins.live_points_unit
+    lp = ins.live_points
+    assert len(lp) == len(lp_unit)
+    # unit samples live in [0, 1]; model space is wider for this model
+    for name in ins.model.names:
+        assert lp_unit[name].min() >= 0.0 and lp_unit[name].max() <= 1.0
+    expected = ins.model.from_unit_hypercube(lp_unit)
+    for name in ins.model.names:
+        np.testing.assert_allclose(lp[name], expected[name])
+
+
+def test_live_points_setters_raise(ins):
+    ins.populate_live_points()
+    with pytest.raises(RuntimeError, match="Cannot set live points"):
+        ins.live_points = ins.live_points_unit
+    with pytest.raises(RuntimeError, match="Cannot set live points"):
+        ins.live_points_unit = ins.live_points_unit
+    # None is a no-op at sampler level
+    ins.live_points = None
+    ins.live_points_unit = None
+    assert ins.live_points_unit is not None
+
+
+def test_final_properties_before_redraw(ins):
+    assert ins.final_state is None
+    assert ins.final_log_evidence is None
+    assert ins.final_log_evidence_error is None
+    assert ins.final_samples is None
+    assert ins.final_samples_unit is None
+
+
+def test_final_properties_after_run(tmp_path, rng):
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    s = ImportanceNestedSampler(
+        model,
+        output=str(tmp_path),
+        rng=rng,
+        nlive=100,
+        min_samples=10,
+        max_iteration=2,
+        plot=False,
+        checkpointing=False,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=5, batch_size=64),
+    )
+    s.nested_sampling_loop()
+    s.draw_final_samples(n_draw=200)
+    assert s.final_state is not None
+    assert np.isfinite(s.final_log_evidence)
+    assert s.final_log_evidence == s.final_state.log_evidence
+    assert s.final_log_evidence_error > 0
+    unit = s.final_samples_unit
+    full = s.final_samples
+    assert len(unit) == len(full)
+    for name in model.names:
+        assert unit[name].min() >= 0.0 and unit[name].max() <= 1.0
+    expected = model.from_unit_hypercube(unit)
+    for name in model.names:
+        np.testing.assert_allclose(full[name], expected[name])
+    # result dictionary keeps the unit-space snapshot + final logZ
+    d = s.get_result_dictionary()
+    assert "final_samples" in d and "final_log_evidence" in d
+
+
+def test_setstate_migrates_legacy_final_samples(ins):
+    """Checkpoints from builds where final_samples/final_log_evidence
+    were attributes must unpickle into the new property-backed form."""
+    ins.populate_live_points()
+    state = ins.__getstate__()
+    # forge a legacy state
+    legacy = dict(state)
+    legacy.pop("_final_samples_unit", None)
+    legacy.pop("_final_state", None)
+    samples = ins.samples_unit[:50].copy()
+    legacy["final_samples"] = samples
+    legacy["final_log_evidence"] = -1.23
+    restored = object.__new__(ImportanceNestedSampler)
+    restored.__setstate__(pickle.loads(pickle.dumps(legacy)))
+    assert restored.final_samples_unit is not None
+    assert len(restored.final_samples_unit) == 50
+    assert restored.final_state is not None
+    assert np.isfinite(restored.final_log_evidence)

@@ -78,8 +78,28 @@ def test_finalise_consumes_all(rng):
     x["logL"] = np.abs(x["logL"])
     os_.add_initial_samples(x, np.zeros((len(x), 1)))
     os_.finalise()
-    assert len(os_.live_points) == 0
+    # reference contract: live points are None once finalised
+    # (importancesampler.py:72-83) and every sample is nested
+    assert os_.live_points is None
+    assert len(os_.nested_samples) == len(x)
     assert np.isfinite(os_.state.log_evidence)
+
+
+def test_live_points_setter_contract(rng):
+    """Setting live_points only accepts None (reference
+    ``importancesampler.py:79-83``); adding samples revives them."""
+    os_ = OrderedSamples()
+    x = make_samples(rng)
+    os_.add_initial_samples(x, np.zeros((len(x), 1)))
+    with pytest.raises(ValueError, match="None"):
+        os_.live_points = x
+    os_.live_points = None
+    assert os_.live_points is None
+    assert len(os_.nested_samples) == len(x)
+    more = make_samples(rng)
+    os_.add_samples(more, np.zeros((len(more), 1)))
+    assert os_.live_points is not None
+    assert len(os_.live_points) == len(more)
 
 
 def test_compute_importance(rng):
