@@ -49,8 +49,8 @@ class MCMCFlowProposal(BaseFlowProposal):
         self.step_kwargs = dict(step_kwargs or {})
         self._step = None
 
-    def initialise(self, resume: bool = False) -> None:
-        super().initialise(resume=resume)
+    def initialise(self, resumed: bool = False) -> None:
+        super().initialise(resumed=resumed)
         if self._step is None:
             self._step = KNOWN_STEPS[self.step_type](
                 self.rescaled_dims, rng=self.rng, **self.step_kwargs

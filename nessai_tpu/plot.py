@@ -215,34 +215,93 @@ def plot_1d_comparison(
 
 
 @nessai_style()
-def plot_indices(indices, nlive, filename=None, plot_breakdown: bool = True):
-    """Insertion-index uniformity plot with confidence band.
+def plot_indices(
+    indices,
+    nlive=None,
+    filename=None,
+    ks_test_mode: str = "D+",
+    confidence_intervals=(0.68, 0.95, 0.997),
+    plot_breakdown: bool = True,
+    n_breakdown: int = 8,
+    cmap: str = "viridis",
+):
+    """Insertion-index uniformity plot: ECDF deviation with binomial
+    confidence bands, index histogram and a per-batch CDF breakdown.
 
-    Reference: ``nessai/plot.py:187``.
+    Parameters mirror the reference (``nessai/plot.py:331``):
+    ``ks_test_mode`` selects the one-sided KS statistic annotated on the
+    figure, ``confidence_intervals`` the shaded binomial bands,
+    ``plot_breakdown``/``n_breakdown``/``cmap`` the per-batch CDF panel.
+    ``nlive=None`` estimates nlive as ``max(indices) + 1``.
     """
+    from scipy import stats
+
+    from .utils.indices import compute_indices_ks_test
+
     indices = np.asarray(indices)
     if not len(indices):
+        logger.warning("Not producing indices plot.")
         return None
-    fig, ax = plt.subplots(1, 2 if plot_breakdown else 1, figsize=(8, 4), squeeze=False)
+    if nlive is None:
+        logger.warning(
+            "Estimating nlive from insertion indices. "
+            "The reported p-value may be incorrect."
+        )
+        nlive = int(np.max(indices)) + 1
+    _, p_value = compute_indices_ks_test(indices, nlive, mode=ks_test_mode)
+
+    n_cols = 3 if plot_breakdown else 2
+    fig, ax = plt.subplots(
+        1, n_cols, figsize=(4 * n_cols, 4), squeeze=False
+    )
     n = len(indices)
     x = np.arange(nlive + 1)
     expected = x / nlive
-    analytic_bound = np.sqrt(expected * (1 - expected) / n)
     counts = np.bincount(indices, minlength=nlive)
     ecdf = np.concatenate([[0], np.cumsum(counts) / n])
-    ax[0, 0].plot(x, ecdf - expected, label="observed - expected")
-    ax[0, 0].fill_between(
-        x, -analytic_bound, analytic_bound, alpha=0.3, label="1-sigma"
+
+    # histogram panel with 1-sigma pmf band
+    nbins = min(len(np.histogram_bin_edges(indices, "auto")) - 1, 1000)
+    ax[0, 0].axhline(1 / nlive, color="k", alpha=0.5, label="pmf")
+    sigma = (nbins / n) ** 0.5 / nlive
+    ax[0, 0].axhline(
+        1 / nlive + sigma, color="k", ls=":", alpha=0.5, label="1-sigma"
     )
-    ax[0, 0].fill_between(
-        x, -2 * analytic_bound, 2 * analytic_bound, alpha=0.15
+    ax[0, 0].axhline(1 / nlive - sigma, color="k", ls=":", alpha=0.5)
+    ax[0, 0].hist(
+        indices,
+        bins=nbins,
+        density=True,
+        histtype="step",
+        range=(0, nlive - 1),
     )
     ax[0, 0].set_xlabel("insertion index")
-    ax[0, 0].legend()
+    ax[0, 0].legend(loc="lower right")
+
+    # ECDF-deviation panel with binomial confidence bands
+    ax[0, 1].plot(x, ecdf - expected, label="observed - expected")
+    for ci in confidence_intervals:
+        bound = (1 - ci) / 2
+        upper = stats.binom.ppf(1 - bound, n, expected) / n - expected
+        lower = stats.binom.ppf(bound, n, expected) / n - expected
+        ax[0, 1].fill_between(
+            x, lower, upper, alpha=0.2, color="grey", label=f"{ci:.1%}"
+        )
+    ax[0, 1].set_xlabel("insertion index")
+    ax[0, 1].set_title(f"KS ({ks_test_mode}) p={p_value:.3g}")
+    ax[0, 1].legend(loc="lower right")
+
     if plot_breakdown:
-        ax[0, 1].hist(indices, bins=min(nlive, 50), density=True)
-        ax[0, 1].axhline(1 / nlive * min(nlive, 50) / nlive, ls="--", c="k")
-        ax[0, 1].set_xlabel("insertion index")
+        batches = np.array_split(indices, n_breakdown)
+        colours = plt.get_cmap(cmap)(np.linspace(0, 1, n_breakdown))
+        for batch, colour in zip(batches, colours):
+            c = np.bincount(batch, minlength=nlive)
+            batch_ecdf = np.concatenate([[0], np.cumsum(c) / len(batch)])
+            ax[0, 2].plot(
+                x, batch_ecdf - expected, color=colour, lw=0.75
+            )
+        ax[0, 2].set_xlabel("insertion index")
+        ax[0, 2].set_title(f"per-batch CDF ({n_breakdown} batches)")
     fig.tight_layout()
     return _save_or_return(fig, filename)
 
@@ -266,11 +325,15 @@ def plot_trace(
     log_x,
     nested_samples,
     parameters=None,
+    live_points=None,
+    log_x_live_points=None,
     labels=None,
     filename=None,
     **kwargs,
 ):
-    """logX vs parameter trace plots. Reference: ``nessai/plot.py:495``."""
+    """logX vs parameter trace plots, optionally overlaying the current
+    live points at their prior volumes. Reference:
+    ``nessai/plot.py:531``."""
     nested_samples = np.asarray(nested_samples)
     if parameters is None:
         parameters = [
@@ -283,11 +346,23 @@ def plot_trace(
             f"List of labels is the wrong length ({len(labels)}) for the "
             f"parameters: {parameters}."
         )
+    if live_points is not None and log_x_live_points is None:
+        raise ValueError(
+            "log_x_live_points must be specified when live_points are "
+            "provided"
+        )
     n = len(parameters)
     fig, axs = plt.subplots(n, 1, figsize=(5, 2 * n), sharex=True, squeeze=False)
     log_x = np.asarray(log_x)[: len(nested_samples)]
     for i, p in enumerate(parameters):
         axs[i, 0].plot(log_x, nested_samples[p][: len(log_x)], ",")
+        if live_points is not None:
+            axs[i, 0].plot(
+                np.asarray(log_x_live_points)[: len(live_points)],
+                np.asarray(live_points[p])[: len(log_x_live_points)],
+                ",",
+                color="C1",
+            )
         axs[i, 0].set_ylabel(labels[i] if labels is not None else p)
     axs[-1, 0].set_xlabel("log X")
     axs[-1, 0].invert_xaxis()

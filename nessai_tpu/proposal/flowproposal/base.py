@@ -174,7 +174,7 @@ class BaseFlowProposal(RejectionProposal):
     # ------------------------------------------------------------------
     # Initialisation / reparameterisations
     # ------------------------------------------------------------------
-    def initialise(self, resume: bool = False) -> None:
+    def initialise(self, resumed: bool = False) -> None:
         """Set up reparameterisations, verify invertibility, build the
         FlowModel. Reference: ``flowproposal/base.py:358-391``.
         """
@@ -182,7 +182,7 @@ class BaseFlowProposal(RejectionProposal):
             return
         os.makedirs(self.output, exist_ok=True)
         self.set_rescaling()
-        if not resume:
+        if not resumed:
             self.verify_rescaling()
         flow_config = dict(self.flow_config or {})
         flow_config["n_inputs"] = self.rescaled_dims
@@ -204,6 +204,24 @@ class BaseFlowProposal(RejectionProposal):
         return flow_config
 
     @property
+    def flow_config(self):
+        """Configuration dict for the flow. Reference:
+        ``flowproposal/base.py:182-195``."""
+        return self._flow_config
+
+    @flow_config.setter
+    def flow_config(self, config):
+        if config is None:
+            config = {}
+        self._flow_config = config
+
+    def add_default_reparameterisations(self) -> None:
+        """Hook for subclasses to add reparameterisations that are
+        assumed by default; called before the user spec is processed.
+        Reference: ``flowproposal/base.py:437-439``."""
+        logger.debug("No default reparameterisations")
+
+    @property
     def prior_bounds(self):
         if self.map_to_unit_hypercube:
             return {n: np.array([0.0, 1.0]) for n in self.model.names}
@@ -223,6 +241,8 @@ class BaseFlowProposal(RejectionProposal):
         self._reparameterisation = CombinedReparameterisation(
             reverse_order=self.reverse_reparameterisations
         )
+        # subclass hook (reference flowproposal/base.py:603)
+        self.add_default_reparameterisations()
         bounds = self.prior_bounds
         names = list(self.model.names)
         assigned = {}
@@ -344,7 +364,9 @@ class BaseFlowProposal(RejectionProposal):
         for compute_radius in (False, True):
             self._reparameterisation.update(x)
             x_prime, log_j = self.rescale(x, compute_radius=compute_radius)
-            x_out, log_j_inv = self.inverse_rescale(x_prime)
+            x_out, log_j_inv = self.inverse_rescale(
+                x_prime, return_unit_hypercube=True
+            )
             k = len(x_out) // len(x)
             if k * len(x) != len(x_out):
                 raise RuntimeError(
@@ -391,14 +413,25 @@ class BaseFlowProposal(RejectionProposal):
         )
         return x_prime, log_j
 
-    def inverse_rescale(self, x_prime):
-        """x' -> (x, log|dx/dx'|). Reference:
-        ``flowproposal/base.py:759``."""
+    def inverse_rescale(
+        self, x_prime, return_unit_hypercube: bool = False, **kwargs
+    ):
+        """x' -> (x, log|dx/dx'|).
+
+        With ``map_to_unit_hypercube`` the reparameterisations operate in
+        the unit hypercube; ``return_unit_hypercube=True`` skips the final
+        map back to the model space. Reference:
+        ``flowproposal/base.py:755-784``."""
         x = empty_structured_array(len(x_prime), dtype=self.x_dtype)
         log_j = np.zeros(len(x_prime))
         x, x_prime, log_j = self._reparameterisation.inverse_reparameterise(
-            x, x_prime, log_j
+            x, x_prime, log_j, **kwargs
         )
+        for p in global_config.livepoints.non_sampling_parameters:
+            if p in x_prime.dtype.names and p in x.dtype.names:
+                x[p] = x_prime[p]
+        if self.map_to_unit_hypercube and not return_unit_hypercube:
+            x = self.model.from_unit_hypercube(x)
         return x, log_j
 
     # ------------------------------------------------------------------
@@ -615,7 +648,9 @@ class BaseFlowProposal(RejectionProposal):
         x_prime = np.zeros(len(x_prime_array), dtype=self.x_prime_dtype)
         for i, p in enumerate(self.prime_parameters):
             x_prime[p] = x_prime_array[:, i]
-        x, log_j_inv = self.inverse_rescale(x_prime)
+        x, log_j_inv = self.inverse_rescale(
+            x_prime, return_unit_hypercube=True
+        )
         log_q = log_q - log_j_inv
         if self.map_to_unit_hypercube:
             in_bounds = self.model.in_unit_hypercube(x)
@@ -694,14 +729,14 @@ class BaseFlowProposal(RejectionProposal):
         out["logP"] = self.model.batch_evaluate_log_prior(out)
         return out
 
-    def plot_pool(self, samples) -> None:
+    def plot_pool(self, x) -> None:
         """Plot the populated pool against the training data.
 
-        Reference: ``flowproposal/base.py:1210``."""
+        Reference: ``flowproposal/base.py:1186-1210``."""
         try:
             from ...plot import plot_1d_comparison
 
-            sets = [samples]
+            sets = [x]
             labels = ["pool"]
             if self.training_data is not None:
                 sets.insert(0, self.training_data)
@@ -783,7 +818,7 @@ class BaseFlowProposal(RejectionProposal):
             self.flow_config = flow_config
         if training_config is not None:
             self.training_config = training_config
-        self.initialise(resume=True)
+        self.initialise(resumed=True)
         if weights_file is None:
             weights_file = getattr(self, "_weights_file", None)
         if weights_file is not None and os.path.exists(weights_file):

@@ -114,8 +114,8 @@ class FlowProposal(BaseFlowProposal):
         self._truncation_config = truncation
         self._truncation_scheme = None
 
-    def initialise(self, resume: bool = False) -> None:
-        super().initialise(resume=resume)
+    def initialise(self, resumed: bool = False) -> None:
+        super().initialise(resumed=resumed)
         if self._truncation_scheme is None:
             self._truncation_scheme = TruncationScheme.from_config(
                 self._truncation_config, rng=self.rng
@@ -656,13 +656,25 @@ class FlowProposal(BaseFlowProposal):
         n_samples: int = 10000,
         plot: bool = True,
         r=None,
+        max_samples: Optional[int] = None,
     ) -> None:
-        """Populate the pool. Reference: ``flowproposal.py:391-534``."""
+        """Populate the pool. ``max_samples`` caps the total number of
+        proposed samples for this call (defaults to the constructor
+        value). Reference: ``flowproposal.py:391-534``."""
         st = datetime.datetime.now()
         if not self.initialised:
             raise RuntimeError(
                 "Proposal has not been initialised; call initialise() first"
             )
+        if max_samples is not None and max_samples != self.max_samples:
+            prev_max = self.max_samples
+            self.max_samples = max_samples
+            try:
+                return self.populate(
+                    worst_point, n_samples=n_samples, plot=plot, r=r
+                )
+            finally:
+                self.max_samples = prev_max
         self._truncation_scheme.prepare(self, worst_point, radius=r)
         self.indices = []
 

@@ -127,16 +127,19 @@ class ImportanceFlowProposal(Proposal):
                     "ImportanceNestedSampler.add_fields() first."
                 )
 
-    def verify_rescaling(self, n: int = 100) -> None:
-        """Check the logit/sigmoid pair round-trips.
+    def verify_rescaling(
+        self, n: int = 1000, rtol: float = 1e-08, atol: float = 1e-08
+    ) -> None:
+        """Check the logit/sigmoid pair round-trips; tolerances are
+        passed to ``numpy.allclose``.
 
-        Reference: ``nessai/proposal/importance.py:180``."""
+        Reference: ``nessai/proposal/importance.py:170-196``."""
         x = self.rng.uniform(size=(n, self.model.dims))
         prime, log_j = self.to_prime(x)
         back, log_j_inv = self.from_prime(prime)
-        if not np.allclose(back, x, atol=1e-8):
+        if not np.allclose(back, x, rtol=rtol, atol=atol):
             raise RuntimeError("Rescaling is not invertible")
-        if not np.allclose(log_j, -log_j_inv, atol=1e-8):
+        if not np.allclose(log_j, -log_j_inv, rtol=rtol, atol=atol):
             raise RuntimeError("Rescaling Jacobian is not invertible")
 
     def get_proposal_log_prob(self, it: int):

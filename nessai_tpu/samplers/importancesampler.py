@@ -1237,20 +1237,44 @@ class ImportanceNestedSampler(BaseNestedSampler):
             return None
         return fig
 
-    def plot_trace(self, filename: Optional[str] = None, **kwargs):
-        """Trace of the stored samples vs log prior volume. Reference:
-        ``importancesampler.py:2105``."""
-        from ..plot import plot_trace as _plot_trace
+    def plot_trace(
+        self,
+        enable_colours: bool = True,
+        filename: Optional[str] = None,
+        **kwargs,
+    ):
+        """Trace-like scatter of every stored sample against logW, one
+        panel per parameter, coloured by the iteration each sample was
+        drawn in (``enable_colours=False`` for single-colour points).
+        Reference: ``importancesampler.py:2105-2157``."""
+        import matplotlib.pyplot as plt
 
         if self.samples_unit is None:
             return None
-        ns = self.samples_unit
-        return _plot_trace(
-            -np.arange(len(ns)) / max(self.nlive, 1),
-            ns,
-            filename=filename,
-            **kwargs,
+        samples = self.samples_unit
+        parameters = [p for p in samples.dtype.names if p != "logW"]
+        n = len(parameters)
+        fig, axs = plt.subplots(
+            n, 1, sharex=True, figsize=(5, 2 * n), squeeze=False
         )
+        if enable_colours:
+            colour_kwargs = dict(
+                c=samples["it"], vmin=-1, vmax=samples["it"].max()
+            )
+        else:
+            colour_kwargs = {}
+        for ax, p in zip(axs[:, 0], parameters):
+            ax.scatter(
+                samples["logW"], samples[p], s=1.0, **colour_kwargs
+            )
+            ax.set_ylabel(p)
+        axs[-1, 0].set_xlabel("Log W")
+        fig.tight_layout()
+        if filename is not None:
+            fig.savefig(filename)
+            plt.close(fig)
+            return None
+        return fig
 
     def plot_extra_state(self, filename: Optional[str] = None):
         """State plot of the extra tracked statistics (logX, gradient,
@@ -1295,7 +1319,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
             self.plot_state(os.path.join(self.output, "state.png"))
             if self._plot_trace and self.samples_unit is not None:
                 self.plot_trace(
-                    os.path.join(self.output, "trace.png"),
+                    filename=os.path.join(self.output, "trace.png"),
                     **self.trace_plot_kwargs,
                 )
             if (

@@ -316,7 +316,7 @@ class NestedSampler(BaseNestedSampler):
         """
         flags = [False] * 3
         if not self._flow_proposal.initialised:
-            self._flow_proposal.initialise(resume=False)
+            self._flow_proposal.initialise(resumed=False)
             # overlap the expensive device-program compiles with the
             # (host-bound) initial live-point population
             n_train = self.nlive + (

@@ -172,6 +172,20 @@ def test_final_properties_after_run(tmp_path, rng):
     assert "final_samples" in d and "final_log_evidence" in d
 
 
+def test_plot_trace_enable_colours(ins, tmp_path):
+    """INS trace plot: per-parameter scatter vs logW, iteration colour
+    axis toggled by enable_colours (reference
+    ``importancesampler.py:2105-2157``)."""
+    ins.populate_live_points()
+    fig = ins.plot_trace(enable_colours=True)
+    assert fig is not None
+    fig2 = ins.plot_trace(enable_colours=False)
+    assert fig2 is not None
+    out = tmp_path / "trace.png"
+    assert ins.plot_trace(filename=str(out)) is None
+    assert out.exists()
+
+
 def test_setstate_migrates_legacy_final_samples(ins):
     """Checkpoints from builds where final_samples/final_log_evidence
     were attributes must unpickle into the new property-backed form."""

@@ -165,11 +165,30 @@ class TestPlotIndices:
         assert plot_indices([], 100) is None
 
     def test_breakdown_toggle(self, rng):
+        # reference layout (nessai/plot.py:331): hist + ECDF panels,
+        # plus a per-batch CDF panel when plot_breakdown is enabled
         idx = rng.integers(0, 100, size=500)
         fig = plot_indices(idx, 100, plot_breakdown=False)
-        assert len(fig.axes) == 1
-        fig = plot_indices(idx, 100, plot_breakdown=True)
         assert len(fig.axes) == 2
+        fig = plot_indices(idx, 100, plot_breakdown=True)
+        assert len(fig.axes) == 3
+
+    def test_nlive_estimated_when_missing(self, rng):
+        idx = rng.integers(0, 100, size=500)
+        fig = plot_indices(idx)
+        assert fig is not None
+
+    def test_reference_kwargs(self, rng):
+        idx = rng.integers(0, 100, size=500)
+        fig = plot_indices(
+            idx,
+            100,
+            ks_test_mode="D-",
+            confidence_intervals=(0.9,),
+            n_breakdown=4,
+            cmap="plasma",
+        )
+        assert fig is not None
 
     def test_save(self, rng, tmp_path):
         out = tmp_path / "idx.png"
@@ -195,6 +214,24 @@ class TestPlotTrace:
         ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
         fig = plot_trace(-np.arange(30) / 10, ns, parameters=["y"])
         assert len(fig.axes) == 1
+
+    def test_live_points_overlay(self, rng):
+        ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
+        lp = numpy_array_to_live_points(rng.normal(size=(10, 2)), ["x", "y"])
+        fig = plot_trace(
+            -np.arange(30) / 10,
+            ns,
+            live_points=lp,
+            log_x_live_points=-3 - np.arange(10) / 10,
+        )
+        # nested samples + live points per panel
+        assert len(fig.axes[0].lines) == 2
+
+    def test_live_points_without_log_x_raises(self, rng):
+        ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
+        lp = numpy_array_to_live_points(rng.normal(size=(10, 2)), ["x", "y"])
+        with pytest.raises(ValueError, match="log_x_live_points"):
+            plot_trace(-np.arange(30) / 10, ns, live_points=lp)
 
 
 class TestStyleAndMisc:
