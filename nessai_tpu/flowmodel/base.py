@@ -130,6 +130,17 @@ def _combine_params(diff, aux):
     return jax.tree.unflatten(treedef, leaves)
 
 
+def _base_leaf_mask(params):
+    """Per-leaf booleans (in ``jax.tree.flatten`` order) marking leaves
+    that belong to the base distribution's parameters — used to mask
+    optimiser updates when the transform is frozen."""
+    marked = {
+        k: jax.tree.map(lambda _: k == "base", v) for k, v in params.items()
+    }
+    leaves, _ = jax.tree.flatten(marked)
+    return [bool(m) for m in leaves]
+
+
 class FlowModel:
     """Normalising-flow training and inference engine.
 
@@ -138,6 +149,8 @@ class FlowModel:
 
     noise_scale = None
     noise_type = None
+    #: class-level default so old pickles unpickle cleanly
+    _transform_frozen = False
 
     def __init__(
         self,
@@ -354,12 +367,29 @@ class FlowModel:
             bs = ((bs + n_dev - 1) // n_dev) * n_dev
         return bs
 
-    def prep_data(self, samples, val_size, weights=None, conditional=None):
+    def prep_data(
+        self,
+        samples,
+        val_size,
+        batch_size=None,
+        weights=None,
+        use_dataloader: bool = False,
+        conditional=None,
+    ):
         """Shuffle, split, pad to whole batches.
 
-        Returns dict of device arrays. Reference:
-        ``nessai/flowmodel/base.py:238-352``.
+        ``batch_size`` overrides the configured batch size for this
+        call. ``use_dataloader`` is accepted for reference parity
+        (``nessai/flowmodel/base.py:238-352``) but ignored: batches are
+        device arrays consumed by a ``lax.scan``, not torch dataloaders.
+
+        Returns dict of device arrays.
         """
+        if use_dataloader:
+            logger.debug(
+                "use_dataloader is ignored: training scans over device "
+                "arrays"
+            )
         samples = np.asarray(samples, dtype=np.float32)
         if not np.isfinite(samples).all():
             raise ValueError("Training data is not finite")
@@ -382,7 +412,10 @@ class FlowModel:
         if n_train < 2:
             raise ValueError(f"Too few training samples: {n_train}")
 
-        batch_size = self.check_batch_size(n_train)
+        if batch_size is None:
+            batch_size = self.check_batch_size(n_train)
+        else:
+            batch_size = int(min(batch_size, n_train))
         noise_sigma = self._noise_sigma(samples[:n_train])
 
         def pad_to(x_arr, w_arr, c_arr, sig, size):
@@ -456,6 +489,7 @@ class FlowModel:
             with_context,
             with_sigma,
             self._opt_key,
+            self._transform_frozen,
         )
         return get_program(
             cache_key,
@@ -468,6 +502,9 @@ class FlowModel:
         # static: dropout changes the traced program, and is part of the
         # flow config (hence of the program-cache scope key)
         use_dropout = getattr(flow, "dropout_probability", 0.0) > 0.0
+        base_mask = (
+            _base_leaf_mask(self.params) if self._transform_frozen else None
+        )
 
         def loss_fn(diff, aux, x, w, context, rng=None):
             params = _combine_params(diff, aux)
@@ -495,6 +532,12 @@ class FlowModel:
                     diff, aux, x, inp["w"], context, drop_key
                 )
                 updates, opt_state = optimiser.update(grads, opt_state, diff)
+                if base_mask is not None:
+                    # frozen transform: only base-distribution leaves move
+                    updates = [
+                        u if (u is None or keep) else jnp.zeros_like(u)
+                        for u, keep in zip(updates, base_mask)
+                    ]
                 diff = optax.apply_updates(diff, updates)
                 return (diff, opt_state), loss
 
@@ -539,6 +582,7 @@ class FlowModel:
             max_epochs,
             patience,
             self._opt_key,
+            self._transform_frozen,
         )
         return get_program(
             cache_key,
@@ -553,6 +597,9 @@ class FlowModel:
         flow = self.flow
         optimiser = self.optimiser
         use_dropout = getattr(flow, "dropout_probability", 0.0) > 0.0
+        base_mask = (
+            _base_leaf_mask(self.params) if self._transform_frozen else None
+        )
 
         def loss_fn(diff, aux, x, w, context, rng=None):
             params = _combine_params(diff, aux)
@@ -584,6 +631,12 @@ class FlowModel:
                     updates, opt_state = optimiser.update(
                         grads, opt_state, diff
                     )
+                    if base_mask is not None:
+                        # frozen transform: only base leaves move
+                        updates = [
+                            u if (u is None or keep) else jnp.zeros_like(u)
+                            for u, keep in zip(updates, base_mask)
+                        ]
                     diff = optax.apply_updates(diff, updates)
                     return (diff, opt_state), loss
 
@@ -1029,9 +1082,40 @@ class FlowModel:
         x, log_j = self.flow.inverse(params, z, context)
         return x, log_p_z - log_j, log_j
 
-    def sample_latent_distribution(self, n: int = 1):
-        """Sample the latent/base distribution. Reference:
-        ``nessai/flowmodel/base.py:940``."""
+    def end_iteration(self):
+        """Per-iteration hook applied between training and validation
+        (reference ``nessai/flowmodel/base.py:354-363``): refreshes the
+        LARS base's normalisation estimate when one is present. The
+        fused training loop performs the equivalent update inline; this
+        method exists for custom training loops."""
+        self.params = self.flow.end_iteration(self.params, self.next_key())
+
+    def freeze_transform(self):
+        """Freeze the flow transform's parameters: subsequent training
+        only updates the base distribution (e.g. the LARS acceptance
+        network). Functional analogue of
+        ``nessai/flows/base.py:310-316`` (torch ``requires_grad_``) —
+        here the optimiser updates for non-base parameters are masked
+        out inside the jitted training programs."""
+        if not self._transform_frozen:
+            self._transform_frozen = True
+            logger.debug("Transform parameters frozen")
+
+    def unfreeze_transform(self):
+        """Undo :meth:`freeze_transform`."""
+        if self._transform_frozen:
+            self._transform_frozen = False
+            logger.debug("Transform parameters unfrozen")
+
+    def sample_latent_distribution(self, n: int = 1, context=None):
+        """Sample the latent/base distribution. Conditional latent
+        sampling is not supported (matches the reference, which raises
+        for ``context is not None`` — ``nessai/flows/base.py:247-250``).
+        Reference: ``nessai/flowmodel/base.py:940``."""
+        if context is not None:
+            raise NotImplementedError(
+                "Conditional latent sampling is not supported"
+            )
         bucket = _bucket_size(int(n))
         fn = self._jit(
             ("sample_base", bucket),

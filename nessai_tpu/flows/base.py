@@ -67,6 +67,16 @@ class Flow:
     def base_distribution_log_prob(self, params, z):
         return self.base_log_prob(params, z)
 
+    def end_iteration(self, params, key):
+        """Per-iteration update applied between training and validation
+        (functional form of ``nessai/flows/base.py:300-308``): refreshes
+        the LARS base's normalisation-constant estimate when the base
+        distribution carries one; otherwise a no-op."""
+        if hasattr(self.base, "update_log_z"):
+            params = dict(params)
+            params["base"] = self.base.update_log_z(params["base"], key)
+        return params
+
     def sample_base(self, params, key, n: int):
         return self.base.sample(params["base"], key, n)
 

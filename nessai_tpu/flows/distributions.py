@@ -144,6 +144,16 @@ class ResampledGaussian:
         params["log_Z"] = merged
         return params
 
+    def finalise(
+        self, params, key, n_samples: int = 10_000, n_batches: int = 10
+    ):
+        """Final, from-scratch MC estimate of the normalisation
+        constant over ``n_samples * n_batches`` draws (functional form
+        of ``nessai/flows/distributions.py:89-93``)."""
+        return self.update_log_z(
+            params, key, n=n_samples * n_batches, decay=0.0
+        )
+
     def sample(self, params, key, n: int):
         """Rejection-resample from N(0, I) with acceptance a(z); after T
         failed rounds a sample is taken unconditionally (truncated LARS)."""

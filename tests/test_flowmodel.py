@@ -155,3 +155,101 @@ def test_update_config_legacy_split():
     assert fc2.n_neurons == 11
     assert tc2.max_epochs == 7
     assert tc2.patience == 2
+
+
+def test_freeze_transform_masks_updates(rng):
+    """With the transform frozen, training only moves base-distribution
+    parameters (functional analogue of reference
+    ``nessai/flows/base.py:310-316``)."""
+    import jax
+
+    fm = FlowModel(
+        flow_config=dict(
+            n_inputs=2,
+            n_blocks=2,
+            n_neurons=8,
+            n_layers=1,
+            distribution="lars",
+            distribution_kwargs=dict(n_neurons=8, n_layers=1),
+        ),
+        training_config=dict(max_epochs=2, batch_size=128),
+        rng=rng,
+    )
+    x = _bimodal(rng)
+    fm.train(x)
+    p0 = jax.tree.map(np.asarray, fm.params)
+    fm.freeze_transform()
+    fm.train(x)
+    p1 = jax.tree.map(np.asarray, fm.params)
+
+    def moved(k):
+        return not all(
+            np.allclose(a, b)
+            for a, b in zip(jax.tree.leaves(p0[k]), jax.tree.leaves(p1[k]))
+        )
+
+    assert moved("base")
+    assert not any(moved(k) for k in p0 if k != "base")
+    fm.unfreeze_transform()
+    fm.train(x)
+    p2 = jax.tree.map(np.asarray, fm.params)
+    assert not all(
+        np.allclose(a, b)
+        for a, b in zip(
+            jax.tree.leaves(p1["bijector"]), jax.tree.leaves(p2["bijector"])
+        )
+    )
+
+
+def test_end_iteration_and_finalise_lars(rng):
+    """end_iteration refreshes the LARS log-Z estimate; finalise performs
+    a from-scratch estimate (reference flows/distributions.py:80-93)."""
+    import jax
+
+    fm = FlowModel(
+        flow_config=dict(
+            n_inputs=2,
+            n_blocks=2,
+            n_neurons=8,
+            n_layers=1,
+            distribution="lars",
+            distribution_kwargs=dict(n_neurons=8, n_layers=1),
+        ),
+        training_config=dict(max_epochs=1, batch_size=128),
+        rng=rng,
+    )
+    fm.initialise()
+    before = np.asarray(fm.params["base"]["log_Z"]).copy()
+    fm.end_iteration()
+    after = np.asarray(fm.params["base"]["log_Z"])
+    assert np.isfinite(after).all()
+    pz = fm.flow.base.finalise(
+        fm.params["base"], jax.random.PRNGKey(3), n_samples=64, n_batches=2
+    )
+    assert np.isfinite(np.asarray(pz["log_Z"])).all()
+
+
+def test_end_iteration_noop_standard_base(fm, rng):
+    """end_iteration is a no-op for a standard-normal base."""
+    import jax
+
+    fm.initialise()
+    p0 = jax.tree.map(np.asarray, fm.params)
+    fm.end_iteration()
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(fm.params)):
+        assert np.allclose(a, np.asarray(b))
+
+
+def test_sample_latent_distribution_context_raises(fm):
+    fm.initialise()
+    z = fm.sample_latent_distribution(4)
+    assert np.asarray(z).shape == (4, 2)
+    with pytest.raises(NotImplementedError):
+        fm.sample_latent_distribution(4, context=np.zeros((4, 1)))
+
+
+def test_prep_data_batch_size_override_and_dataloader_flag(fm, rng):
+    fm.initialise()
+    x = rng.normal(size=(100, 2)).astype(np.float32)
+    out = fm.prep_data(x, val_size=0.1, batch_size=16, use_dataloader=True)
+    assert out["train"]["x"].shape[1] == 16
