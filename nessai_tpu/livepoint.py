@@ -183,15 +183,21 @@ def live_points_to_array(live_points, names=None, copy: bool = False):
     )
 
 
-def dict_to_live_points(d: dict):
-    """Reference: ``nessai/livepoint.py:264``."""
+def dict_to_live_points(d: dict, non_sampling_parameters: bool = True):
+    """Convert a dict of parameter arrays to live points. With
+    ``non_sampling_parameters=False`` the output dtype excludes the
+    non-sampling fields (logP/logL/it). Reference:
+    ``nessai/livepoint.py:261``."""
     names = [
         k for k in d.keys() if k not in config.livepoints.non_sampling_parameters
     ]
     n = np.atleast_1d(np.asarray(d[names[0]])).size
-    out = empty_structured_array(n, names=names)
+    out = empty_structured_array(
+        n, names=names, non_sampling_parameters=non_sampling_parameters
+    )
     for k, v in d.items():
-        out[k] = v
+        if k in out.dtype.names:
+            out[k] = v
     return out
 
 
@@ -202,9 +208,14 @@ def live_points_to_dict(live_points, names=None) -> dict:
     return {n: np.asarray(live_points[n]) for n in names}
 
 
-def dataframe_to_live_points(df: pd.DataFrame):
-    """Reference: ``nessai/livepoint.py:330``."""
-    return dict_to_live_points({c: df[c].to_numpy() for c in df.columns})
+def dataframe_to_live_points(
+    df: pd.DataFrame, non_sampling_parameters: bool = True
+):
+    """Reference: ``nessai/livepoint.py:332``."""
+    return dict_to_live_points(
+        {c: df[c].to_numpy() for c in df.columns},
+        non_sampling_parameters=non_sampling_parameters,
+    )
 
 
 def live_points_to_dataframe(live_points, names=None) -> pd.DataFrame:

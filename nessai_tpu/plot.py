@@ -382,7 +382,7 @@ def plot_histogram(samples, label=None, filename=None, **kwargs):
 
 @nessai_style()
 def corner_plot(
-    live_points,
+    array,
     parameters=None,
     truths=None,
     labels=None,
@@ -392,9 +392,10 @@ def corner_plot(
     **kwargs,
 ):
     """Corner plot; uses the ``corner`` package when available, otherwise
-    a seaborn pair grid. ``include``/``exclude`` match the reference
-    signature (``nessai/plot.py:648``); ``parameters`` is an alias for
-    ``include``. Fields with no dynamic range are dropped."""
+    a seaborn pair grid. ``array``/``include``/``exclude`` match the
+    reference signature (``nessai/plot.py:648``); ``parameters`` is an
+    alias for ``include``. Fields with no dynamic range are dropped."""
+    live_points = array
     if parameters is None:
         parameters = include
     if parameters is None:

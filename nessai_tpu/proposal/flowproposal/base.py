@@ -700,12 +700,15 @@ class BaseFlowProposal(RejectionProposal):
     def x_prime_log_prior(self, x_prime):
         return self._reparameterisation.x_prime_log_prior(x_prime)
 
-    def compute_weights(self, x, log_q):
+    def compute_weights(self, x, log_q, return_log_prior=False):
         """logW = logP - logQ. Reference:
-        ``flowproposal/flowproposal.py:469``."""
+        ``flowproposal/base.py:1069``."""
         log_p = self.log_prior(x)
         x["logP"] = log_p
-        return log_p - log_q
+        log_w = log_p - log_q
+        if return_log_prior:
+            return log_w, log_p
+        return log_w
 
     # ------------------------------------------------------------------
     # Pool bookkeeping

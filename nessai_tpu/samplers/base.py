@@ -94,6 +94,16 @@ class BaseNestedSampler(ABC):
         self.resume_file = resume_file
         return output
 
+    def update_output(self, output: str) -> None:
+        """Update the output directory and resume-file path. Subclasses
+        extend this to relocate proposal/flow outputs. Reference:
+        ``nessai/samplers/base.py:174``."""
+        self.output = output
+        os.makedirs(output, exist_ok=True)
+        self.resume_file = os.path.join(
+            output, os.path.basename(self.resume_file)
+        )
+
     # ------------------------------------------------------------------
     @property
     def current_sampling_time(self):
@@ -185,9 +195,19 @@ class BaseNestedSampler(ABC):
         self._last_checkpoint_iteration = self.iteration
 
     @classmethod
-    def resume_from_pickled_sampler(cls, sampler, model, rng=None, **kwargs):
+    def resume_from_pickled_sampler(
+        cls,
+        sampler,
+        model,
+        output=None,
+        checkpoint_callback=None,
+        rng=None,
+        **kwargs,
+    ):
         """Rebind the model (and counters) to an unpickled sampler.
 
+        ``output`` moves the run to a new output directory;
+        ``checkpoint_callback`` replaces the checkpointing hook.
         Reference: ``nessai/samplers/base.py:351-396``.
         """
         logger.info("Resuming sampler at iteration %s", sampler.iteration)
@@ -195,6 +215,13 @@ class BaseNestedSampler(ABC):
         model.likelihood_evaluation_time += datetime.timedelta(
             seconds=sampler._previous_likelihood_evaluation_time
         )
+        if output is not None and output != sampler.output:
+            logger.info(
+                "Overwriting output from %s to %s", sampler.output, output
+            )
+            os.makedirs(output, exist_ok=True)
+            sampler.update_output(output)
+        sampler.checkpoint_callback = checkpoint_callback
         sampler.model = model
         if rng is not None:
             sampler.rng = rng
@@ -203,7 +230,7 @@ class BaseNestedSampler(ABC):
         return sampler
 
     @classmethod
-    def resume(cls, filename, model, rng=None, **kwargs):
+    def resume(cls, filename, model, output=None, rng=None, **kwargs):
         """Load a pickled sampler and rebind the model.
 
         Reference: ``nessai/samplers/base.py:398``.
@@ -211,7 +238,9 @@ class BaseNestedSampler(ABC):
         logger.info("Resuming sampler from %s", filename)
         with open(filename, "rb") as f:
             sampler = pickle.load(f)
-        return cls.resume_from_pickled_sampler(sampler, model, rng=rng, **kwargs)
+        return cls.resume_from_pickled_sampler(
+            sampler, model, output=output, rng=rng, **kwargs
+        )
 
     # ------------------------------------------------------------------
     def close_pool(self, code=None) -> None:

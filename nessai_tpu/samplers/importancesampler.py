@@ -1091,30 +1091,49 @@ class ImportanceNestedSampler(BaseNestedSampler):
         n_draw: Optional[int] = None,
         max_its: int = 100,
         max_batch_size: int = 20_000,
+        max_samples_ratio: Optional[float] = 1.0,
         use_counts: bool = False,
         optimise_weights: bool = False,
         optimise_kwargs: Optional[dict] = None,
+        optimisation_method: str = "kl",
     ):
         """Unbiased redraw from the full meta-proposal until the target
-        posterior ESS is reached. Reference:
-        ``importancesampler.py:1633-1845``.
+        posterior ESS is reached.
+
+        ``max_samples_ratio`` caps the total redraw at that multiple of
+        the existing nested samples; ``optimisation_method`` selects how
+        ``optimise_weights`` reweights the meta proposal (``"kl"``
+        optimises the posterior KL, ``"evidence"`` keeps the evidence
+        weights unchanged). Reference: ``importancesampler.py:1633-1845``.
         """
         st = datetime.datetime.now()
         if n_post and n_draw:
             raise RuntimeError("Specify at most one of n_post / n_draw")
         if not n_post and not n_draw:
             n_post = int(self.state.effective_n_posterior_samples)
+        max_samples = (
+            int(max_samples_ratio * len(self.samples_unit))
+            if max_samples_ratio
+            else None
+        )
 
         weights = self.proposal.weights_array.copy()
         if optimise_weights:
-            from ..utils.optimise import optimise_meta_proposal_weights
+            if optimisation_method == "kl":
+                from ..utils.optimise import optimise_meta_proposal_weights
 
-            weights = optimise_meta_proposal_weights(
-                self.samples_unit["logL"],
-                self.training_samples.log_q,
-                weights,
-                **(optimise_kwargs or {}),
-            )
+                weights = optimise_meta_proposal_weights(
+                    self.samples_unit["logL"],
+                    self.training_samples.log_q,
+                    weights,
+                    **(optimise_kwargs or {}),
+                )
+            elif optimisation_method == "evidence":
+                # evidence weights are already proportional to the draw
+                # counts — nothing to optimise
+                pass
+            else:
+                raise ValueError(optimisation_method)
 
         batch = min(
             max_batch_size, n_draw if n_draw else max(2 * n_post, 1000)
@@ -1138,6 +1157,12 @@ class ImportanceNestedSampler(BaseNestedSampler):
             if n_draw and len(samples) >= n_draw:
                 break
             if n_post and ess >= n_post:
+                break
+            if max_samples is not None and len(samples) > max_samples:
+                logger.warning(
+                    "Reached maximum number of redraw samples: %d",
+                    max_samples,
+                )
                 break
         else:
             logger.warning(

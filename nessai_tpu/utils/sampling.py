@@ -53,12 +53,12 @@ def draw_uniform(dims, r=1.0, N=1000, fuzz=1.0, rng=None):
     return rng.uniform(0, 1, (int(N), dims))
 
 
-def draw_gaussian(dims, r=1.0, N=1000, fuzz=1.0, rng=None):
-    """Standard Gaussian draws. Reference:
-    ``nessai/utils/sampling.py:113``."""
+def draw_gaussian(dims, r=1.0, N=1000, fuzz=1.0, rng=None, temperature=1):
+    """Standard Gaussian draws, optionally tempered (scaled by
+    ``sqrt(temperature)``). Reference: ``nessai/utils/sampling.py:124``."""
     if rng is None:
         rng = np.random.default_rng()
-    return rng.standard_normal((int(N), dims))
+    return np.sqrt(temperature) * rng.standard_normal((int(N), dims))
 
 
 def draw_truncated_gaussian(dims, r, N=1000, fuzz=1.0, var=1.0, rng=None):

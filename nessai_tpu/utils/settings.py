@@ -66,7 +66,10 @@ def get_importance_methods():
     ]
 
 
-def get_all_kwargs(importance_nested_sampler: bool = False, split: bool = False):
+def get_all_kwargs(
+    importance_nested_sampler: bool = False,
+    split_kwargs: bool = False,
+):
     """All keyword arguments and defaults for a sampler configuration.
 
     Reference: ``nessai/utils/settings.py:72``.
@@ -76,7 +79,7 @@ def get_all_kwargs(importance_nested_sampler: bool = False, split: bool = False)
         if importance_nested_sampler
         else get_standard_methods()
     )
-    if split:
+    if split_kwargs:
         return [_get_kwargs(m) for m in methods]
     out: Dict[str, Any] = {}
     for m in methods:

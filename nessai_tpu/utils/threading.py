@@ -15,7 +15,12 @@ logger = logging.getLogger(__name__)
 __all__ = ["configure_threads"]
 
 
-def configure_threads(max_threads=None) -> None:
+def configure_threads(max_threads=None, pytorch_threads=None) -> None:
+    """``pytorch_threads`` is the reference's name for the intra-op
+    thread count (``nessai/utils/threading.py:13``); both spellings are
+    accepted and mean the host-side compute thread budget here."""
+    if max_threads is None:
+        max_threads = pytorch_threads
     if max_threads is None:
         return
     # Takes effect only if set before the JAX backend initialises.

@@ -58,7 +58,7 @@ def test_kwargs_introspection_surface():
         assert key in kwargs, key
     ins_kwargs = get_all_kwargs(importance_nested_sampler=True)
     assert "min_samples" in ins_kwargs
-    split = get_all_kwargs(split=True)
+    split = get_all_kwargs(split_kwargs=True)
     assert isinstance(split, (tuple, list, dict))
 
 

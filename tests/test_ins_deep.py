@@ -179,3 +179,29 @@ def test_draw_final_samples_optimise_weights(tmp_path, model):
     assert np.isfinite(ins.final_log_evidence)
     # the final estimate should be in the same ballpark
     assert abs(ins.final_log_evidence - logZ_before) < 2.0
+
+
+def test_draw_final_samples_max_samples_ratio(tmp_path, rng, caplog):
+    """max_samples_ratio caps the redraw (reference
+    importancesampler.py:1639,1787)."""
+    import logging
+
+    ins = _make(tmp_path, rng, max_iteration=1, checkpointing=False)
+    ins.nested_sampling_loop()
+    with caplog.at_level(logging.WARNING):
+        samples = ins.draw_final_samples(
+            n_post=10**6, max_samples_ratio=0.01, max_its=50
+        )
+    # stops after the first batch exceeds the cap instead of running all
+    # 50 iterations
+    assert len(samples) < 2 * 20_000
+    assert any("maximum number of redraw" in r.message for r in caplog.records)
+
+
+def test_draw_final_samples_optimisation_method_invalid(tmp_path, rng):
+    ins = _make(tmp_path, rng, max_iteration=1, checkpointing=False)
+    ins.nested_sampling_loop()
+    with pytest.raises(ValueError):
+        ins.draw_final_samples(
+            n_post=10, optimise_weights=True, optimisation_method="bad"
+        )

@@ -214,3 +214,23 @@ class TestRound3LivepointEdges:
         v = unstructured_view(x, names=["a", "b"])
         v[0, 0] = 123.0
         assert x["a"][0] == 123.0
+
+
+def test_dict_to_live_points_non_sampling_parameters_false():
+    from nessai_tpu.livepoint import dict_to_live_points
+
+    d = {"x": np.arange(3.0), "y": np.ones(3)}
+    out = dict_to_live_points(d, non_sampling_parameters=False)
+    assert set(out.dtype.names) == {"x", "y"}
+    out2 = dict_to_live_points(d)
+    assert "logL" in out2.dtype.names
+
+
+def test_dataframe_to_live_points_non_sampling_parameters_false():
+    import pandas as pd
+    from nessai_tpu.livepoint import dataframe_to_live_points
+
+    df = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    out = dataframe_to_live_points(df, non_sampling_parameters=False)
+    assert set(out.dtype.names) == {"x", "y"}
+    assert np.allclose(out["x"], [1.0, 2.0])

@@ -306,3 +306,34 @@ def test_likelihood_counters_restored_on_resume(tmp_path, model):
     fresh = IntegrationTestModel(2)
     ns2 = NestedSampler.resume(ns.resume_file, fresh)
     assert ns2.model.likelihood_evaluations == 123
+
+
+def test_resume_with_new_output_and_callback(tmp_path, model):
+    """resume_from_pickled_sampler(output=..., checkpoint_callback=...)
+    relocates the run and replaces the checkpoint hook (reference
+    samplers/base.py:351-396)."""
+    ns = _sampler(
+        tmp_path,
+        model,
+        max_iteration=15,
+        maximum_uninformed=10,
+        poolsize=50,
+        checkpointing=False,
+    )
+    ns.nested_sampling_loop()
+    data = pickle.dumps(ns)
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    new_out = str(tmp_path / "moved")
+    calls = []
+    ns2 = NestedSampler.resume_from_pickled_sampler(
+        pickle.loads(data),
+        model,
+        output=new_out,
+        checkpoint_callback=lambda s: calls.append(s.iteration),
+    )
+    assert ns2.output == new_out
+    assert ns2.resume_file.startswith(new_out)
+    assert ns2._flow_proposal.output.startswith(new_out)
+    ns2.checkpoint(force=True)
+    assert calls

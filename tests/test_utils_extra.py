@@ -583,3 +583,19 @@ def test_jax_rescaling_matches_host(name, direction):
     y_d, lj_d = dev(jnp.asarray(x, jnp.float32))
     np.testing.assert_allclose(np.asarray(y_d), y_h, atol=3e-5)
     np.testing.assert_allclose(np.asarray(lj_d), lj_h, atol=3e-4)
+
+
+def test_draw_gaussian_temperature():
+    from nessai_tpu.utils.sampling import draw_gaussian
+
+    rng = np.random.default_rng(0)
+    hot = draw_gaussian(2, N=20000, rng=rng, temperature=4.0)
+    assert hot.shape == (20000, 2)
+    assert 1.8 < hot.std() < 2.2
+
+
+def test_configure_threads_pytorch_alias():
+    from nessai_tpu.utils.threading import configure_threads
+
+    configure_threads(pytorch_threads=2)
+    configure_threads()
