@@ -9,7 +9,7 @@ reference: e.g. the importance sampler registers extra live-point fields by
 mutating ``livepoints.extra_parameters``.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import asdict as _dc_asdict, dataclass, field
 from typing import List
 
 import numpy as np
@@ -17,8 +17,17 @@ import numpy as np
 __all__ = ["livepoints", "plotting", "general", "compute"]
 
 
+class _BaseConfig:
+    """Shared base: ``asdict()`` parity with the reference
+    (``nessai/config.py:13-18``)."""
+
+    def asdict(self):
+        """Return the config as a dictionary."""
+        return _dc_asdict(self)
+
+
 @dataclass
-class LivepointsConfig:
+class LivepointsConfig(_BaseConfig):
     """Configuration for live-point structured arrays.
 
     Reference: ``nessai/config.py:22-115``.
@@ -63,7 +72,7 @@ class LivepointsConfig:
 
 
 @dataclass
-class PlottingConfig:
+class PlottingConfig(_BaseConfig):
     """Plotting configuration. Reference: ``nessai/config.py:118-153``."""
 
     disable_style: bool = False
@@ -83,14 +92,14 @@ class PlottingConfig:
 
 
 @dataclass
-class GeneralConfig:
+class GeneralConfig(_BaseConfig):
     """General configuration. Reference: ``nessai/config.py:156-160``."""
 
     eps: float = 1e-8
 
 
 @dataclass
-class ComputeConfig:
+class ComputeConfig(_BaseConfig):
     """TPU/JAX compute configuration (no reference analogue; replaces the
     torch ``device_tag``/``pytorch_threads`` plumbing,
     ``nessai/flowmodel/base.py:163-173``)."""

@@ -307,6 +307,24 @@ class FlowModel:
             )
         self.initialised = True
 
+    def get_optimiser(self, optimiser=None, **kwargs):
+        """Build (and return) the optimiser from the training config.
+
+        Functional analogue of ``nessai/flowmodel/base.py:105`` — returns
+        an optax gradient transformation instead of a torch optimiser;
+        ``optimiser``/``kwargs`` override the configured name/kwargs.
+        """
+        if optimiser is None:
+            optimiser = self.training_config.optimiser
+        opt_kwargs = dict(self.training_config.optimiser_kwargs)
+        opt_kwargs.update(kwargs)
+        return _get_optimiser(
+            optimiser,
+            self.training_config.lr,
+            self.training_config.clip_grad_norm,
+            **opt_kwargs,
+        )
+
     def reset_optimiser(self, lr=None) -> None:
         if lr is None:
             lr = self.training_config.lr

@@ -82,6 +82,14 @@ def get_activation_function(name: str):
     return ACTIVATIONS[name]
 
 
+def silu(x):
+    """SiLU / swish activation, ``x * sigmoid(x)``. Reference:
+    ``nessai/flows/utils.py:24`` (torch); here the jax.nn primitive."""
+    import jax.nn
+
+    return jax.nn.silu(x)
+
+
 def create_linear_transform(linear_transform, features: int):
     """Linear transform(s) between coupling blocks by name. Reference:
     ``nessai/flows/utils.py:295``."""

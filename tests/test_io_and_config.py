@@ -96,3 +96,40 @@ def test_flowsampler_save_results(model, tmp_path, flow_config, training_config)
     assert os.path.exists(tmp_path / "res2.hdf5")
     with pytest.raises(RuntimeError):
         fs.save_results(str(tmp_path / "res3"))
+
+
+def test_config_asdict():
+    """Config dataclasses expose asdict() (reference config.py:13-18)."""
+    from nessai_tpu import config
+
+    for cfg in (
+        config.livepoints,
+        config.plotting,
+        config.general,
+        config.compute,
+    ):
+        d = cfg.asdict()
+        assert isinstance(d, dict) and d
+
+
+def test_flows_silu():
+    import numpy as np
+
+    from nessai_tpu.flows.utils import silu
+
+    x = np.linspace(-3, 3, 7).astype("float32")
+    out = np.asarray(silu(x))
+    expected = x / (1 + np.exp(-x))
+    assert np.allclose(out, expected, atol=1e-6)
+
+
+def test_flowmodel_get_optimiser():
+    from nessai_tpu.flowmodel import FlowModel
+
+    fm = FlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=4, n_layers=1)
+    )
+    opt = fm.get_optimiser()
+    assert hasattr(opt, "init") and hasattr(opt, "update")
+    opt2 = fm.get_optimiser("adamw")
+    assert hasattr(opt2, "init")
