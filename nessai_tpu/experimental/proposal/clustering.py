@@ -26,7 +26,7 @@ class ClusteringFlowProposal(FlowProposal):
         super().__init__(model, **kwargs)
         self.max_clusters = int(max_clusters)
 
-    def initialise(self, resume: bool = False) -> None:
+    def initialise(self, resumed: bool = False) -> None:
         # Build everything as usual, then swap in the clustering model.
         if self.initialised:
             return
@@ -34,7 +34,7 @@ class ClusteringFlowProposal(FlowProposal):
 
         os.makedirs(self.output, exist_ok=True)
         self.set_rescaling()
-        if not resume:
+        if not resumed:
             self.verify_rescaling()
         flow_config = dict(self.flow_config or {})
         flow_config["n_inputs"] = self.rescaled_dims

@@ -75,8 +75,8 @@ class AugmentedFlowProposal(FlowProposal):
             x_prime[name] = e[:, i]
         return x_prime, log_j
 
-    def inverse_rescale(self, x_prime):
-        x, log_j = super().inverse_rescale(x_prime)
+    def inverse_rescale(self, x_prime, **kwargs):
+        x, log_j = super().inverse_rescale(x_prime, **kwargs)
         for name in self.augment_names:
             x[name] = x_prime[name]
         return x, log_j
