@@ -815,6 +815,22 @@ class FlowModel:
         self.params = {"bijector": new_bij, "base": self.params["base"]}
         self._actnorm_done = True
 
+    def _flush_pending_history(self) -> None:
+        """Materialise deferred training histories (``train(sync=False)``)
+        into ``self.history``. Cheap no-op when nothing is pending."""
+        pending = getattr(self, "_pending_history", None)
+        if not pending:
+            return
+        self._pending_history = []
+        for loss_hist, val_hist, n_epochs in pending:
+            n = int(n_epochs)
+            loss = np.asarray(loss_hist)[:n].tolist()
+            val = np.asarray(val_hist)[:n].tolist()
+            if loss and not np.isfinite(loss[-1]):
+                logger.warning("Training loss is not finite")
+            self.history["loss"].extend(loss)
+            self.history["val_loss"].extend(val)
+
     def train(
         self,
         samples,
@@ -824,13 +840,22 @@ class FlowModel:
         patience=None,
         val_size=None,
         plot: bool = True,
+        sync: bool = True,
     ):
         """Train the flow on samples. Returns the training history dict.
 
-        Reference: ``nessai/flowmodel/base.py:530``.
+        With ``sync=False`` (used by the flow proposal's hot path) the
+        loss-history fetch is deferred: the jitted training program is
+        dispatched and the method returns without blocking on the
+        device, so the caller's next device program (latent caching,
+        populate) queues immediately behind training instead of paying
+        an extra host↔device roundtrip. Histories are materialised
+        lazily by :meth:`_flush_pending_history` (next train call,
+        checkpoint, or plot). Reference: ``nessai/flowmodel/base.py:530``.
         """
         if not self.initialised:
             self.initialise()
+        self._flush_pending_history()
         samples = np.asarray(samples, dtype=np.float32)
         if samples.ndim != 2:
             raise ValueError("Samples must be a 2D array")
@@ -924,6 +949,22 @@ class FlowModel:
                 data.get("val"),
                 self.next_key(),
             )
+            self.params = params
+            self.opt_state = opt_state
+            if not sync and not plot:
+                # deferred: don't block on the device — record the
+                # history futures and return immediately
+                if not hasattr(self, "_pending_history"):
+                    self._pending_history = []
+                self._pending_history.append(
+                    (loss_hist, val_hist, n_epochs)
+                )
+                if self.output is not None:
+                    self.save_weights(
+                        os.path.join(self.output, "model.pkl"),
+                        blocking=False,
+                    )
+                return None
             n_epochs = int(n_epochs)
             history["loss"] = np.asarray(loss_hist)[:n_epochs].tolist()
             history["val_loss"] = np.asarray(val_hist)[:n_epochs].tolist()
@@ -932,8 +973,6 @@ class FlowModel:
             logger.debug(
                 "Trained %d epochs (best %d)", n_epochs, int(best_it)
             )
-            self.params = params
-            self.opt_state = opt_state
         if is_lars:
             # Final, larger MC estimate of the normalisation constant.
             self.params = dict(self.params)
@@ -1223,7 +1262,9 @@ class FlowModel:
 
     # ------------------------------------------------------------------
     def __getstate__(self):
+        self._flush_pending_history()
         state = self.__dict__.copy()
+        state["_pending_history"] = []
         state["_jit_cache"] = {}
         state.pop("_save_thread", None)
         # device ids in the mesh scope are process-specific

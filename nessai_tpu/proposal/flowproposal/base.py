@@ -608,7 +608,11 @@ class BaseFlowProposal(RejectionProposal):
         x_prime_array = live_points_to_array(
             x_prime, self.prime_parameters
         )
-        self.flow.train(x_prime_array, plot=self._plot_training and plot)
+        # sync=False: don't block on the training program — the latent
+        # cache below queues directly behind it on the device
+        self.flow.train(
+            x_prime_array, plot=self._plot_training and plot, sync=False
+        )
         # Cache latent images + log_q of the training data for the
         # truncation rules (adaptive radius, min_log_q).
         z, log_q_prime = self.flow.forward_and_log_prob(x_prime_array)

@@ -253,3 +253,23 @@ def test_prep_data_batch_size_override_and_dataloader_flag(fm, rng):
     x = rng.normal(size=(100, 2)).astype(np.float32)
     out = fm.prep_data(x, val_size=0.1, batch_size=16, use_dataloader=True)
     assert out["train"]["x"].shape[1] == 16
+
+
+def test_train_sync_false_defers_history(fm, rng):
+    """train(sync=False) returns without materialising the history; it
+    is flushed lazily (next train / pickle / explicit flush)."""
+    import pickle
+
+    x = _bimodal(rng)
+    out = fm.train(x, plot=False, sync=False)
+    assert out is None
+    assert len(fm._pending_history) == 1
+    assert fm.history["loss"] == []
+    fm._flush_pending_history()
+    assert len(fm.history["loss"]) >= 1
+    n_after_first = len(fm.history["loss"])
+    fm.train(x, plot=False, sync=False)
+    blob = pickle.dumps(fm)  # __getstate__ flushes
+    fm2 = pickle.loads(blob)
+    assert fm2.__dict__.get("_pending_history", []) == []
+    assert len(fm2.history["loss"]) > n_after_first
