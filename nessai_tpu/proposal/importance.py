@@ -228,7 +228,11 @@ class ImportanceFlowProposal(Proposal):
 
         self.flow.add_new_flow(reset=self._should_reset_flow)
         logger.debug("Training level %d with %d samples", self.level_count, len(x_prime))
-        self.flow.train(x_prime, weights=weights, **kwargs)
+        # sync=False: the level's log_Q evaluation that follows queues
+        # behind the training program instead of paying an extra
+        # host-device roundtrip (ignored when training plots are on)
+        kwargs.setdefault("sync", False)
+        self.flow.train(x_prime, weights=weights, plot=plot, **kwargs)
         self.training_count += 1
 
     # ------------------------------------------------------------------
