@@ -442,6 +442,11 @@ def plot_sampler_state(sampler, filename=None):
         return None
     its = h["iterations"][: len(h["logZ"])]
     fig, axs = plt.subplots(4, 1, figsize=(8, 10), sharex=True)
+    for ci in h.get("checkpoint_iterations", []):
+        # checkpoints marked on every panel
+        # (reference: ``nestedsampler.py:1010-1012``)
+        for a in axs:
+            a.axvline(ci, ls=":", color="#66ccff")
     axs[0].plot(its, h["logZ"][: len(its)], label="logZ")
     axs[0].set_ylabel("logZ")
     ax2 = axs[0].twinx()

@@ -126,6 +126,7 @@ class BaseNestedSampler(ABC):
                 iterations=[],
                 sampling_time=[],
                 likelihood_evaluations=[],
+                checkpoint_iterations=[],
             )
 
     def update_history(self) -> None:
@@ -160,9 +161,17 @@ class BaseNestedSampler(ABC):
         logger.info("it: %s", self.iteration)
 
     # ------------------------------------------------------------------
-    def checkpoint(self, periodic: bool = False, force: bool = False) -> None:
+    def checkpoint(
+        self,
+        periodic: bool = False,
+        force: bool = False,
+        save_existing: Optional[bool] = None,
+    ) -> None:
         """Pickle the sampler to the resume file (atomic, with ``.old``
-        rotation). Reference: ``nessai/samplers/base.py:296-349``.
+        rotation). ``save_existing=False`` overwrites the previous
+        checkpoint instead of rotating it to ``.old`` (per-call override
+        of ``save_existing_checkpoint``).
+        Reference: ``nessai/samplers/base.py:296-349``.
         """
         if not force:
             if not self.checkpointing:
@@ -178,6 +187,17 @@ class BaseNestedSampler(ABC):
                     ) >= self.checkpoint_interval
                 if not due:
                     return
+        if not periodic:
+            # non-periodic (signal/forced) checkpoints are marked on the
+            # state plot (reference: ``samplers/base.py:316-323``)
+            if self.history is not None:
+                self.history.setdefault("checkpoint_iterations", []).append(
+                    self.iteration
+                )
+            else:
+                logger.warning(
+                    "Could not log checkpoint iteration in the history"
+                )
         st = datetime.datetime.now()
         self.sampling_time += st - self.sampling_start_time
         logger.info("Checkpointing nested sampling")
@@ -188,7 +208,11 @@ class BaseNestedSampler(ABC):
                 self,
                 self.resume_file,
                 module=pickle,
-                save_existing=getattr(self, "save_existing_checkpoint", True),
+                save_existing=(
+                    save_existing
+                    if save_existing is not None
+                    else getattr(self, "save_existing_checkpoint", True)
+                ),
             )
         self.sampling_start_time = datetime.datetime.now()
         self._last_checkpoint_time = time.time()

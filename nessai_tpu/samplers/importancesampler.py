@@ -1368,6 +1368,11 @@ class ImportanceNestedSampler(BaseNestedSampler):
         axs = axs.ravel()
         its = np.arange(len(h["logZ"]))
 
+        for ci in h.get("checkpoint_iterations", []):
+            # reference: ``importancesampler.py:1897``
+            for a in axs:
+                a.axvline(ci, ls=":", color="#66ccff")
+
         axs[0].plot(its, h["logZ"])
         axs[0].set_ylabel("logZ")
         axs[1].plot(its, h["min_log_likelihood"], label="min logL")

@@ -7,10 +7,14 @@ plane and inside jitted device code.
 Reference: ``nessai/utils/rescaling.py``.
 """
 
+import logging
+
 import numpy as np
 from scipy.special import erf, erfinv
 
 from .. import config
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "rescale_zero_to_one",
@@ -123,6 +127,9 @@ def detect_edge(
         allowed_bounds = ["lower", "upper"]
     else:
         allowed_bounds = list(allowed_bounds)
+        unknown = [b for b in allowed_bounds if b not in ("lower", "upper")]
+        if unknown:
+            raise RuntimeError(f"Unknown allowed bounds: {unknown}")
     if test is not None:
         # Used by 'inversion-duplicate' style forced configs
         if test in allowed_bounds or test in ("both", False):
@@ -177,32 +184,40 @@ def determine_rescaled_bounds(
 ):
     """Bounds of the prime space given data bounds and inversion setting.
 
+    With ``inversion=True`` the rescaling is assumed to map onto
+    ``[0, 1]`` (``rescale_bounds`` is ignored, matching
+    ``RescaleToBounds``) and the inverted ranges follow the
+    reflect-at-the-edge convention.
+
     Reference: ``nessai/utils/rescaling.py:167``.
     """
     if x_min == x_max:
-        raise RuntimeError("New minimum and maximum are equal")
+        raise ValueError("New minimum and maximum are equal")
     if rescale_bounds is None:
         rescale_bounds = [-1, 1]
-    scale = rescale_bounds[1] - rescale_bounds[0]
-    lo = (
-        scale * (prior_min - offset - x_min) / (x_max - x_min)
-        + rescale_bounds[0]
-    )
-    hi = (
-        scale * (prior_max - offset - x_min) / (x_max - x_min)
-        + rescale_bounds[0]
-    )
     if not inversion:
+        scale = rescale_bounds[1] - rescale_bounds[0]
+        shift = rescale_bounds[0]
+    else:
+        scale = 1.0
+        shift = 0.0
+    lo = scale * (prior_min - offset - x_min) / (x_max - x_min) + shift
+    hi = scale * (prior_max - offset - x_min) / (x_max - x_min) + shift
+    if not inversion:
+        if invert:
+            logger.warning(
+                "`invert` is not False or None, but `inversion=False`"
+            )
         return lo, hi
     if invert is None or invert is False:
-        return 2 * lo - hi, hi  # conservative widening
+        return 2 * lo - 1, 2 * hi - 1
     if invert == "upper":
-        return lo, 2 * hi - lo
+        return lo - 1, 1 - lo
     if invert == "lower":
-        return lo - (hi - lo), hi
+        return -hi, hi
     if invert == "both":
-        return lo - (hi - lo) / 2, hi + (hi - lo) / 2
-    raise ValueError(f"Invalid invert: {invert}")
+        return -0.5, 1.5
+    raise ValueError(f"Invalid value for `invert`: {invert}")
 
 
 rescaling_functions = {

@@ -94,10 +94,11 @@ class NDimensionalTruncatedGaussian:
         # CDF of chi(dims) at r: P(dims/2, r^2/2)
         from scipy.special import gammainc
 
-        self._cdf_rmax = gammainc(self.dims / 2.0, r**2 / 2.0)
+        # public name matches the reference (``sampling.py:211``)
+        self.u_max = gammainc(self.dims / 2.0, r**2 / 2.0)
 
     def sample(self, n: int) -> np.ndarray:
-        u = self.rng.uniform(0, self._cdf_rmax, int(n))
+        u = self.rng.uniform(0, self.u_max, int(n))
         r = np.sqrt(2.0 * gammaincinv(self.dims / 2.0, u))
         x = draw_surface_nsphere(self.dims, r=1.0, N=n, rng=self.rng)
         return r[:, None] * x

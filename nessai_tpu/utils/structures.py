@@ -36,7 +36,7 @@ def array_split_chunksize(x: np.ndarray, chunksize: int) -> List[np.ndarray]:
     Reference: ``nessai/utils/structures.py:84``.
     """
     if chunksize < 1:
-        raise ValueError("chunksize must be a positive integer")
+        raise ValueError("chunksize must be greater than 1")
     n = len(x)
     return [x[i : i + chunksize] for i in range(0, n, chunksize)]
 
@@ -44,12 +44,14 @@ def array_split_chunksize(x: np.ndarray, chunksize: int) -> List[np.ndarray]:
 def get_inverse_indices(n: int, indices: np.ndarray) -> np.ndarray:
     """Indices in ``range(n)`` not present in ``indices``.
 
-    Returns None if any index is out of range.
+    Raises ValueError if any index is out of range for ``n``.
     Reference: ``nessai/utils/structures.py:103``.
     """
     indices = np.asarray(indices)
     if indices.size and indices.max() >= n:
-        return None
+        raise ValueError(
+            "Indices contain values that are out of range for n"
+        )
     mask = np.ones(n, dtype=bool)
     mask[indices] = False
     return np.flatnonzero(mask)

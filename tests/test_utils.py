@@ -128,7 +128,8 @@ def test_structures():
     assert [len(c) for c in chunks] == [3, 3, 3, 1]
     inv = get_inverse_indices(5, np.array([0, 2]))
     np.testing.assert_array_equal(inv, [1, 3, 4])
-    assert get_inverse_indices(3, np.array([5])) is None
+    with pytest.raises(ValueError, match="out of range"):
+        get_inverse_indices(3, np.array([5]))
 
 
 def test_isfinite_struct():

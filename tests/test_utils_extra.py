@@ -68,7 +68,7 @@ def test_determine_rescaled_bounds():
     lo, hi = determine_rescaled_bounds(0, 10, 2, 8)
     # prior bounds wider than data bounds -> prime bounds outside [-1,1]
     assert lo < -1 and hi > 1
-    with pytest.raises(RuntimeError):
+    with pytest.raises(ValueError):
         determine_rescaled_bounds(0, 10, 5, 5)
 
 
@@ -465,28 +465,30 @@ class TestRescalingBranches:
     def test_determine_rescaled_bounds_inversion_branches(self):
         from nessai_tpu.utils.rescaling import determine_rescaled_bounds
 
+        # reference-exact semantics: under inversion the rescaling maps
+        # onto [0, 1] (rescale_bounds ignored) then reflects at the edge
         base = dict(prior_min=0.0, prior_max=1.0, x_min=0.0, x_max=1.0)
         lo, hi = determine_rescaled_bounds(**base)
         assert (lo, hi) == (-1.0, 1.0)
         lo, hi = determine_rescaled_bounds(**base, inversion=True)
-        assert (lo, hi) == (-3.0, 1.0)  # conservative widening
+        assert (lo, hi) == (-1.0, 1.0)
         lo, hi = determine_rescaled_bounds(
             **base, inversion=True, invert="upper"
         )
-        assert (lo, hi) == (-1.0, 3.0)
+        assert (lo, hi) == (-1.0, 1.0)
         lo, hi = determine_rescaled_bounds(
             **base, inversion=True, invert="lower"
         )
-        assert (lo, hi) == (-3.0, 1.0)
+        assert (lo, hi) == (-1.0, 1.0)
         lo, hi = determine_rescaled_bounds(
             **base, inversion=True, invert="both"
         )
-        assert (lo, hi) == (-2.0, 2.0)
-        with pytest.raises(ValueError, match="Invalid invert"):
+        assert (lo, hi) == (-0.5, 1.5)
+        with pytest.raises(ValueError, match="Invalid value for `invert`"):
             determine_rescaled_bounds(
                 **base, inversion=True, invert="sideways"
             )
-        with pytest.raises(RuntimeError, match="equal"):
+        with pytest.raises(ValueError, match="equal"):
             determine_rescaled_bounds(0.0, 1.0, 0.5, 0.5)
 
     def test_get_jax_rescaling_unknown_returns_none(self):
