@@ -18,7 +18,14 @@ def configure_logger(
     """Configure the ``nessai_tpu`` logger with stream + file handlers.
 
     Mirrors the reference's bilby-style logger
-    (``nessai/utils/logging.py:11``) but for the ``nessai_tpu`` namespace.
+    (``nessai/utils/logging.py:11``) for the ``nessai_tpu`` namespace:
+
+    - ``label=None`` disables the file handler entirely;
+    - ``label`` set with ``output=None`` writes ``<label>.log`` to the
+      current working directory (the output directory is created if
+      missing);
+    - ``stream`` may be a file-like object, ``"stdout"``/``"stderr"``,
+      or ``None`` (the ``logging.StreamHandler`` default, stderr).
     """
     if isinstance(log_level, str):
         try:
@@ -34,8 +41,16 @@ def configure_logger(
     if include_logger_name:
         fmt = "%(asctime)s %(name)s %(levelname)-8s: %(message)s"
     else:
-        fmt = "%(asctime)s %(levelname)-8s: %(message)s"
+        fmt = "%(asctime)s nessai_tpu %(levelname)-8s: %(message)s"
     formatter = logging.Formatter(fmt, datefmt="%m-%d %H:%M")
+
+    if isinstance(stream, str):
+        if stream == "stdout":
+            stream = sys.stdout
+        elif stream == "stderr":
+            stream = sys.stderr
+        else:
+            raise ValueError(f"Unknown stream: {stream}")
 
     if not any(
         isinstance(h, logging.StreamHandler)
@@ -47,7 +62,9 @@ def configure_logger(
         sh.setLevel(level)
         logger.addHandler(sh)
 
-    if label and output is not None:
+    if label:
+        if output is None:
+            output = os.getcwd()
         os.makedirs(output, exist_ok=True)
         log_file = os.path.join(output, f"{label}.log")
         if not any(
@@ -61,5 +78,8 @@ def configure_logger(
             fh.setFormatter(formatter)
             fh.setLevel(level)
             logger.addHandler(fh)
+
+    for h in logger.handlers:
+        h.setLevel(level)
 
     return logger

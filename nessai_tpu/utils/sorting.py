@@ -48,7 +48,7 @@ def sort_reparameterisations(
                     req for req in requires if req not in produced
                 ]
                 raise ValueError(
-                    "Could not order reparameterisations: "
-                    f"{r} requires {missing} which are never produced"
+                    "Could not sort reparameterisations: "
+                    f"{r} requires inputs {missing} which are never produced"
                 )
     return ordered

@@ -43,7 +43,7 @@ def weighted_quantile(
     scalar = np.isscalar(quantiles)
     quantiles = np.atleast_1d(np.asarray(quantiles, dtype=float))
     if np.any((quantiles < 0) | (quantiles > 1)):
-        raise ValueError("Quantiles must be in [0, 1]")
+        raise ValueError("Quantiles should be in [0, 1]")
     if log_weights is None:
         log_weights = np.zeros(len(values))
     log_weights = np.asarray(log_weights, dtype=float)
@@ -61,6 +61,11 @@ def weighted_quantile(
     cdf = np.clip(np.cumsum(w), 0.0, 1.0)
     cdf_prev = np.clip(cdf - w, 0.0, 1.0)
     n = effective_sample_size(log_weights)
+    if not np.isfinite(n):
+        raise ValueError(
+            "Effective sample size is not finite; cannot compute the "
+            "weighted quantile"
+        )
 
     out = np.empty(len(quantiles))
     for i, q in enumerate(quantiles):
