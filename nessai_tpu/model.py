@@ -27,6 +27,7 @@ from .livepoint import (
     numpy_array_to_live_points,
     unstructured_view as _unstructured_view,
 )
+from .utils.errors import RNGNotSetError, RNGSetError
 from .utils.multiprocessing import (
     batch_evaluate_function,
     check_vectorised_function,
@@ -64,8 +65,8 @@ class Model(ABC):
     Reference: ``nessai/model.py:53``.
     """
 
-    names: List[str] = []
-    bounds: dict = {}
+    _names: Optional[List[str]] = None
+    _bounds: Optional[dict] = None
 
     _lower = None
     _upper = None
@@ -94,6 +95,51 @@ class Model(ABC):
     pool = None
     n_pool: Optional[int] = None
     rng: Optional[np.random.Generator] = None
+
+    @property
+    def names(self) -> List[str]:
+        """List of parameter names. Validated on assignment
+        (reference: ``nessai/model.py:127-169``)."""
+        return self._names if self._names is not None else []
+
+    @names.setter
+    def names(self, names):
+        if not isinstance(names, list):
+            raise TypeError("`names` must be a list")
+        if not names:
+            raise ValueError("`names` list is empty!")
+        if len(names) == 1:
+            raise OneDimensionalModelError(
+                "names list has length 1. "
+                "nessai is not designed to handle one-dimensional models "
+                "due to limitations imposed by the normalising flow-based "
+                "proposals it uses."
+            )
+        self._names = names
+        self._dims = None
+
+    @property
+    def bounds(self) -> dict:
+        """Dict of ``{name: [lower, upper]}``. Validated on assignment
+        (reference: ``nessai/model.py:171-196``)."""
+        return self._bounds if self._bounds is not None else {}
+
+    @bounds.setter
+    def bounds(self, bounds):
+        if not isinstance(bounds, dict):
+            raise TypeError("`bounds` must be a dictionary")
+        if len(bounds) == 1:
+            raise OneDimensionalModelError(
+                "bounds dictionary has length 1. "
+                "nessai is not designed to handle one-dimensional models "
+                "due to limitations imposed by the normalising flow-based "
+                "proposals it uses."
+            )
+        if not all(len(b) == 2 for b in bounds.values()):
+            raise ValueError("Each entry in `bounds` must have length 2")
+        self._bounds = {p: np.asarray(b) for p, b in bounds.items()}
+        self._lower = None
+        self._upper = None
 
     @property
     def dims(self) -> int:
@@ -136,6 +182,11 @@ class Model(ABC):
                 )
         if cls.new_point_log_prob != Model.new_point_log_prob:
             logger.debug("`new_point_log_prob` method has been redefined.")
+            if cls.new_point == Model.new_point:
+                raise ModelError(
+                    "`new_point_log_prob` method has been redefined but "
+                    "`new_point` has not."
+                )
 
     @property
     def lower_bounds(self) -> np.ndarray:
@@ -152,13 +203,23 @@ class Model(ABC):
     # ------------------------------------------------------------------
     # RNG
     # ------------------------------------------------------------------
-    def set_rng(self, rng: np.random.Generator) -> None:
+    def set_rng(self, rng: Optional[np.random.Generator] = None) -> None:
+        """Set the model's random number generator.
+
+        ``rng=None`` creates a fresh default generator. Raises
+        :class:`~nessai_tpu.utils.errors.RNGSetError` if the rng is
+        already set (reference: ``nessai/model.py:133-147``).
+        """
+        if rng is None:
+            logger.debug("No rng specified, using the default rng.")
+            rng = np.random.default_rng()
+        if self.rng is not None:
+            raise RNGSetError()
         self.rng = rng
 
     def _require_rng(self) -> np.random.Generator:
         if self.rng is None:
-            logger.debug("Model rng not set, using default")
-            self.rng = np.random.default_rng()
+            raise RNGNotSetError()
         return self.rng
 
     # ------------------------------------------------------------------
@@ -409,7 +470,7 @@ class Model(ABC):
     def sample_parameter(self, name, n=1):
         """Draw from the prior for one parameter — not implemented by
         default. Reference: ``nessai/model.py:520``."""
-        raise NotImplementedError
+        raise NotImplementedError("User must implement this method!")
 
     # ------------------------------------------------------------------
     # Prior sampling
@@ -438,12 +499,16 @@ class Model(ABC):
         return out
 
     def new_point_log_prob(self, x) -> np.ndarray:
-        """Proposal log-probability of points drawn by :meth:`new_point`
-        (uniform in the box → equal to the log-prior for uniform priors;
-        computed as the prior for generality, matching the rejection
-        construction). Reference: ``nessai/model.py:497``.
+        """Proposal log-probability of points drawn by :meth:`new_point`.
+
+        The default :meth:`new_point` draws uniformly over the region of
+        the prior box with finite log-prior, so the proposal density is
+        constant: zeros (reference-exact, ``nessai/model.py:497``). If
+        ``new_point`` is redefined this method must be updated to match —
+        otherwise ``RejectionProposal`` weights (``logW = logP - logQ``)
+        are wrong.
         """
-        return self.batch_evaluate_log_prior(x)
+        return np.zeros(x.size)
 
     # ------------------------------------------------------------------
     # Vectorisation detection
@@ -466,6 +531,10 @@ class Model(ABC):
                     self.log_likelihood, x
                 )
         return self._vectorised_likelihood
+
+    @vectorised_likelihood.setter
+    def vectorised_likelihood(self, value):
+        self._vectorised_likelihood = value
 
     @property
     def vectorised_prior(self) -> bool:
@@ -718,22 +787,31 @@ class Model(ABC):
                 raise ModelError(f"Bounds for {n} are not finite: {b}")
             if b[1] <= b[0]:
                 raise ModelError(f"Bounds for {n} are not ordered: {b}")
-        if self.rng is None:
-            logger.debug("verify_model: setting default rng")
-            self.rng = np.random.default_rng()
         # check the prior on a raw box draw first: new_point itself
         # rejection-samples on the prior, so a broken log_prior must be
         # reported as a ModelError, not a crash inside new_point
-        arr = self._require_rng().uniform(
-            self.lower_bounds, self.upper_bounds, (1, self.dims)
-        )
-        probe = numpy_array_to_live_points(arr, self.names)
-        try:
-            log_p = self.log_prior(probe)
-        except Exception as e:
-            raise ModelError(f"Log-prior raised an error: {e}")
-        if log_p is None:
-            raise ModelError("Log-prior returned None")
+        rng = self._require_rng()
+        log_p = -np.inf
+        counter = 0
+        while log_p == -np.inf or log_p == np.inf:
+            arr = rng.uniform(
+                self.lower_bounds, self.upper_bounds, (1, self.dims)
+            )
+            probe = numpy_array_to_live_points(arr, self.names)
+            try:
+                log_p = self.log_prior(probe)
+            except Exception as e:
+                raise ModelError(f"Log-prior raised an error: {e}")
+            if log_p is None:
+                raise ModelError("Log-prior returned None")
+            log_p = float(np.asarray(log_p).flatten()[0])
+            counter += 1
+            if counter == 1000:
+                # reference: ``nessai/model.py:843-852``
+                raise ModelError(
+                    "Could not draw a valid point from within the prior "
+                    "bounds after 1000 tries, check the log prior function."
+                )
         x = self.new_point()
         log_p = self.log_prior(x)
         if log_p is None:
@@ -755,6 +833,12 @@ class Model(ABC):
                     "Repeated likelihood calls return different values; "
                     "set allow_multi_valued_likelihood=True to permit this."
                 )
+        if np.asarray(self.log_prior(x)).dtype == np.dtype("float16"):
+            logger.warning(
+                "log_prior returned an array with float16 precision. "
+                "This is not recommended and can lead to numerical "
+                "errors. Consider casting to a higher precision."
+            )
 
     # ------------------------------------------------------------------
     # Pickling: exclude the pool

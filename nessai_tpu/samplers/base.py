@@ -56,7 +56,8 @@ class BaseNestedSampler(ABC):
         self._last_log_iteration = 0
 
         self.configure_rng(seed=seed, rng=rng)
-        self.model.set_rng(self.rng)
+        if self.model.rng is None:
+            self.model.set_rng(self.rng)
         self.model.verify_model()
 
         self.iteration = 0
@@ -249,7 +250,8 @@ class BaseNestedSampler(ABC):
         sampler.model = model
         if rng is not None:
             sampler.rng = rng
-        sampler.model.set_rng(sampler.rng)
+        if sampler.model.rng is None:
+            sampler.model.set_rng(sampler.rng)
         sampler.sampling_start_time = datetime.datetime.now()
         return sampler
 

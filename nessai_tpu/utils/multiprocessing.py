@@ -46,9 +46,10 @@ def check_multiprocessing_start_method() -> None:
     method = multiprocessing.get_start_method(allow_none=True)
     if method not in (None, "fork"):
         logger.warning(
-            "Multiprocessing start method is '%s'; the pool relies on "
-            "fork-shared globals — call initialise_pool_variables in the "
-            "initializer.",
+            "Multiprocessing start method is '%s', not 'fork'. "
+            "This may lead to high memory usage or errors: the pool "
+            "relies on fork-shared globals — call "
+            "initialise_pool_variables in the initializer.",
             method,
         )
 
@@ -64,6 +65,9 @@ def get_n_pool(pool):
         return pool._processes
     if hasattr(pool, "_max_workers"):
         return pool._max_workers
+    if hasattr(pool, "_actor_pool"):
+        # ray.util.multiprocessing.Pool
+        return len(pool._actor_pool)
     logger.warning("Could not determine number of processes in pool")
     return None
 

@@ -44,9 +44,28 @@ def box(rng):
 # ----------------------------------------------------------------------
 # verify_model error branches
 # ----------------------------------------------------------------------
+def test_names_empty_list_rejected_on_assignment():
+    # reference: ``model.py:135`` raises at assignment time
+    m = BoxModel()
+    with pytest.raises(ValueError, match="`names` list is empty"):
+        m.names = []
+
+
+def test_names_invalid_type_rejected_on_assignment():
+    m = BoxModel()
+    with pytest.raises(TypeError, match="`names` must be a list"):
+        m.names = True
+
+
+def test_bounds_invalid_type_rejected_on_assignment():
+    m = BoxModel()
+    with pytest.raises(TypeError, match="`bounds` must be a dictionary"):
+        m.bounds = True
+
+
 def test_verify_no_names(rng):
     m = BoxModel()
-    m.names = []
+    m._names = None  # bypass the validating setter: simulate unset names
     m.set_rng(rng)
     with pytest.raises(ModelError, match="[Nn]ames"):
         m.verify_model()
@@ -60,17 +79,29 @@ def test_verify_no_bounds(rng):
         m.verify_model()
 
 
-def test_verify_one_dimensional(rng):
-    m = BoxModel(names=("x",), bounds={"x": [-1, 1]})
-    m.set_rng(rng)
-    with pytest.raises(OneDimensionalModelError):
-        m.verify_model()
+def test_one_dimensional_names_rejected_on_assignment():
+    # reference: OneDimensionalModelError at assignment (``model.py:137``)
+    with pytest.raises(OneDimensionalModelError, match="length 1"):
+        BoxModel(names=["x"], bounds={"x": [-1, 1], "y": [-1, 1]})
+
+
+def test_one_dimensional_bounds_rejected_on_assignment():
+    m = BoxModel()
+    with pytest.raises(OneDimensionalModelError, match="length 1"):
+        m.bounds = {"x": [-1, 1]}
+
+
+def test_bounds_entry_wrong_length_rejected_on_assignment():
+    # reference: ValueError at assignment (``model.py:188``)
+    with pytest.raises(
+        ValueError, match="Each entry in `bounds` must have length 2"
+    ):
+        BoxModel(bounds={"x": [0.0], "y": [-1, 1]})
 
 
 @pytest.mark.parametrize(
     "bad_bounds, match",
     [
-        ({"x": [0.0], "y": [-1, 1]}, "invalid"),
         ({"x": [0.0, np.inf], "y": [-1, 1]}, "finite"),
         ({"x": [1.0, -1.0], "y": [-1, 1]}, "ordered"),
     ],
@@ -336,9 +367,21 @@ def test_jax_prior_fast_path(rng):
     np.testing.assert_allclose(out, m.log_prior(x), rtol=1e-6)
 
 
-def test_rng_auto_set():
+def test_rng_not_set_raises():
+    # reference-exact: drawing without an rng raises RNGNotSetError
+    from nessai_tpu.utils.errors import RNGNotSetError
+
     m = BoxModel()
     assert m.rng is None
-    x = m.new_point(2)  # _require_rng sets a default generator
+    with pytest.raises(RNGNotSetError):
+        m.new_point(2)
+
+
+def test_set_rng_default_and_double_set():
+    from nessai_tpu.utils.errors import RNGSetError
+
+    m = BoxModel()
+    m.set_rng()  # default generator
     assert m.rng is not None
-    assert x.size == 2
+    with pytest.raises(RNGSetError):
+        m.set_rng(np.random.default_rng(1))
