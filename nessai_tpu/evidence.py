@@ -281,9 +281,12 @@ class _INSIntegralState:
 
     @property
     def log_evidence_live_points(self) -> float:
-        """Reference: ``nessai/evidence.py:308``."""
+        """Reference: ``nessai/evidence.py:308`` — raises if the live
+        points have not been set."""
         w = self._weights_live
-        if w is None or not len(w):
+        if w is None:
+            raise RuntimeError("Live points are not set")
+        if not len(w):
             return -np.inf
         return float(logsumexp(w.astype(float)) - np.log(len(w)))
 

@@ -38,13 +38,13 @@ def compute_weights(samples, nlive, expectation: str = "logt"):
     else:
         nlive_per_it = np.asarray(nlive, dtype=float)
         if len(nlive_per_it) != n:
-            raise ValueError("nlive array must match samples")
+            raise ValueError("nlive and samples are different lengths")
     if expectation == "logt":
         log_t = -1.0 / nlive_per_it
     elif expectation == "t":
         log_t = -np.log1p(1.0 / nlive_per_it)
     else:
-        raise ValueError(f"Unknown expectation: {expectation}")
+        raise ValueError(f"Expectation must be t or logt, got: {expectation}")
 
     # one point at X=1 and one closing point at X=0 with L = max(L)
     log_vols = np.zeros(n + 2)
@@ -79,11 +79,15 @@ def draw_posterior_samples(
             nested_samples["logL"], nlive, expectation=expectation
         )
     if method == "rejection_sampling":
+        if n is not None:
+            # reference: ``nessai/posterior.py:139-143``
+            logger.warning(
+                "Number of samples cannot be specified when using "
+                "rejection sampling"
+            )
         log_w_norm = log_w - np.max(log_w)
         log_u = np.log(rng.random(len(log_w)))
         indices = np.flatnonzero(log_w_norm > log_u)
-        if n is not None and len(indices) > n:
-            indices = rng.choice(indices, size=n, replace=False)
     elif method in ("importance_sampling", "multinomial_resampling"):
         if n is None:
             n = int(effective_sample_size(log_w))

@@ -69,22 +69,30 @@ class TestRound3PosteriorBranches:
         np.testing.assert_allclose(lw1, lw2, atol=1e-12)
         lv3, lw3 = compute_weights(logl, 25, expectation="t")
         assert not np.allclose(lw2, lw3)
-        with pytest.raises(ValueError, match="nlive array must match"):
+        with pytest.raises(
+            ValueError, match="nlive and samples are different lengths"
+        ):
             compute_weights(logl, np.full(10, 25.0))
-        with pytest.raises(ValueError, match="Unknown expectation"):
+        with pytest.raises(ValueError, match="Expectation must be t or logt"):
             compute_weights(logl, 25, expectation="bad")
 
-    def test_draw_posterior_rejection_capped_n(self, rng):
+    def test_draw_posterior_rejection_n_ignored(self, rng, caplog):
+        # reference-exact: n cannot be specified with rejection sampling;
+        # a warning is logged and n is ignored
+        import logging
+
         from nessai_tpu.livepoint import empty_structured_array
         from nessai_tpu.posterior import draw_posterior_samples
 
         ns = empty_structured_array(200, names=["x"])
         ns["x"] = np.linspace(0, 1, 200)
         ns["logL"] = np.sort(rng.normal(size=200))
-        out = draw_posterior_samples(
-            ns, nlive=50, n=5, method="rejection_sampling", rng=rng
-        )
-        assert len(out) <= 5
+        with caplog.at_level(logging.WARNING, logger="nessai_tpu"):
+            out = draw_posterior_samples(
+                ns, nlive=50, n=5, method="rejection_sampling", rng=rng
+            )
+        assert "cannot be specified" in caplog.text
+        assert len(out) > 0
 
     def test_draw_posterior_unknown_method(self, rng):
         from nessai_tpu.livepoint import empty_structured_array
