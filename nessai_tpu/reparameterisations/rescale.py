@@ -119,18 +119,36 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
         self._set_rescaling("post_rescaling", post_rescaling)
         if scale is None and not self.estimate_scale:
             raise RuntimeError("Must specify a scale or enable estimate_scale")
-        self.scale = self._per_param(scale, 1.0)
-        self.shift = self._per_param(shift, 0.0)
+        self.scale = self._per_param(scale, 1.0, name="scale")
+        self.shift = self._per_param(shift, 0.0, name="shift")
 
-    def _per_param(self, value, default):
+    def _per_param(self, value, default, name="scale"):
+        """Normalise a scalar / list / dict input to a per-parameter dict
+        with reference-exact validation
+        (``nessai/reparameterisations/rescale.py:160-196``)."""
         if value is None:
             return {p: float(default) for p in self.parameters}
         if isinstance(value, dict):
+            if set(value.keys()) != set(self.parameters):
+                raise RuntimeError(
+                    f"Mismatched parameters with {name} dictionary: "
+                    f"{list(value.keys())} vs {self.parameters}"
+                )
             return {p: float(value[p]) for p in self.parameters}
-        if np.isscalar(value):
+        if isinstance(value, (int, float, np.integer, np.floating)):
             return {p: float(value) for p in self.parameters}
-        value = np.asarray(value, dtype=float).ravel()
-        return {p: float(v) for p, v in zip(self.parameters, value)}
+        if isinstance(value, (list, tuple, np.ndarray)):
+            value = np.asarray(value, dtype=float).ravel()
+            if len(value) != len(self.parameters):
+                raise RuntimeError(
+                    f"{name} list is a different length to the number of "
+                    f"parameters: {len(value)} vs {len(self.parameters)}"
+                )
+            return {p: float(v) for p, v in zip(self.parameters, value)}
+        raise TypeError(
+            f"{name} input must be an instance of int, float, list or "
+            f"dict, got: {type(value).__name__}"
+        )
 
     def update(self, x) -> None:
         if not self.estimate:
@@ -141,6 +159,14 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
                 self.scale[p] = float(np.std(vals)) or 1.0
             if self.estimate_shift:
                 self.shift[p] = float(np.mean(vals))
+
+    def reset(self) -> None:
+        """Reset estimated scales/shifts to their initial values
+        (reference: ``nessai/reparameterisations/rescale.py:298-305``)."""
+        if self.estimate_scale:
+            self.scale = {p: 1.0 for p in self.parameters}
+        if self.estimate_shift:
+            self.shift = {p: 0.0 for p in self.parameters}
 
     def as_affine(self):
         """Per-parameter (scale, shift) of the *inverse* map
