@@ -578,6 +578,16 @@ class BaseFlowProposal(RejectionProposal):
     # ------------------------------------------------------------------
     # Training
     # ------------------------------------------------------------------
+    def check_state(self, x) -> None:
+        """Update the state of the proposal given some training data.
+
+        Includes updating the reparameterisations. Reference:
+        ``flowproposal/base.py:786-798``.
+        """
+        if self.map_to_unit_hypercube:
+            x = self.model.to_unit_hypercube(x)
+        self._reparameterisation.update(x)
+
     def train(self, x, plot: bool = True) -> None:
         """Train the flow on live points.
 
@@ -598,6 +608,8 @@ class BaseFlowProposal(RejectionProposal):
                 ),
                 x,
             )
+        # x is already hypercube-mapped here, so update directly rather
+        # than going through check_state (which maps raw points)
         self._reparameterisation.update(x)
         if hasattr(self, "_build_device_inverse"):
             # structure is static, but rebuild defensively in case a

@@ -298,33 +298,43 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
     ):
         super().__init__(parameters=parameters, prior_bounds=prior_bounds, rng=rng)
         if rescale_bounds is None:
-            rescale_bounds = [-1.0, 1.0]
-        if isinstance(rescale_bounds, dict):
+            self.rescale_bounds = {p: [-1.0, 1.0] for p in self.parameters}
+        elif isinstance(rescale_bounds, dict):
+            missing = set(self.parameters) - set(rescale_bounds.keys())
+            if missing:
+                raise RuntimeError(
+                    f"Missing rescale bounds for parameters: {missing}"
+                )
             self.rescale_bounds = {
                 p: list(map(float, rescale_bounds[p])) for p in self.parameters
             }
-        else:
+        elif isinstance(rescale_bounds, (list, tuple)):
             self.rescale_bounds = {
                 p: list(map(float, rescale_bounds)) for p in self.parameters
             }
-        self._set_rescaling("pre_rescaling", pre_rescaling)
-        self._set_rescaling("post_rescaling", post_rescaling)
+        else:
+            raise TypeError(
+                "rescale_bounds must be an instance of list or dict. "
+                f"Got type: {type(rescale_bounds).__name__}"
+            )
 
         if inversion_type not in ("split", "duplicate"):
             raise RuntimeError(f"Unknown inversion type: {inversion_type}")
         self.inversion_type = inversion_type
-        # reference ``rescale.py:424-445``: list / dict (per-parameter
-        # inversion type) / bool / str forms
+        # reference ``rescale.py:426-451``: list / dict (per-parameter
+        # inversion type) / bool forms; attribute is False or a dict
         if boundary_inversion is None or boundary_inversion is False:
-            inversion_types = {}
+            self.boundary_inversion = False
         elif boundary_inversion is True:
-            inversion_types = {p: inversion_type for p in self.parameters}
-        elif isinstance(boundary_inversion, str):
-            inversion_types = {boundary_inversion: inversion_type}
+            self.boundary_inversion = {
+                p: inversion_type for p in self.parameters
+            }
         elif isinstance(boundary_inversion, dict):
-            inversion_types = dict(boundary_inversion)
+            self.boundary_inversion = dict(boundary_inversion)
         elif isinstance(boundary_inversion, (list, tuple)):
-            inversion_types = {p: inversion_type for p in boundary_inversion}
+            self.boundary_inversion = {
+                p: inversion_type for p in boundary_inversion
+            }
         else:
             raise TypeError(
                 "boundary_inversion must be a list, dict or bool. "
@@ -332,39 +342,41 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
             )
         bad = {
             p: t
-            for p, t in inversion_types.items()
+            for p, t in (self.boundary_inversion or {}).items()
             if t not in ("split", "duplicate")
         }
         if bad:
             raise RuntimeError(f"Unknown inversion type: {bad}")
-        self._inversion_types = inversion_types
-        self.boundary_inversion = list(inversion_types)
-        unknown = set(self.boundary_inversion) - set(self.parameters)
+        unknown = set(self.boundary_inversion or {}) - set(self.parameters)
         if unknown:
             raise RuntimeError(f"Unknown inversion parameters: {unknown}")
         # Inversion parameters are always rescaled to [0, 1]
         # (reference ``rescale.py:447-449``)
-        for p in self.boundary_inversion:
+        for p in self.boundary_inversion or {}:
             self.rescale_bounds[p] = [0.0, 1.0]
+        self._update = update_bounds if not detect_edges else True
         self.detect_edges = detect_edges
         if detect_edges and not self.boundary_inversion:
             raise RuntimeError(
-                "detect_edges requires boundary_inversion parameters"
+                "Must enable boundary inversion to use detect edges"
             )
         self.detect_edges_kwargs = configure_edge_detection(
             detect_edges_kwargs, detect_edges
         )
-        self._edges = {p: None for p in self.parameters}
-        self.update_bounds_enabled = update_bounds or bool(
-            self.boundary_inversion
+        self._edges = (
+            {p: None for p in self.parameters}
+            if self.boundary_inversion
+            else None
         )
+        self.configure_post_rescaling_bounds(post_rescaling)
         self.prior = prior
         self.has_prime_prior = (
             prior == "uniform"
             and not self.boundary_inversion
-            and not self.update_bounds_enabled
+            and not self._update
         )
 
+        self._set_rescaling("pre_rescaling", pre_rescaling)
         # pre-rescaled prior bounds
         self.pre_prior_bounds = {
             p: self._apply_pre(self.prior_bounds[p])[0]
@@ -386,6 +398,33 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         }
 
     # ------------------------------------------------------------------
+    @property
+    def _inversion_types(self):
+        """Per-parameter inversion types (empty dict when disabled)."""
+        return self.boundary_inversion or {}
+
+    @property
+    def update_bounds_enabled(self):
+        """Back-compat alias for the reference's ``_update`` flag."""
+        return self._update
+
+    def configure_post_rescaling_bounds(self, post_rescaling):
+        """Configure the post-rescaling, mirroring the reference's
+        log/logit handling (``nessai/reparameterisations/rescale.py:
+        481-500``): log/logit require fixed bounds and force the main
+        rescaling onto [0, 1]."""
+        self._set_rescaling("post_rescaling", post_rescaling)
+        if post_rescaling is not None and post_rescaling in ("logit", "log"):
+            if self._update:
+                raise RuntimeError(
+                    "Cannot use log or logit with update bounds"
+                )
+            logger.debug("Setting bounds to [0, 1] for log/logit")
+            self.rescale_bounds = {p: [0.0, 1.0] for p in self.parameters}
+
+    # reference method name (``rescale.py:478``)
+    configure_post_rescaling = configure_post_rescaling_bounds
+
     def _rescale_to_bounds(self, x, p):
         lo, hi = self.bounds[p]
         rb = self.rescale_bounds[p]
@@ -400,31 +439,37 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         log_j = np.log(hi - lo) - np.log(rb[1] - rb[0])
         return out, log_j * np.ones_like(out)
 
-    def update(self, x) -> None:
+    def update_bounds(self, x, x_prime=None) -> None:
+        """Update the data-driven bounds (no-op with a debug log when
+        updates are disabled). Reference:
+        ``nessai/reparameterisations/rescale.py:699-717``."""
+        if self._update:
+            for p in self.parameters:
+                vals, _ = self._apply_pre(np.asarray(x[p], dtype=float))
+                vals = vals - self.offsets[p]
+                self.bounds[p] = np.array([vals.min(), vals.max()])
+            logger.debug("New bounds: %s", self.bounds)
+        else:
+            logger.debug("Update bounds not enabled")
+
+    def update(self, x, x_prime=None) -> None:
         """Refresh data-driven bounds and reset edge detection.
 
-        Reference: ``nessai/reparameterisations/rescale.py:293,651``."""
-        if not self.update_bounds_enabled:
-            return
-        for p in self.parameters:
-            vals, _ = self._apply_pre(np.asarray(x[p], dtype=float))
-            vals = vals - self.offsets[p]
-            self.bounds[p] = np.array([vals.min(), vals.max()])
-        self._edges = {p: None for p in self.parameters}
-
-    update_bounds = update
+        Reference: ``nessai/reparameterisations/rescale.py:719-725``."""
+        self.update_bounds(x, x_prime=x_prime)
+        self.reset_inversion()
 
     def reset(self) -> None:
-        self._edges = {p: None for p in self.parameters}
-        self.bounds = {
-            p: self.pre_prior_bounds[p] - self.offsets[p]
-            for p in self.parameters
-        }
+        """Reset the inversion and the bounds. Reference:
+        ``nessai/reparameterisations/rescale.py:727-733``."""
+        self.reset_inversion()
+        self.set_bounds(self.prior_bounds)
 
     def reset_inversion(self) -> None:
         """Clear detected edges only. Reference:
-        ``nessai/reparameterisations/rescale.py:690``."""
-        self._edges = {p: None for p in self.parameters}
+        ``nessai/reparameterisations/rescale.py:674-677``."""
+        if self._edges:
+            self._edges = {p: None for p in self.parameters}
 
     def set_bounds(self, prior_bounds: dict) -> None:
         """Set bounds explicitly from prior bounds. Reference:
@@ -443,7 +488,7 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         for p, pp in zip(self.parameters, self.prime_parameters):
             vals, lj_pre = self._apply_pre(np.asarray(x[p], dtype=float))
             vals = vals - self.offsets[p]
-            if p in self.boundary_inversion:
+            if self.boundary_inversion and p in self.boundary_inversion:
                 (
                     x,
                     x_prime,
@@ -508,14 +553,14 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
     def inverse_reparameterise(self, x, x_prime, log_j, **kwargs):
         for p, pp in zip(self.parameters, self.prime_parameters):
             vals = np.asarray(x_prime[pp], dtype=float).copy()
-            if p in self.boundary_inversion and self._edges.get(p):
+            if self._inversion_types and p in self._inversion_types and self._edges.get(p):
                 vals = np.abs(vals)
                 if self._edges[p] == "upper":
                     vals = 1.0 - vals
                 lo, hi = self.bounds[p]
                 out = vals * (hi - lo) + lo
                 lj = np.log(hi - lo) * np.ones_like(out)
-            elif p in self.boundary_inversion:
+            elif self._inversion_types and p in self._inversion_types:
                 # no edge detected: mirror of the plain [-1, 1] rescale
                 # (reference ``rescale.py:597-601``)
                 lo, hi = self.bounds[p]
@@ -543,7 +588,7 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         pre_inv, post_inv = fns
         params = tuple(self.parameters)
         primes = tuple(self.prime_parameters)
-        inversion = tuple(p in self.boundary_inversion for p in params)
+        inversion = tuple(p in self._inversion_types for p in params)
 
         def fn(cols, c):
             import jax.numpy as jnp
@@ -609,8 +654,8 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         )
         edge = jnp.asarray(
             [
-                2 if self._edges.get(p) == "upper"
-                else (1 if self._edges.get(p) else 0)
+                2 if (self._edges or {}).get(p) == "upper"
+                else (1 if (self._edges or {}).get(p) else 0)
                 for p in self.parameters
             ],
             jnp.int32,

@@ -565,12 +565,30 @@ class TestRound3KwargParity:
         assert m.vectorised_prior is False
         assert m.vectorised_prior_unit_hypercube is False
 
-    def test_compute_evidence_ratio_deprecated_alias(self):
+    def test_compute_evidence_ratio_deprecated_alias(self, rng):
+        import numpy.lib.recfunctions as rfn
+
         from nessai_tpu.evidence import _INSIntegralState
+        from nessai_tpu.livepoint import numpy_array_to_live_points
+
+        def samples(n):
+            x = numpy_array_to_live_points(
+                rng.standard_normal((n, 2)), ["x", "y"]
+            )
+            x = rfn.append_fields(
+                x,
+                ["logW", "logQ"],
+                [rng.standard_normal(n), rng.standard_normal(n)],
+                usemask=False,
+            )
+            x["logL"] = rng.standard_normal(n)
+            return x
 
         s = _INSIntegralState()
+        s.update_evidence(samples(4), live_points=samples(2))
         with pytest.warns(DeprecationWarning, match="deprecated"):
-            s.compute_evidence_ratio()
+            out = s.compute_evidence_ratio()
+        assert out == s.compute_log_evidence_ratio()
 
     def test_ins_plot_extra_state_method(self, model, tmp_path):
         from nessai_tpu.samplers.importancesampler import (

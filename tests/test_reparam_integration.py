@@ -78,6 +78,9 @@ def test_affine_style_specs(spec, tmp_path, rng):
         reparams = {"x": spec, "y": spec}
     p = _make_proposal(model, reparams, tmp_path, rng)
     x = model.new_point(N=32)
+    # production always updates state before rescaling (z-score estimates
+    # are reset to identity by verify_rescaling's final reset)
+    p.check_state(x)
     x_prime, log_j = p.rescale(x)
     x_back, log_j_inv = p.inverse_rescale(x_prime)
     keep = slice(0, len(x))

@@ -225,7 +225,7 @@ def test_rtb_unknown_inversion_type():
 
 
 def test_rtb_detect_edges_requires_inversion():
-    with pytest.raises(RuntimeError, match="detect_edges requires"):
+    with pytest.raises(RuntimeError, match="Must enable boundary inversion"):
         RescaleToBounds(
             parameters=["x"],
             prior_bounds={"x": [0, 1]},
@@ -233,19 +233,26 @@ def test_rtb_detect_edges_requires_inversion():
         )
 
 
-def test_rtb_boundary_inversion_string_and_true():
+def test_rtb_boundary_inversion_list_and_true():
     r1 = RescaleToBounds(
         parameters=["x", "y"],
         prior_bounds={"x": [0, 1], "y": [0, 1]},
-        boundary_inversion="x",
+        boundary_inversion=["x"],
     )
-    assert r1.boundary_inversion == ["x"]
+    assert r1.boundary_inversion == {"x": "split"}
     r2 = RescaleToBounds(
         parameters=["x", "y"],
         prior_bounds={"x": [0, 1], "y": [0, 1]},
         boundary_inversion=True,
     )
-    assert r2.boundary_inversion == ["x", "y"]
+    assert r2.boundary_inversion == {"x": "split", "y": "split"}
+    # reference rejects strings (``rescale.py:440-444``)
+    with pytest.raises(TypeError, match="list, dict or bool"):
+        RescaleToBounds(
+            parameters=["x", "y"],
+            prior_bounds={"x": [0, 1], "y": [0, 1]},
+            boundary_inversion="x",
+        )
 
 
 # ----------------------------------------------------------------------
@@ -297,9 +304,20 @@ def test_rtb_update_bounds_from_data():
     np.testing.assert_allclose(x_out["x"], x["x"], atol=1e-10)
 
 
-def test_rtb_update_bounds_alias():
-    r = RescaleToBounds(parameters=["x"], prior_bounds={"x": [0, 1]})
-    assert r.update_bounds == r.update
+def test_rtb_update_does_not_reset_edges_via_update_bounds():
+    """``update_bounds`` only updates bounds; ``update`` also resets the
+    inversion (reference ``rescale.py:699-725``)."""
+    r = RescaleToBounds(
+        parameters=["x"],
+        prior_bounds={"x": [0, 1]},
+        boundary_inversion=True,
+    )
+    r._edges = {"x": "lower"}
+    x = _x(["x"], np.random.default_rng(0).random((10, 1)))
+    r.update_bounds(x)
+    assert r._edges == {"x": "lower"}
+    r.update(x)
+    assert r._edges == {"x": None}
 
 
 def test_rtb_reset_restores_prior_bounds():
@@ -543,7 +561,7 @@ def test_rtb_boundary_inversion_dict_per_param_types():
         boundary_inversion={"x": "duplicate", "y": "split"},
         rng=rng,
     )
-    assert r.boundary_inversion == ["x", "y"]
+    assert r.boundary_inversion == {"x": "duplicate", "y": "split"}
     assert r._inversion_types == {"x": "duplicate", "y": "split"}
     x = _x(
         ["x", "y"],
