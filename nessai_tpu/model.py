@@ -783,34 +783,54 @@ class Model(ABC):
             b = self.bounds.get(n)
             if b is None or len(b) != 2:
                 raise ModelError(f"Bounds for {n} are invalid: {b}")
-            if not np.isfinite(b).all():
-                raise ModelError(f"Bounds for {n} are not finite: {b}")
             if b[1] <= b[0]:
                 raise ModelError(f"Bounds for {n} are not ordered: {b}")
-        # check the prior on a raw box draw first: new_point itself
-        # rejection-samples on the prior, so a broken log_prior must be
-        # reported as a ModelError, not a crash inside new_point
         rng = self._require_rng()
-        log_p = -np.inf
-        counter = 0
-        while log_p == -np.inf or log_p == np.inf:
-            arr = rng.uniform(
-                self.lower_bounds, self.upper_bounds, (1, self.dims)
+        finite_bounds = (
+            np.isfinite(self.lower_bounds).all()
+            and np.isfinite(self.upper_bounds).all()
+        )
+        if finite_bounds and not self.has_discrete_parameters:
+            # check the prior on a raw box draw first: new_point itself
+            # rejection-samples on the prior, so a broken log_prior must
+            # be reported as a ModelError, not a crash inside new_point
+            # (reference ``nessai/model.py:833-852``)
+            log_p = -np.inf
+            counter = 0
+            while log_p == -np.inf or log_p == np.inf:
+                arr = rng.uniform(
+                    self.lower_bounds, self.upper_bounds, (1, self.dims)
+                )
+                probe = numpy_array_to_live_points(arr, self.names)
+                try:
+                    log_p = self.log_prior(probe)
+                except Exception as e:
+                    raise ModelError(f"Log-prior raised an error: {e}")
+                if log_p is None:
+                    raise ModelError("Log-prior returned None")
+                log_p = float(np.asarray(log_p).flatten()[0])
+                counter += 1
+                if counter == 1000:
+                    raise ModelError(
+                        "Could not draw a valid point from within the "
+                        "prior bounds after 1000 tries, check the log "
+                        "prior function."
+                    )
+        else:
+            # infinite bounds and/or discrete parameters: the box probe
+            # cannot hit the support — rely on new_point instead
+            # (reference ``nessai/model.py:853-865``)
+            logger.warning(
+                "Model has infinite bound(s) and/or discrete parameters"
             )
-            probe = numpy_array_to_live_points(arr, self.names)
+            logger.warning("Testing with `new_point`")
             try:
-                log_p = self.log_prior(probe)
+                probe = self.new_point(1)
+                self.log_prior(probe)
             except Exception as e:
-                raise ModelError(f"Log-prior raised an error: {e}")
-            if log_p is None:
-                raise ModelError("Log-prior returned None")
-            log_p = float(np.asarray(log_p).flatten()[0])
-            counter += 1
-            if counter == 1000:
-                # reference: ``nessai/model.py:843-852``
                 raise ModelError(
-                    "Could not draw a valid point from within the prior "
-                    "bounds after 1000 tries, check the log prior function."
+                    "Could not draw a new point and compute the log "
+                    f"prior with error: {e}. \n Check the prior bounds."
                 )
         x = self.new_point()
         log_p = self.log_prior(x)

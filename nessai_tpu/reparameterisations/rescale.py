@@ -19,35 +19,86 @@ from .base import Reparameterisation
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["ScaleAndShift", "Rescale", "RescaleToBounds"]
+__all__ = [
+    "PrePostRescalingMixin",
+    "ScaleAndShift",
+    "Rescale",
+    "RescaleToBounds",
+]
 
 
-class PrePostMixin:
+class PrePostRescalingMixin:
     """Optional elementwise pre/post rescaling functions with log-Jacobians
     (logit, log, gaussian_cdf, ...). Reference:
     ``nessai/reparameterisations/rescale.py:24-116``."""
 
-    pre_rescaling = None
-    post_rescaling = None
     #: Names of the pre/post rescalings when given as registry strings
     #: (None for custom callables) — required for the jittable inverse.
     pre_rescaling_name = None
     post_rescaling_name = None
+    has_pre_rescaling = False
+    has_post_rescaling = False
 
-    def _set_rescaling(self, attr, value):
-        setattr(self, attr + "_name", value if isinstance(value, str) else None)
+    # Identity defaults (reference ``rescale.py:38-52``); configuring a
+    # rescaling shadows these with instance attributes.
+    def pre_rescaling(self, x):
+        """Function applied before the main rescaling."""
+        return x.copy(), np.zeros_like(x)
+
+    def pre_rescaling_inv(self, x):
+        """Inverse of the function applied before the main rescaling."""
+        return x.copy(), np.zeros_like(x)
+
+    def post_rescaling(self, x):
+        """Function applied after the main rescaling."""
+        return x, np.zeros_like(x)
+
+    def post_rescaling_inv(self, x):
+        """Inverse of the function applied after the main rescaling."""
+        return x, np.zeros_like(x)
+
+    def _configure_rescaling(self, label, attr, value):
         if value is None:
-            setattr(self, attr, None)
+            setattr(self, "has_" + attr, False)
             return
         if isinstance(value, str):
             pair = rescaling_functions.get(value)
             if pair is None:
                 raise RuntimeError(f"Unknown rescaling function: {value}")
-            setattr(self, attr, pair)
+            setattr(self, attr, pair[0])
+            setattr(self, attr + "_inv", pair[1])
+            setattr(self, attr + "_name", value)
         elif isinstance(value, (tuple, list)) and len(value) == 2:
-            setattr(self, attr, tuple(value))
+            setattr(self, attr, value[0])
+            setattr(self, attr + "_inv", value[1])
+            setattr(self, attr + "_name", None)
         else:
-            raise RuntimeError(f"Invalid rescaling: {value}")
+            raise RuntimeError(
+                f"{label} must be a str or tuple of two functions, "
+                f"got: {value}"
+            )
+        setattr(self, "has_" + attr, True)
+
+    def configure_pre_rescaling(self, pre_rescaling):
+        """Configure the rescaling applied before the main rescaling.
+
+        Reference: ``nessai/reparameterisations/rescale.py:54-83``."""
+        self._configure_rescaling(
+            "Pre-rescaling", "pre_rescaling", pre_rescaling
+        )
+
+    def configure_post_rescaling(self, post_rescaling):
+        """Configure the rescaling applied after the main rescaling.
+
+        Reference: ``nessai/reparameterisations/rescale.py:85-114``."""
+        self._configure_rescaling(
+            "Post-rescaling", "post_rescaling", post_rescaling
+        )
+
+    # back-compat shim for the original internal name
+    def _set_rescaling(self, attr, value):
+        label = "Pre-rescaling" if attr == "pre_rescaling" else "Post-rescaling"
+        self._configure_rescaling(label, attr, value)
 
     def _jax_pre_post_inverses(self):
         """(pre_inv, post_inv) jittable functions, or None if a custom
@@ -55,11 +106,11 @@ class PrePostMixin:
         from ..utils.rescaling import get_jax_rescaling
 
         fns = []
-        for fn, name in (
-            (self.pre_rescaling, self.pre_rescaling_name),
-            (self.post_rescaling, self.post_rescaling_name),
+        for has, name in (
+            (self.has_pre_rescaling, self.pre_rescaling_name),
+            (self.has_post_rescaling, self.post_rescaling_name),
         ):
-            if fn is None:
+            if not has:
                 fns.append(None)
             elif name is None:
                 return None
@@ -71,24 +122,28 @@ class PrePostMixin:
         return tuple(fns)
 
     def _apply_pre(self, x):
-        if self.pre_rescaling is None:
+        if not self.has_pre_rescaling:
             return x, np.zeros_like(x)
-        return self.pre_rescaling[0](x)
+        return self.pre_rescaling(x)
 
     def _apply_pre_inv(self, x):
-        if self.pre_rescaling is None:
+        if not self.has_pre_rescaling:
             return x, np.zeros_like(x)
-        return self.pre_rescaling[1](x)
+        return self.pre_rescaling_inv(x)
 
     def _apply_post(self, x):
-        if self.post_rescaling is None:
+        if not self.has_post_rescaling:
             return x, np.zeros_like(x)
-        return self.post_rescaling[0](x)
+        return self.post_rescaling(x)
 
     def _apply_post_inv(self, x):
-        if self.post_rescaling is None:
+        if not self.has_post_rescaling:
             return x, np.zeros_like(x)
-        return self.post_rescaling[1](x)
+        return self.post_rescaling_inv(x)
+
+
+#: Back-compat alias for the original class name
+PrePostMixin = PrePostRescalingMixin
 
 
 class ScaleAndShift(Reparameterisation, PrePostMixin):
@@ -173,7 +228,7 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
         ``x = x' * scale + shift`` when this reparameterisation is purely
         affine (no pre/post rescaling); else None. Used by the fused
         device-side populate path."""
-        if self.pre_rescaling is not None or self.post_rescaling is not None:
+        if self.has_pre_rescaling or self.has_post_rescaling:
             return None
         return {
             p: (float(self.scale[p]), float(self.shift[p]))

@@ -54,6 +54,7 @@ def test_basic_gw_example_capped(tmp_path):
     from nessai_tpu.flowsampler import FlowSampler
 
     model = BasicGWModel()
+    model.set_rng(np.random.default_rng(0))
     assert model.has_jax_likelihood
     # jax and numpy likelihoods agree
     x = model.new_point(8)

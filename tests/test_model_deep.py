@@ -102,7 +102,9 @@ def test_bounds_entry_wrong_length_rejected_on_assignment():
 @pytest.mark.parametrize(
     "bad_bounds, match",
     [
-        ({"x": [0.0, np.inf], "y": [-1, 1]}, "finite"),
+        # infinite bounds fall back to the new_point probe (reference
+        # ``model.py:853-865``), which fails for the default new_point
+        ({"x": [0.0, np.inf], "y": [-1, 1]}, "Could not draw a new point"),
         ({"x": [1.0, -1.0], "y": [-1, 1]}, "ordered"),
     ],
 )

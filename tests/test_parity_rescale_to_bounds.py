@@ -191,7 +191,11 @@ def test_post_rescaling_with_logit_update_bounds(rescaling):
 
 
 def test_update_bounds_disabled(rng, caplog):
-    caplog.set_level("DEBUG")
+    # scope to the module logger: configure_logger in other tests raises
+    # the package logger level above DEBUG
+    caplog.set_level(
+        "DEBUG", logger="nessai_tpu.reparameterisations.rescale"
+    )
     reparam = make(update_bounds=False)
     old = {p: np.array(reparam.bounds[p]).copy() for p in PARAMETERS}
     reparam.update_bounds(new_points(rng))

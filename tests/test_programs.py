@@ -79,6 +79,7 @@ def test_model_fingerprint_shares_likelihood_program():
     m1 = IntegrationTestModel(2)
     m2 = IntegrationTestModel(2)
     assert m1.program_fingerprint == m2.program_fingerprint
+    m1.set_rng(np.random.default_rng(0))
     x = m1.new_point(8)
     np.testing.assert_allclose(
         m1.batch_evaluate_log_likelihood(x),

@@ -249,16 +249,18 @@ def test_reparameterisation_base_validation_errors():
         Reparameterisation()
     with pytest.raises(TypeError, match="str or list of str"):
         Reparameterisation(parameters=[1, 2])
-    with pytest.raises(RuntimeError, match="dict for multiple"):
-        Reparameterisation(parameters=["a", "b"], prior_bounds=[0, 1])
-    with pytest.raises(RuntimeError, match="Mismatched"):
-        Reparameterisation(
-            parameters=["a", "b"], prior_bounds={"a": [0, 1]}
-        )
+    # reference assigns a len-2 list to the first parameter; bounds only
+    # need to cover all parameters when the prior must be bounded
+    r = Reparameterisation(parameters=["a", "b"], prior_bounds=[0, 1])
+    assert set(r.prior_bounds) == {"a"}
+    r = Reparameterisation(parameters=["a", "b"], prior_bounds={"a": [0, 1]})
+    assert set(r.prior_bounds) == {"a"}
 
     class NeedsBounds(Reparameterisation):
         requires_bounded_prior = True
 
+    with pytest.raises(RuntimeError, match="Mismatch"):
+        NeedsBounds(parameters=["a", "b"], prior_bounds={"a": [0, 1]})
     with pytest.raises(RuntimeError, match="requires prior bounds"):
         NeedsBounds(parameters=["a"])
 

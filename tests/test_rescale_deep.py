@@ -161,7 +161,7 @@ def test_scale_and_shift_unknown_rescaling():
 
 
 def test_scale_and_shift_invalid_rescaling_type():
-    with pytest.raises(RuntimeError, match="Invalid rescaling"):
+    with pytest.raises(RuntimeError, match="must be a str or tuple"):
         ScaleAndShift(
             parameters="x",
             prior_bounds={"x": [0, 1]},

@@ -260,7 +260,6 @@ class TestCornerPlotSignature:
         matplotlib.use("Agg")
         from nessai_tpu.plot import corner_plot
 
-        model.set_rng(rng)
         x = model.new_point(N=64)
         x["logL"] = rng.normal(size=64)
         fig = corner_plot(x, include=["x_0", "x_1"])

@@ -154,9 +154,10 @@ def test_model_counters_and_chunksize(model):
 
 
 def test_model_new_point_log_prob(model):
+    """Constant proposal density: zeros (reference ``model.py:421-439``)."""
     x = model.new_point(5)
     lp = model.new_point_log_prob(x)
-    np.testing.assert_allclose(lp, model.log_prior(x))
+    np.testing.assert_allclose(lp, np.zeros(5))
 
 
 def test_model_sample_unit_hypercube(model):
