@@ -10,6 +10,7 @@ host (structured numpy) → device (jitted flow) → host exactly once per
 batch; everything between is fused XLA.
 """
 
+import inspect
 import logging
 import os
 import re
@@ -25,6 +26,8 @@ from ...livepoint import (
     live_points_to_array,
 )
 from ...reparameterisations import (
+    parse_reparameterisations,
+    resolve_reparameterisation_parameters,
     CombinedReparameterisation,
     get_reparameterisation,
 )
@@ -38,6 +41,10 @@ __all__ = ["BaseFlowProposal"]
 class BaseFlowProposal(RejectionProposal):
     """Base class for proposals that sample from a normalising flow
     trained on the current live points."""
+
+    #: Whether :meth:`add_default_reparameterisations` is applied
+    #: (reference ``flowproposal/base.py:95``); subclasses may flip this.
+    use_default_reparameterisations = False
 
     def __init__(
         self,
@@ -73,6 +80,10 @@ class BaseFlowProposal(RejectionProposal):
         self.check_acceptance = check_acceptance
         self.save_training_data = save_training_data
         self.reparameterisations = reparameterisations
+        if use_default_reparameterisations is not None:
+            self.use_default_reparameterisations = (
+                use_default_reparameterisations
+            )
         self.fallback_reparameterisation = fallback_reparameterisation
         self.reverse_reparameterisations = reverse_reparameterisations
         self.map_to_unit_hypercube = map_to_unit_hypercube
@@ -217,7 +228,8 @@ class BaseFlowProposal(RejectionProposal):
 
     def add_default_reparameterisations(self) -> None:
         """Hook for subclasses to add reparameterisations that are
-        assumed by default; called before the user spec is processed.
+        assumed by default; applied after the user spec when
+        :attr:`use_default_reparameterisations` is True.
         Reference: ``flowproposal/base.py:437-439``."""
         logger.debug("No default reparameterisations")
 
@@ -227,85 +239,125 @@ class BaseFlowProposal(RejectionProposal):
             return {n: np.array([0.0, 1.0]) for n in self.model.names}
         return {n: np.asarray(self.model.bounds[n], float) for n in self.model.names}
 
+    def get_reparameterisation(self, name):
+        """Get the reparameterisation from the name (subclass hook).
+
+        Reference: ``flowproposal/base.py:441-443``."""
+        return get_reparameterisation(name)
+
+    def _get_prior_bounds_for_parameters(self, parameters):
+        """Prior bounds restricted to model parameters (None if empty).
+
+        Reference: ``flowproposal/base.py:445-460``."""
+        bounds = self.prior_bounds
+        if isinstance(parameters, list):
+            prior_bounds = {
+                p: bounds[p] for p in parameters if p in bounds
+            }
+        elif parameters in bounds:
+            prior_bounds = {parameters: bounds[parameters]}
+        else:
+            prior_bounds = {}
+        return prior_bounds or None
+
+    def get_reparameterisation_from_spec(self, spec):
+        """Resolve a :class:`ReparameterisationSpec` to (class, config).
+
+        Reference: ``flowproposal/base.py:462-510``."""
+        try:
+            rc, config = self.get_reparameterisation(
+                spec.reparameterisation
+            )
+        except ValueError:
+            raise RuntimeError(
+                f"{spec.source_key} is not a parameter in the model or a "
+                "known reparameterisation"
+            )
+        config.update(spec.kwargs)
+
+        if spec.source_is_parameter:
+            config["parameters"] = spec.input_parameters
+        else:
+            parameters = resolve_reparameterisation_parameters(
+                spec.input_parameters,
+                available_parameters=list(
+                    dict.fromkeys(
+                        list(self.model.names)
+                        + list(self._reparameterisation.parameters)
+                        + list(self._reparameterisation.prime_parameters)
+                    )
+                ),
+            )
+            if parameters is not None:
+                config["parameters"] = parameters
+            else:
+                logger.warning(
+                    "Reparameterisation might be missing input parameters!"
+                )
+
+        # accept both spellings from user kwargs
+        if "input_parameters" in config:
+            config["parameters"] = config.pop("input_parameters")
+        if not config.get("parameters"):
+            raise RuntimeError(
+                "No input_parameters key in the config! "
+                "Check reparameterisations, setting logging"
+                " level to DEBUG can be helpful"
+            )
+        return rc, config
+
+    def instantiate_reparameterisation_from_spec(self, spec):
+        """Instantiate a reparameterisation from a spec.
+
+        Reference: ``flowproposal/base.py:512-526``."""
+        rc, config = self.get_reparameterisation_from_spec(spec)
+        config.setdefault(
+            "prior_bounds",
+            self._get_prior_bounds_for_parameters(config["parameters"]),
+        )
+        sig = inspect.signature(rc.__init__)
+        if "rng" in sig.parameters:
+            config.setdefault("rng", self.rng)
+        logger.debug(
+            "Instantiating %s with config: %s", rc.__name__, config
+        )
+        return rc(**config)
+
     def configure_reparameterisations(self, reparameterisations) -> None:
         """Build the CombinedReparameterisation from the user spec.
 
-        Spec forms accepted (reference ``flowproposal/base.py:578-633`` and
-        ``reparameterisations/utils.py:236``):
+        Spec forms accepted (reference ``flowproposal/base.py:528-583``
+        via ``reparameterisations/utils.py``):
         - None: fallback reparameterisation applied to every parameter;
         - str: that reparameterisation applied to every parameter;
         - dict mapping parameter -> str | dict(reparameterisation=...,
-          **kwargs), or reparameterisation-name -> {parameters: [...],
-          **kwargs}. Parameter keys may be regex patterns.
+          **kwargs) | list of chained specs, or reparameterisation-name /
+          label -> {parameters: [...], **kwargs}. Parameter keys may be
+          regex patterns; parameter values may be regex patterns.
         """
         self._reparameterisation = CombinedReparameterisation(
             reverse_order=self.reverse_reparameterisations
         )
-        # subclass hook (reference flowproposal/base.py:603)
-        self.add_default_reparameterisations()
-        bounds = self.prior_bounds
         names = list(self.model.names)
+
+        specs = parse_reparameterisations(
+            reparameterisations,
+            model_names=names,
+            class_name=type(self).__name__,
+        )
         assigned = {}
-        specs = []
-
-        if reparameterisations is None:
-            reparameterisations = {}
-        elif isinstance(reparameterisations, str):
-            reparameterisations = {
-                reparameterisations: {"parameters": list(names)}
-            }
-
-        for key, value in reparameterisations.items():
-            if key in names or any(
-                re.fullmatch(key, n) for n in names
-            ):
-                # key is a parameter (or regex over parameters)
-                matched = (
-                    [key]
-                    if key in names
-                    else [n for n in names if re.fullmatch(key, n)]
-                )
-                if isinstance(value, str) or value is None:
-                    name, kwargs = value, {}
-                elif isinstance(value, dict):
-                    kwargs = dict(value)
-                    name = kwargs.pop("reparameterisation", None)
-                else:
-                    name, kwargs = value, {}
-                for p in matched:
-                    specs.append((name, [p], dict(kwargs)))
-            else:
-                # key is a reparameterisation name, or an arbitrary
-                # label when the value specifies 'reparameterisation'
-                # (e.g. {"sky": {"reparameterisation": "angle-pair",
-                # "parameters": ["ra", "dec"]}} — reference
-                # ``reparameterisations/utils.py:236``)
-                kwargs = dict(value or {})
-                name = kwargs.pop("reparameterisation", key)
-                params = kwargs.pop("parameters", None)
-                if params is None:
-                    raise RuntimeError(
-                        f"Must specify parameters for {key}"
-                    )
-                if isinstance(params, str):
-                    params = [params]
-                matched = []
-                for p in params:
-                    if p in names:
-                        matched.append(p)
-                    else:
-                        matched += [n for n in names if re.fullmatch(p, n)]
-                specs.append((name, matched, kwargs))
-
-        for name, params, kwargs in specs:
-            cls, default_kwargs = get_reparameterisation(name)
-            default_kwargs.update(kwargs)
-            default_kwargs.setdefault(
-                "prior_bounds", {p: bounds[p] for p in params}
-            )
-            r = cls(parameters=params, rng=self.rng, **default_kwargs)
+        for spec in specs:
+            r = self.instantiate_reparameterisation_from_spec(spec)
             self._reparameterisation.add_reparameterisation(r)
-            for p in params:
+            for p in r.parameters:
+                assigned[p] = True
+
+        # subclass hook, applied after the user specs
+        # (reference flowproposal/base.py:602-603)
+        if self.use_default_reparameterisations:
+            before = set(self._reparameterisation.parameters)
+            self.add_default_reparameterisations()
+            for p in set(self._reparameterisation.parameters) - before:
                 assigned[p] = True
 
         # fallback for unassigned parameters
@@ -315,7 +367,8 @@ class BaseFlowProposal(RejectionProposal):
                 self.fallback_reparameterisation
             )
             kwargs.setdefault(
-                "prior_bounds", {p: bounds[p] for p in remaining}
+                "prior_bounds",
+                self._get_prior_bounds_for_parameters(remaining),
             )
             r = cls(parameters=remaining, rng=self.rng, **kwargs)
             self._reparameterisation.add_reparameterisation(r)

@@ -9,10 +9,17 @@ from .combined import CombinedReparameterisation
 from .discrete import Dequantise
 from .null import NullReparameterisation
 from .rescale import Rescale, RescaleToBounds, ScaleAndShift
+from .rescale import PrePostRescalingMixin  # noqa: F401
 from .utils import (
     KnownReparameterisation,
     ReparameterisationDict,
+    ReparameterisationError,
+    ReparameterisationSpec,
+    build_reparameterisation_spec,
     get_reparameterisation,
+    normalise_reparameterisation_spec,
+    parse_reparameterisations,
+    resolve_reparameterisation_parameters,
 )
 
 __all__ = [
@@ -27,7 +34,14 @@ __all__ = [
     "RescaleToBounds",
     "ScaleAndShift",
     "KnownReparameterisation",
+    "PrePostRescalingMixin",
+    "ReparameterisationError",
+    "ReparameterisationSpec",
+    "build_reparameterisation_spec",
     "get_reparameterisation",
+    "normalise_reparameterisation_spec",
+    "parse_reparameterisations",
+    "resolve_reparameterisation_parameters",
     "default_reparameterisations",
 ]
 

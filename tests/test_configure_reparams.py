@@ -166,7 +166,12 @@ def test_name_key_missing_parameters_raises(sky_model, tmp_path, rng):
 
 
 def test_unknown_name_raises(sky_model, tmp_path, rng):
-    with pytest.raises(ValueError, match="Unknown reparameterisation"):
+    # reference wraps the registry lookup error
+    # (``flowproposal/base.py:462-471``)
+    with pytest.raises(
+        RuntimeError,
+        match="not a parameter in the model or a known reparameterisation",
+    ):
         _proposal(
             sky_model,
             {"widget": {"parameters": ["q_0"]}},
