@@ -160,9 +160,11 @@ class FlowModel:
         rng=None,
         mesh=None,
     ):
+        if output is None:
+            # reference ``flowmodel/base.py:56-57``
+            output = os.getcwd()
         self.output = output
-        if self.output is not None:
-            os.makedirs(self.output, exist_ok=True)
+        os.makedirs(self.output, exist_ok=True)
         self.flow_config: FlowConfig = update_flow_config(flow_config)
         self.training_config: TrainingConfig = update_training_config(
             training_config
@@ -432,8 +434,15 @@ class FlowModel:
 
         if batch_size is None:
             batch_size = self.check_batch_size(n_train)
-        else:
+        elif batch_size == "all":
+            batch_size = _bucket_size(n_train, minimum=32)
+        elif isinstance(batch_size, int) and not isinstance(batch_size, bool):
+            if batch_size == 1:
+                raise ValueError("Cannot use a batch size of 1!")
             batch_size = int(min(batch_size, n_train))
+        else:
+            # reference ``flowmodel/base.py:330-335``
+            raise RuntimeError(f"Unknown batch size: {batch_size}")
         noise_sigma = self._noise_sigma(samples[:n_train])
 
         def pad_to(x_arr, w_arr, c_arr, sig, size):
@@ -1097,13 +1106,30 @@ class FlowModel:
             "lp", lambda p, x, c: self.flow.log_prob(p, x, c), x, conditional
         )
 
+    def _check_initialised(self):
+        if self.flow is None:
+            raise RuntimeError(
+                "Model is not initialised yet, call initialise() first"
+            )
+
+    @staticmethod
+    def _pad_conditional(conditional, n, bucket):
+        """Pad a [n, c] conditional to the bucketed batch size by
+        repeating the first row (sliced away with the outputs)."""
+        if conditional is None:
+            return None
+        c = np.asarray(conditional, np.float32)
+        return _pad_rows(c, bucket)
+
     def sample(self, n: int = 1, conditional=None):
+        self._check_initialised()
         bucket = _bucket_size(int(n))
         fn = self._jit(
             ("sample", bucket),
             lambda p, k, c: self.flow.sample(p, k, bucket, c),
         )
-        out = fn(self.params, self.next_key(), conditional)
+        c = self._pad_conditional(conditional, n, bucket)
+        out = fn(self.params, self.next_key(), c)
         return np.asarray(out, np.float64)[:n]
 
     def sample_and_log_prob(self, N: int = 1, z=None, alt_dist=None, conditional=None):
@@ -1112,13 +1138,15 @@ class FlowModel:
         distribution with a ``log_prob(z)`` method (used for temperature/
         truncated sampling). Reference: ``nessai/flowmodel/base.py:861``.
         """
+        self._check_initialised()
         if z is None:
             bucket = _bucket_size(int(N))
             fn = self._jit(
                 ("sample_lp", bucket),
                 lambda p, k, c: self.flow.sample_and_log_prob(p, k, bucket, c),
             )
-            x, lp = fn(self.params, self.next_key(), conditional)
+            c = self._pad_conditional(conditional, N, bucket)
+            x, lp = fn(self.params, self.next_key(), c)
             return (
                 np.asarray(x, np.float64)[:N],
                 np.asarray(lp, np.float64)[:N],

@@ -67,11 +67,13 @@ def test_flow_config_property_none_becomes_empty(model, tmp_path):
 
 
 def test_add_default_reparameterisations_hook(model, tmp_path, flow_config):
+    """The hook only runs when use_default_reparameterisations is True
+    and runs after the user specs (reference
+    ``flowproposal/base.py:602-603``)."""
     seen = []
 
     class Hooked(FlowProposal):
         def add_default_reparameterisations(self):
-            # the combined reparameterisation exists and is still empty
             seen.append(len(self._reparameterisation.parameters))
 
     fp = Hooked(
@@ -82,7 +84,21 @@ def test_add_default_reparameterisations_hook(model, tmp_path, flow_config):
         plot=False,
     )
     fp.initialise()
-    assert seen == [0]
+    # disabled by default
+    assert seen == []
+
+    fp2 = Hooked(
+        model,
+        output=str(tmp_path / "b"),
+        poolsize=10,
+        flow_config=flow_config,
+        plot=False,
+        use_default_reparameterisations=True,
+        reparameterisations={model.names[0]: "zscore"},
+    )
+    fp2.initialise()
+    # called once, after the user spec was applied
+    assert seen == [1]
 
 
 def test_inverse_rescale_return_unit_hypercube(model, tmp_path, flow_config):
