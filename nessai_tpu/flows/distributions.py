@@ -49,6 +49,8 @@ class MultivariateNormal(StandardNormal):
     def __init__(self, dim: int, var: float = 1.0):
         super().__init__(dim)
         self.var = float(var)
+        # reference attribute name (``nessai/flows/distributions.py:40``)
+        self._var = self.var
 
     def log_prob(self, params, z):
         return -0.5 * jnp.sum(z**2, axis=-1) / self.var - 0.5 * self.dim * (

@@ -61,14 +61,19 @@ def get_n_neurons(
         return 2 * n_inputs if n_inputs else default
     if isinstance(n_neurons, str):
         if n_inputs is None:
-            raise ValueError(f"n_inputs required for n_neurons={n_neurons!r}")
+            raise ValueError(
+                "Could not get number of neurons: n_inputs is required "
+                f"for n_neurons={n_neurons!r}"
+            )
         if n_neurons == "auto" or n_neurons == "double":
             return 2 * n_inputs
         if n_neurons == "equal":
             return n_inputs
         if n_neurons == "half":
             return max(n_inputs // 2, 1)
-        raise ValueError(f"Unknown n_neurons: {n_neurons}")
+        raise ValueError(
+            f"Could not get number of neurons: unknown value {n_neurons!r}"
+        )
     return int(n_neurons)
 
 
@@ -120,6 +125,10 @@ def get_base_distribution(n_inputs: int, distribution, **kwargs):
         return _make_base_distribution(
             distribution.lower(), n_inputs, kwargs or None
         )
+    if isinstance(distribution, type):
+        # a class: instantiate with the dimension and kwargs
+        # (reference ``flows/utils.py:74-78``)
+        return distribution(n_inputs, **kwargs)
     return distribution
 
 
@@ -127,7 +136,7 @@ def get_native_flow_class(name: str):
     name = name.lower()
     if name not in _BUILDERS:
         raise ValueError(
-            f"Unknown flow type: {name}. Known: {sorted(_BUILDERS)}"
+            f"Unknown flow: {name}. Known flows are: {sorted(_BUILDERS)}"
         )
     return _BUILDERS[name]
 
@@ -184,8 +193,16 @@ def configure_model(config: dict):
     config = copy.deepcopy(config)
     dim = config.get("n_inputs")
     if not isinstance(dim, int):
-        raise TypeError("Must specify an integer number of inputs (n_inputs)")
-    ftype = config.get("ftype", "realnvp").lower()
+        raise TypeError(
+            f"Number of inputs (n_inputs) must be an int, got: {dim}"
+        )
+    ftype = config.get("ftype", "realnvp")
+    if ftype is None and config.get("flow") is None:
+        raise RuntimeError("Must specify either 'flow' or 'ftype'.")
+    ftype = (ftype or "realnvp").lower()
+    if "activation" in config:
+        # validate eagerly so a bad name fails here, not at build time
+        get_activation_function(config["activation"])
     n_blocks = config.get("n_blocks", 4)
     n_layers = config.get("n_layers", 2)
     n_neurons = get_n_neurons(config.get("n_neurons"), n_inputs=dim)
