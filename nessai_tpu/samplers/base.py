@@ -8,6 +8,7 @@ import datetime
 import logging
 import os
 import pickle
+import random
 import time
 from abc import ABC, abstractmethod
 from typing import Callable, Optional
@@ -50,11 +51,6 @@ class BaseNestedSampler(ABC):
         self.checkpoint_callback = checkpoint_callback
         self._last_checkpoint_time = time.time()
         self._last_checkpoint_iteration = 0
-        self.logging_interval = logging_interval
-        self.log_on_iteration = log_on_iteration
-        self._last_log_time = time.time()
-        self._last_log_iteration = 0
-
         self.configure_rng(seed=seed, rng=rng)
         if self.model.rng is None:
             self.model.set_rng(self.rng)
@@ -67,6 +63,7 @@ class BaseNestedSampler(ABC):
         self.history = None
 
         self.output = self.configure_output(output, resume_file)
+        self.configure_periodic_logging(logging_interval, log_on_iteration)
 
     # ------------------------------------------------------------------
     def configure_rng(self, seed=None, rng=None) -> None:
@@ -74,14 +71,16 @@ class BaseNestedSampler(ABC):
 
         Reference: ``nessai/samplers/base.py:186-222``.
         """
-        if rng is not None:
-            self.rng = rng
-            self.seed = seed
-        else:
-            if seed is None:
-                seed = int.from_bytes(os.urandom(4), "little")
-            self.seed = seed
-            self.rng = np.random.default_rng(seed)
+        if seed is None:
+            logger.debug("Seed not specified, generating random seed")
+            if rng is None:
+                seed = random.randint(0, 2**32 - 1)
+            else:
+                seed = int(rng.integers(0, 2**32 - 1))
+        self.seed = seed
+        if rng is None:
+            rng = np.random.default_rng(self.seed)
+        self.rng = rng
 
     def configure_output(self, output, resume_file=None) -> str:
         """Reference: ``nessai/samplers/base.py:224``."""
@@ -105,9 +104,31 @@ class BaseNestedSampler(ABC):
             output, os.path.basename(self.resume_file)
         )
 
+    def configure_periodic_logging(
+        self, logging_interval, log_on_iteration
+    ) -> None:
+        """Configure periodic logging (by iteration count or wall time);
+        with both disabled, falls back to logging on iteration every
+        ``nlive``. Reference: ``nessai/samplers/base.py:262-287``."""
+        self.logging_interval = logging_interval
+        self.log_on_iteration = log_on_iteration
+        if not self.logging_interval and not self.log_on_iteration:
+            logger.warning(
+                "All logging disabled. Enabling logging on iteration"
+            )
+            self.log_on_iteration = True
+        if self.log_on_iteration:
+            if self.logging_interval is None:
+                self.logging_interval = self.nlive
+            self._last_log = 0
+        else:
+            self._last_log = time.time()
+
     # ------------------------------------------------------------------
     @property
     def current_sampling_time(self):
+        if self.finalised:
+            return self.sampling_time
         return self.sampling_time + (
             datetime.datetime.now() - self.sampling_start_time
         )
@@ -119,6 +140,17 @@ class BaseNestedSampler(ABC):
     @property
     def total_likelihood_evaluations(self):
         return self.model.likelihood_evaluations
+
+    @property
+    def likelihood_calls(self):
+        """Alias of :attr:`total_likelihood_evaluations` (reference
+        ``samplers/base.py:139``)."""
+        return self.model.likelihood_evaluations
+
+    @property
+    def posterior_effective_sample_size(self):
+        """Defined by subclasses (reference ``samplers/base.py:144``)."""
+        raise NotImplementedError()
 
     # ------------------------------------------------------------------
     def initialise_history(self) -> None:
@@ -145,18 +177,16 @@ class BaseNestedSampler(ABC):
 
         Reference: ``nessai/samplers/base.py:224-273``.
         """
-        if not self.info_enabled:
-            return
         if self.log_on_iteration:
-            interval = self.logging_interval or self.nlive
-            if (self.iteration - self._last_log_iteration) >= interval:
-                self.log_state()
-                self._last_log_iteration = self.iteration
+            if (self.iteration - self._last_log) < self.logging_interval:
+                return
+            self._last_log = self.iteration
         else:
-            interval = self.logging_interval or 60
-            if (time.time() - self._last_log_time) >= interval:
-                self.log_state()
-                self._last_log_time = time.time()
+            now = time.time()
+            if (now - self._last_log) < (self.logging_interval or 60):
+                return
+            self._last_log = now
+        self.log_state()
 
     def log_state(self) -> None:
         logger.info("it: %s", self.iteration)
@@ -276,13 +306,19 @@ class BaseNestedSampler(ABC):
 
     def get_result_dictionary(self) -> dict:
         """Reference: ``nessai/samplers/base.py:438``."""
-        return dict(
+        from .. import __version__
+
+        d = dict(
+            version=__version__,
             seed=self.seed,
             sampling_time=self.sampling_time.total_seconds(),
             total_likelihood_evaluations=self.total_likelihood_evaluations,
             likelihood_evaluation_time=self.likelihood_evaluation_time.total_seconds(),
             history=self.history,
         )
+        if hasattr(self.model, "truth"):
+            d["truth"] = self.model.truth
+        return d
 
     # ------------------------------------------------------------------
     @abstractmethod
@@ -294,15 +330,18 @@ class BaseNestedSampler(ABC):
 
         Reference: ``nessai/samplers/base.py:458``.
         """
-        d = self.__dict__.copy()
-        d["_previous_likelihood_evaluations"] = (
-            self.model.likelihood_evaluations if self.model else 0
+        d = self.__dict__
+        # unlike the reference, proposals stay in the pickle (they carry
+        # the flow weights pointer needed by this package's resume path)
+        exclude = {"model", "checkpoint_callback"}
+        state = {k: d[k] for k in d.keys() - exclude}
+        model = d.get("model")
+        state["_previous_likelihood_evaluations"] = (
+            model.likelihood_evaluations if model else 0
         )
-        d["_previous_likelihood_evaluation_time"] = (
-            self.model.likelihood_evaluation_time.total_seconds()
-            if self.model
+        state["_previous_likelihood_evaluation_time"] = (
+            model.likelihood_evaluation_time.total_seconds()
+            if model
             else 0.0
         )
-        d["model"] = None
-        d["checkpoint_callback"] = None
-        return d
+        return state

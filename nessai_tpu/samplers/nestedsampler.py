@@ -171,7 +171,6 @@ class NestedSampler(BaseNestedSampler):
         self.completed_training = True
         self.uninformed_sampling = True
         self.training_time = datetime.timedelta()
-        self.likelihood_calls = 0
 
         # uninformed proposal configuration
         if maximum_uninformed is None:

@@ -280,11 +280,11 @@ def test_periodic_logging_by_time(tmp_path, model, caplog):
     ns = _make_ns(
         tmp_path, model, log_on_iteration=False, logging_interval=10_000
     )
-    ns._last_log_time = _time.time()
+    ns._last_log = _time.time()
     ns.periodically_log_state()
     # not due yet: nothing logged from log_state
     assert "it:" not in caplog.text
-    ns._last_log_time = _time.time() - 20_000
+    ns._last_log = _time.time() - 20_000
     ns.periodically_log_state()
     assert "it:" in caplog.text
 
