@@ -10,6 +10,7 @@ happens inside the proposal; this module is the host control plane.
 """
 
 import datetime
+from collections import deque
 import logging
 import math
 import os
@@ -115,7 +116,7 @@ class NestedSampler(BaseNestedSampler):
                 )
             flow_class = flow_proposal_class
         self.checkpoint_on_training = checkpoint_on_training
-        self.max_iteration = max_iteration
+        self.configure_max_iteration(max_iteration)
         self.acceptance_threshold = acceptance_threshold
         self.retrain_acceptance = retrain_acceptance
         self.train_on_empty = train_on_empty
@@ -139,12 +140,9 @@ class NestedSampler(BaseNestedSampler):
         self.stopping_criterion = StoppingCriterionRegistry.get(
             stopping_criterion, tolerance=stopping
         )
-        self.tolerance = self.stopping_criterion.tolerance
         self.condition = np.inf
 
-        if training_frequency in (None, "inf", "None"):
-            training_frequency = np.inf
-        self.training_frequency = training_frequency
+        self.configure_training_frequency(training_frequency)
 
         # state
         self.live_points = None
@@ -159,7 +157,7 @@ class NestedSampler(BaseNestedSampler):
         self.rolling_p = []
         self.final_p_value = None
         self.final_ks_statistic = None
-        self.acceptance_history = []
+        self.acceptance_history = deque(maxlen=(self.nlive // 10))
         self.block_acceptance = 1.0
         self.block_iteration = 0
         self.mean_block_acceptance = 1.0
@@ -242,13 +240,11 @@ class NestedSampler(BaseNestedSampler):
 
     @property
     def mean_acceptance(self) -> float:
-        """Rolling mean of the acceptance history. Reference:
-        ``nestedsampler.py:330``."""
+        """Mean acceptance of the last ``nlive // 10`` blocks.
+        Reference: ``nestedsampler.py:328-334``."""
         if not self.acceptance_history:
             return np.nan
-        from ..utils.stats import rolling_mean
-
-        return float(rolling_mean(np.asarray(self.acceptance_history))[-1])
+        return float(np.mean(self.acceptance_history))
 
     @property
     def proposal_population_time(self):
@@ -274,7 +270,9 @@ class NestedSampler(BaseNestedSampler):
 
     @property
     def acceptance(self) -> float:
-        return self.accepted / max(self.accepted + self.rejected, 1)
+        """Ratio of accepted iterations to likelihood evaluations.
+        Reference: ``nestedsampler.py:316-317``."""
+        return self.iteration / max(self.likelihood_calls, 1)
 
     @property
     def last_iteration_with_flow(self):
@@ -301,9 +299,16 @@ class NestedSampler(BaseNestedSampler):
     @property
     def birth_log_likelihoods(self):
         """logL threshold each nested sample was born at (for external
-        resampling tools)."""
-        ns = np.asarray(self.nested_samples)
-        return ns["it"]
+        resampling tools). Reference: ``nestedsampler.py:343-347``."""
+        logLs = np.array(self.state.logLs)
+        its = np.asarray(self.nested_samples)["it"]
+        return logLs[its].flatten()
+
+    @property
+    def tolerance(self):
+        """The stopping criterion tolerance. Reference:
+        ``nestedsampler.py:349-352``."""
+        return self.stopping_criterion.tolerance
 
     # ------------------------------------------------------------------
     # Initialisation
@@ -360,6 +365,23 @@ class NestedSampler(BaseNestedSampler):
         live_points["it"] = -np.ones(self.nlive)
         self.live_points = np.sort(live_points, order="logL")
         self.logLmax = float(self.live_points["logL"][-1])
+
+    def configure_max_iteration(self, max_iteration) -> None:
+        """Configure the maximum iteration (None disables the cap).
+        Reference: ``nestedsampler.py:354-368``."""
+        if max_iteration is None:
+            self.max_iteration = np.inf
+        else:
+            self.max_iteration = max_iteration
+
+    def configure_training_frequency(self, training_frequency) -> None:
+        """Configure how often the flow is retrained; None/'inf'/'None'
+        mean train on empty. Reference: ``nestedsampler.py:370-380``."""
+        if training_frequency in (None, "inf", "None"):
+            logger.debug("Proposal will only train when empty")
+            self.training_frequency = np.inf
+        else:
+            self.training_frequency = training_frequency
 
     # ------------------------------------------------------------------
     # Proposal switching / training
