@@ -640,6 +640,10 @@ class MaskedAffineAutoregressive(Bijector):
         return z, jnp.sum(s, axis=-1)
 
     def inverse(self, params, z, context=None, rng=None):
+        # device array: the scan index is traced, so numpy inputs would
+        # fail the z[..., i] gather when called eagerly
+        z = jnp.asarray(z)
+
         # Sequential: dimension i of x depends on x[:i].
         def body(x, i):
             s, t = self._net(params, x)
