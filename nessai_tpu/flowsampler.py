@@ -190,6 +190,14 @@ class FlowSampler:
         return self.ns.log_evidence_error
 
     @property
+    def logZ_error(self):
+        """Error on the final log-evidence. In the reference this is a
+        plain attribute set during the run (``flowsampler.py:403,508``)
+        with ``log_evidence_error`` aliasing it (``:297-300``); here both
+        are live properties."""
+        return self.log_evidence_error
+
+    @property
     def nested_samples(self):
         return np.asarray(self.ns.nested_samples)
 

@@ -224,9 +224,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         if n_pool is not None or pool is not None:
             self.model.configure_pool(pool=pool, n_pool=n_pool)
         self.n_initial = n_initial or nlive
-        self.min_iteration = min_iteration if min_iteration is not None else -1
-        self.max_iteration = (
-            max_iteration if max_iteration is not None else np.inf
+        self.configure_iterations(
+            min_iteration=min_iteration, max_iteration=max_iteration
         )
         self.min_samples = min_samples
         self.min_remove = min_remove
@@ -857,6 +856,10 @@ class ImportanceNestedSampler(BaseNestedSampler):
         return self.log_evidence, self.samples_unit
 
     def compute_importance(self, importance_ratio: float = 0.5):
+        """Delegates to the iid samples when drawing iid live points
+        (reference ``importancesampler.py:1240-1248``)."""
+        if self.draw_iid_live:
+            return self.iid_samples.compute_importance(importance_ratio)
         return self.training_samples.compute_importance(importance_ratio)
 
     # ------------------------------------------------------------------
@@ -956,6 +959,18 @@ class ImportanceNestedSampler(BaseNestedSampler):
         )
         self.proposal.output = os.path.join(output, "levels", "")
         self.proposal.flow.update_weights_path(self.proposal.output)
+
+    def configure_iterations(
+        self,
+        min_iteration=None,
+        max_iteration=None,
+    ) -> None:
+        """Configure the minimum and maximum iterations; overrides any
+        existing values. Reference: ``importancesampler.py:697-713``."""
+        self.min_iteration = -1 if min_iteration is None else int(min_iteration)
+        self.max_iteration = (
+            np.inf if max_iteration is None else int(max_iteration)
+        )
 
     def update_sample_counts(self) -> None:
         """Recompute per-proposal sample counts from the stored samples.

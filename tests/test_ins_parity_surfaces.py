@@ -204,3 +204,83 @@ def test_setstate_migrates_legacy_final_samples(ins):
     assert len(restored.final_samples_unit) == 50
     assert restored.final_state is not None
     assert np.isfinite(restored.final_log_evidence)
+
+
+# ---------------------------------------------------------------------------
+# sample bookkeeping parity (reference test_samples.py / test_config.py)
+# ---------------------------------------------------------------------------
+def test_configure_iterations_defaults(ins):
+    ins.configure_iterations()
+    assert ins.min_iteration == -1
+    assert ins.max_iteration == np.inf
+    ins.configure_iterations(min_iteration=5, max_iteration=100)
+    assert ins.min_iteration == 5
+    assert ins.max_iteration == 100
+
+
+def test_update_sample_counts_parity(ins, rng):
+    x = numpy_array_to_live_points(
+        rng.standard_normal((5, 2)), ["x_0", "x_1"]
+    )
+    x["it"] = np.array([-1, 0, 2, 2, 2])
+    ins.training_samples.samples = x
+
+    class P:
+        n_proposals = 5
+
+    ins.proposal = P()
+    ins.update_sample_counts()
+    assert ins.sample_counts == {-1: 1, 0: 1, 1: 0, 2: 3, 3: 0}
+
+
+def test_remove_samples_updates_history(ins, rng):
+    x = numpy_array_to_live_points(
+        rng.standard_normal((10, 2)), ["x_0", "x_1"]
+    )
+    x["logL"] = np.arange(10.0)
+    ins.training_samples.samples = x
+    ins.training_samples.is_nested = np.zeros(10, dtype=bool)
+    ins.training_samples.log_likelihood_threshold = 5.0
+    ins.draw_iid_live = False
+    ins.initialise_history()
+    out = ins.remove_samples()
+    assert out == 5
+    assert ins.history["n_removed"][-1] == 5
+
+
+def test_compute_importance_delegates(ins):
+    sentinel = {"evidence": 0.4, "posterior": 0.8}
+
+    class Fake:
+        def compute_importance(self, ratio=0.5):
+            return sentinel
+
+    ins.training_samples = Fake()
+    ins.draw_iid_live = False
+    assert ins.compute_importance() is sentinel
+
+    class Other:
+        def compute_importance(self, ratio=0.5):
+            return {"evidence": 0.0}
+
+    ins.iid_samples = Fake()
+    ins.training_samples = Other()
+    ins.draw_iid_live = True
+    assert ins.compute_importance() is sentinel
+
+
+def test_update_evidence_delegates(ins):
+    calls = []
+
+    class Fake:
+        def __init__(self, name):
+            self.name = name
+
+        def update_evidence(self):
+            calls.append(self.name)
+
+    ins.training_samples = Fake("train")
+    ins.draw_iid_live = True
+    ins.iid_samples = Fake("iid")
+    ins.update_evidence()
+    assert calls == ["train", "iid"]
