@@ -20,8 +20,9 @@ from typing import Any, Callable, Literal, Optional
 import numpy as np
 from scipy.special import logsumexp
 
-from ..evidence import _INSIntegralState
+from ..evidence import _INSIntegralState, log_evidence_from_ins_samples
 from ..livepoint import add_extra_parameters_to_live_points
+from ..utils.structures import get_subset_arrays
 from ..model import Model
 from ..proposal.importance import ImportanceFlowProposal
 from ..stopping_criteria import CriterionGroup, StoppingCriterionRegistry
@@ -41,17 +42,24 @@ class OrderedSamples:
     Reference: ``nessai/samplers/importancesampler.py:39-277``.
     """
 
-    #: class-level default so checkpoints pickled before this attribute
+    #: class-level defaults so checkpoints pickled before these attributes
     #: existed still unpickle cleanly
     _live_points_cleared = False
+    save_log_q = False
 
-    def __init__(self, strict_threshold: bool = False, replace_all: bool = False):
+    def __init__(
+        self,
+        strict_threshold: bool = False,
+        replace_all: bool = False,
+        save_log_q: bool = False,
+    ):
         self.samples = None
         self.log_q = None
         #: boolean mask: True where a sample has been moved to the nested set
         self.is_nested = None
         self.strict_threshold = strict_threshold
         self.replace_all = replace_all
+        self.save_log_q = save_log_q
         self.log_likelihood_threshold = -np.inf
         self.state = _INSIntegralState()
         self._live_points_cleared = False
@@ -78,10 +86,33 @@ class OrderedSamples:
             return None
         return self.samples[self.is_nested]
 
+    @property
+    def live_points_indices(self):
+        """Indices of the current live points. Reference stores these
+        directly (``importancesampler.py:61``); here they are derived
+        from the nested-membership mask."""
+        if self.samples is None or self._live_points_cleared:
+            return None
+        return np.where(~self.is_nested)[0]
+
+    @property
+    def nested_samples_indices(self):
+        """Indices of the nested (discarded) samples. Reference:
+        ``importancesampler.py:62``."""
+        if self.samples is None:
+            return np.empty(0, dtype=int)
+        return np.where(self.is_nested)[0]
+
+    def sort_samples(self, samples, *args):
+        """Sort samples (and any extra aligned arrays) by ``logL``.
+        Reference: ``importancesampler.py:104-119``."""
+        idx = np.argsort(samples, order="logL")
+        if args:
+            return get_subset_arrays(idx, samples, *args)
+        return samples[idx]
+
     def add_initial_samples(self, samples, log_q) -> None:
-        order = np.argsort(samples, order="logL")
-        self.samples = samples[order]
-        self.log_q = log_q[order]
+        self.samples, self.log_q = self.sort_samples(samples, log_q)
         self.is_nested = np.zeros(len(samples), dtype=bool)
         self._live_points_cleared = False
 
@@ -92,27 +123,43 @@ class OrderedSamples:
         the nested set; otherwise all new samples are live.
         Reference: ``importancesampler.py:127-170``.
         """
-        if self.strict_threshold:
-            new_nested = samples["logL"] < self.log_likelihood_threshold
-        else:
-            new_nested = np.zeros(len(samples), dtype=bool)
+        new_nested = np.zeros(len(samples), dtype=bool)
         all_samples = np.concatenate([self.samples, samples])
         all_log_q = np.concatenate([self.log_q, log_q], axis=0)
         all_nested = np.concatenate([self.is_nested, new_nested])
         order = np.argsort(all_samples, order="logL")
         self.samples = all_samples[order]
         self.log_q = all_log_q[order]
-        self.is_nested = all_nested[order]
+        if self.strict_threshold:
+            # re-split EVERY sample on the current threshold, as the
+            # reference does (``importancesampler.py:134-143``)
+            self.is_nested = (
+                self.samples["logL"] < self.log_likelihood_threshold
+            )
+        else:
+            self.is_nested = all_nested[order]
         self._live_points_cleared = False
 
     def update_log_likelihood_threshold(self, threshold: float) -> None:
         self.log_likelihood_threshold = float(threshold)
 
-    def remove_samples(self) -> int:
-        """Move live points below the threshold into the nested set.
+    def add_to_nested_samples(self, indices) -> None:
+        """Move the given sample indices from the live set to the nested
+        set. Reference: ``importancesampler.py:172-179``."""
+        self.is_nested[np.asarray(indices, dtype=int)] = True
 
-        Reference: ``importancesampler.py:181``.
+    def remove_samples(self) -> int:
+        """Move live points below the threshold into the nested set
+        (all of them when ``replace_all``).
+
+        Reference: ``importancesampler.py:181-201``.
         """
+        if self.replace_all:
+            live = ~self.is_nested
+            n_removed = int(live.sum())
+            self.is_nested[:] = True
+            self._live_points_cleared = True
+            return n_removed
         to_nest = (~self.is_nested) & (
             self.samples["logL"] < self.log_likelihood_threshold
         )
@@ -129,22 +176,48 @@ class OrderedSamples:
         self.live_points = None
         self.state.update_evidence(self.samples, live_points=None)
 
-    def compute_importance(self, importance_ratio: float = 0.5):
+    def compute_importance(self, importance_ratio: float = 0.5) -> dict:
         """Relative importance of each proposal level.
 
-        Reference: ``importancesampler.py:230``.
+        Returns a dict with ``total``, ``posterior`` and ``evidence``
+        arrays over proposal iterations (-1 is the prior), matching the
+        reference output (``importancesampler.py:215-253``).
         """
-        log_imp_post = self.samples["logW"] + self.samples["logL"]
-        log_imp_z = self.samples["logW"]
+        n_proposals = self.log_q.shape[1]
+        log_imp_post = np.full(n_proposals, -np.inf)
+        log_imp_z = np.full(n_proposals, -np.inf)
+        log_w = self.samples["logL"] + self.samples["logW"]
         its = self.samples["it"]
-        levels = np.unique(its)
-        imp = {}
-        for lvl in levels:
-            m = its == lvl
-            post = np.exp(logsumexp(log_imp_post[m]) - logsumexp(log_imp_post))
-            z = np.exp(logsumexp(log_imp_z[m]) - logsumexp(log_imp_z))
-            imp[int(lvl)] = importance_ratio * post + (1 - importance_ratio) * z
-        return imp
+        for i, it in enumerate(range(-1, n_proposals - 1)):
+            sidx = its == it
+            zidx = its >= it
+            n_s = int(sidx.sum())
+            n_z = int(zidx.sum())
+            if n_s:
+                log_imp_post[i] = logsumexp(log_w[sidx]) - np.log(n_s)
+            if n_z:
+                log_imp_z[i] = logsumexp(log_w[zidx]) - np.log(n_z)
+        imp_z = np.exp(log_imp_z - logsumexp(log_imp_z))
+        imp_post = np.exp(log_imp_post - logsumexp(log_imp_post))
+        imp = (1 - importance_ratio) * imp_z + importance_ratio * imp_post
+        return {"total": imp, "posterior": imp_post, "evidence": imp_z}
+
+    def compute_evidence_ratio(self, threshold: Optional[float] = None) -> float:
+        """Log-ratio of the evidence above ``threshold`` to the total
+        evidence. Reference: ``importancesampler.py:255-272``."""
+        if threshold is None:
+            threshold = self.log_likelihood_threshold
+        above = self.samples["logL"] >= threshold
+        log_z_above = log_evidence_from_ins_samples(self.samples[above])
+        return log_z_above - self.state.log_evidence
+
+    def __getstate__(self):
+        """Drop the (recomputable) ``log_q`` matrix unless ``save_log_q``
+        is set. Reference: ``importancesampler.py:274-282``."""
+        state = dict(self.__dict__)
+        if not self.save_log_q:
+            state["log_q"] = None
+        return state
 
 
 class ImportanceNestedSampler(BaseNestedSampler):
@@ -276,10 +349,14 @@ class ImportanceNestedSampler(BaseNestedSampler):
         )
 
         self.training_samples = OrderedSamples(
-            strict_threshold=strict_threshold, replace_all=replace_all
+            strict_threshold=strict_threshold,
+            replace_all=replace_all,
+            save_log_q=save_log_q,
         )
         self.iid_samples = (
-            OrderedSamples(strict_threshold=strict_threshold)
+            OrderedSamples(
+                strict_threshold=strict_threshold, save_log_q=save_log_q
+            )
             if draw_iid_live
             else None
         )
@@ -291,7 +368,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.logL = -np.inf
         self.gradient = np.nan
         self.criterion = {}
-        self.importance = {}
+        #: Reference ``importancesampler.py:408``
+        self.importance = dict(total=None, posterior=None, evidence=None)
         self.sample_counts = {}
         self.live_points_ess = np.nan
         self._final_samples_unit = None
@@ -1379,7 +1457,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
     def _state_figure(self, h):
         import matplotlib.pyplot as plt
 
-        fig, axs = plt.subplots(4, 2, figsize=(12, 12), sharex=True)
+        fig, axs = plt.subplots(5, 2, figsize=(12, 15), sharex=True)
         axs = axs.ravel()
         its = np.arange(len(h["logZ"]))
 
@@ -1413,8 +1491,26 @@ class ImportanceNestedSampler(BaseNestedSampler):
             axs[7].plot(its, v, label=k)
         axs[7].set_ylabel("criteria")
         axs[7].legend()
-        axs[6].set_xlabel("iteration")
-        axs[7].set_xlabel("iteration")
+        # proposal importance vs level (skipping the prior), reference
+        # ``importancesampler.py:1966-1976``
+        if self.importance.get("total") is not None:
+            imp_its = np.arange(len(self.importance["total"]) - 1)
+            for key in ("total", "posterior", "evidence"):
+                axs[8].plot(
+                    imp_its, self.importance[key][1:], label=key.capitalize()
+                )
+            axs[8].set_ylabel("importance")
+            axs[8].legend()
+        if h.get("n_added"):
+            n = len(h["n_added"])
+            axs[9].plot(np.arange(n), h["n_added"], label="added")
+            axs[9].plot(
+                np.arange(len(h["n_removed"])), h["n_removed"], label="removed"
+            )
+            axs[9].set_ylabel("# samples")
+            axs[9].legend()
+        axs[8].set_xlabel("iteration")
+        axs[9].set_xlabel("iteration")
         fig.tight_layout()
         return fig
 
@@ -1443,6 +1539,8 @@ class ImportanceNestedSampler(BaseNestedSampler):
                 ),
             )
         )
+        #: Reference ``importancesampler.py:2279``
+        d["proposal_importance"] = self.importance
         if self.final_samples_unit is not None:
             d["final_samples"] = self.final_samples_unit
             d["final_log_evidence"] = self.final_log_evidence
@@ -1450,17 +1548,14 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     # ------------------------------------------------------------------
     def __getstate__(self):
-        import copy as _copy
-
+        # log_q matrices are dropped by OrderedSamples.__getstate__ when
+        # save_log_q is False (recomputed on resume from the flows); keep
+        # the instances' flags in sync in case it was toggled post-init
         state = super().__getstate__()
-        if not self.save_log_q:
-            # log_q matrices can be recomputed on resume from the flows
-            for key in ("training_samples", "iid_samples"):
-                obj = state.get(key)
-                if obj is not None:
-                    obj = _copy.copy(obj)
-                    obj.log_q = None
-                    state[key] = obj
+        for key in ("training_samples", "iid_samples"):
+            obj = state.get(key)
+            if obj is not None:
+                obj.save_log_q = self.save_log_q
         return state
 
     def __setstate__(self, state):
