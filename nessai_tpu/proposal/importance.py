@@ -75,7 +75,7 @@ class ImportanceFlowProposal(Proposal):
 
     # ------------------------------------------------------------------
     @property
-    def _should_reset_flow(self) -> bool:
+    def _reset_flow(self) -> bool:
         """Reset the flow this level? ``reset_flow`` may be an int N
         (reset every N levels) or a bool. Reference:
         ``nessai/proposal/importance.py:130-135``."""
@@ -83,9 +83,14 @@ class ImportanceFlowProposal(Proposal):
             return False
         return True
 
+    # legacy alias used by earlier versions of this package
+    _should_reset_flow = _reset_flow
+
     @property
     def n_proposals(self) -> int:
-        return self.flow.n_models + 1
+        """Number of proposals in the meta-proposal (prior + flows).
+        Reference: ``nessai/proposal/importance.py:115``."""
+        return len(self._weights)
 
     @property
     def weights(self) -> dict:
@@ -93,18 +98,17 @@ class ImportanceFlowProposal(Proposal):
 
     @property
     def weights_array(self) -> np.ndarray:
-        w = np.array(
-            [self._weights[i] for i in range(-1, self.level_count + 1)]
-        )
-        return w
+        return np.fromiter(self._weights.values(), dtype=float)
 
     def update_proposal_weights(self, weights: dict) -> None:
-        """Reference: ``nessai/proposal/importance.py:279``."""
+        """Update the proposal weights; they must sum to one after the
+        update. Reference: ``nessai/proposal/importance.py:279-290``."""
         self._weights.update(weights)
-        total = sum(self._weights.values())
-        if not np.isclose(total, 1.0):
-            logger.debug("Normalising proposal weights (sum=%s)", total)
-            self._weights = {k: v / total for k, v in self._weights.items()}
+        w_sum = np.sum(np.fromiter(self._weights.values(), float))
+        if not np.isclose(w_sum, 1.0):
+            raise RuntimeError(
+                f"Weights must sum to 1! Actual value: {w_sum}"
+            )
 
     def initialise(self) -> None:
         os.makedirs(self.output, exist_ok=True)
@@ -117,51 +121,81 @@ class ImportanceFlowProposal(Proposal):
     def _check_fields() -> None:
         """Ensure the INS live-point fields are registered.
 
-        Reference: ``nessai/proposal/importance.py:60``."""
+        Reference: ``nessai/proposal/importance.py:139-152``."""
         from .. import config as _config
 
         for field in ("logQ", "logW", "logU"):
-            if field not in _config.livepoints.extra_parameters:
+            if field not in _config.livepoints.non_sampling_parameters:
                 raise RuntimeError(
-                    f"The live-point field {field} is missing; call "
-                    "ImportanceNestedSampler.add_fields() first."
+                    f"{field} field missing in non-sampling parameters."
                 )
 
     def verify_rescaling(
         self, n: int = 1000, rtol: float = 1e-08, atol: float = 1e-08
     ) -> None:
-        """Check the logit/sigmoid pair round-trips; tolerances are
-        passed to ``numpy.allclose``.
+        """Check the full rescale/inverse_rescale pair round-trips;
+        tolerances are passed to ``numpy.allclose``.
 
         Reference: ``nessai/proposal/importance.py:170-196``."""
-        x = self.rng.uniform(size=(n, self.model.dims))
-        prime, log_j = self.to_prime(x)
-        back, log_j_inv = self.from_prime(prime)
-        if not np.allclose(back, x, rtol=rtol, atol=atol):
-            raise RuntimeError("Rescaling is not invertible")
+        from ..utils.testing import assert_structured_arrays_equal
+
+        x_in = self.model.sample_unit_hypercube(n)
+        x_prime, log_j = self.rescale(x_in)
+        x_re, log_j_inv = self.inverse_rescale(x_prime)
+        try:
+            assert_structured_arrays_equal(x_re, x_in, atol=atol, rtol=rtol)
+        except AssertionError as e:
+            raise RuntimeError(f"Rescaling is not invertible. Error: {e}")
         if not np.allclose(log_j, -log_j_inv, rtol=rtol, atol=atol):
-            raise RuntimeError("Rescaling Jacobian is not invertible")
+            raise RuntimeError(
+                "Forward and inverse Jacobian determinants are not equal"
+            )
+
+    def _log_prob_initial(self, x: np.ndarray) -> np.ndarray:
+        """Log-probability of the initial (prior) proposal in prime
+        space. Reference: ``nessai/proposal/importance.py:577-581``."""
+        return np.zeros(x.shape[0])
 
     def get_proposal_log_prob(self, it: int):
-        """Callable for the log-prob of the proposal at iteration ``it``.
+        """Single-argument callable for the log-prob of the proposal at
+        iteration ``it`` in prime space (Jacobian NOT included).
 
-        Reference: ``nessai/proposal/importance.py:620``."""
+        Reference: ``nessai/proposal/importance.py:583-590``."""
         if it == -1:
-            return lambda x_prime, log_j: np.zeros(len(x_prime))
-        if it > self.flow.n_models - 1:
-            raise ValueError(f"No proposal for iteration {it}")
+            return self._log_prob_initial
+        if it < self.flow.n_models:
+            return lambda x_prime: self.flow.log_prob_ith(x_prime, it)
+        raise ValueError(f"No proposal for iteration {it}")
 
-        def log_prob(x_prime, log_j):
-            return self.flow.log_prob_ith(x_prime, it) + log_j
-
-        return log_prob
-
-    def compute_kl_between_proposals(self, x_prime, log_j, p_it: int, q_it: int) -> float:
+    def compute_kl_between_proposals(
+        self,
+        x: np.ndarray,
+        p_it: Optional[int] = None,
+        q_it: Optional[int] = None,
+    ) -> float:
         """MC KL divergence between two proposal levels evaluated on
-        samples. Reference: ``nessai/proposal/importance.py:590``."""
-        log_p = self.get_proposal_log_prob(p_it)(x_prime, log_j)
-        log_q = self.get_proposal_log_prob(q_it)(x_prime, log_j)
-        return float(np.mean(log_p - log_q))
+        structured hypercube samples (drawn from p). Defaults to the
+        current and previous proposals.
+        Reference: ``nessai/proposal/importance.py:592-628``."""
+        x_prime, log_j = self.rescale(x)
+        if p_it is None:
+            p_it = self.flow.n_models - 1
+        if q_it is None:
+            q_it = self.flow.n_models - 2
+        if p_it == q_it:
+            raise ValueError("p and q must be different")
+        if p_it < -1 or q_it < -1:
+            raise ValueError(f"Invalid p_it or q_it: {p_it}, {q_it}")
+        log_p = self.get_proposal_log_prob(p_it)(x_prime)
+        log_q = self.get_proposal_log_prob(q_it)(x_prime)
+        # the prior proposal lives in the hypercube: no Jacobian term
+        if p_it > -1:
+            log_p = log_p + log_j
+        if q_it > -1:
+            log_q = log_q + log_j
+        kl = float(np.mean(log_p - log_q))
+        logger.info("KL between %s and %s is: %.3g", p_it, q_it, kl)
+        return kl
 
     # ------------------------------------------------------------------
     # Unit-hypercube <-> prime (logit) space
@@ -171,20 +205,28 @@ class ImportanceFlowProposal(Proposal):
 
         Reference: ``nessai/proposal/importance.py:203``.
         """
+        if self.reparameterisation == "logit":
+            x_prime, log_j = logit(x_hypercube, eps=global_config.general.eps)
+            return x_prime, log_j.sum(axis=-1)
         if self.reparameterisation is None or self.reparameterisation == "none":
             return x_hypercube.copy(), np.zeros(len(x_hypercube))
-        x_prime, log_j = logit(x_hypercube, eps=global_config.general.eps)
-        return x_prime, log_j.sum(axis=-1)
+        raise ValueError(
+            f"Unknown reparameterisation: '{self.reparameterisation}'"
+        )
 
     def from_prime(self, x_prime: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """logit space -> hypercube with log|dx/dx'|.
 
         Reference: ``nessai/proposal/importance.py:231``.
         """
+        if self.reparameterisation == "logit":
+            x, log_j = sigmoid(x_prime)
+            return x, log_j.sum(axis=-1)
         if self.reparameterisation is None or self.reparameterisation == "none":
             return x_prime.copy(), np.zeros(len(x_prime))
-        x, log_j = sigmoid(x_prime)
-        return x, log_j.sum(axis=-1)
+        raise ValueError(
+            f"Unknown reparameterisation: '{self.reparameterisation}'"
+        )
 
     def rescale(self, samples) -> Tuple[np.ndarray, np.ndarray]:
         """Structured hypercube samples -> prime array + log_j."""
@@ -193,6 +235,9 @@ class ImportanceFlowProposal(Proposal):
 
     def inverse_rescale(self, x_prime: np.ndarray):
         arr, log_j = self.from_prime(x_prime)
+        if self.clip:
+            # reference ``nessai/proposal/importance.py:254-256``
+            arr = np.clip(arr, 0.0, 1.0)
         samples = numpy_array_to_live_points(arr, self.model.names)
         return samples, log_j
 
@@ -246,21 +291,22 @@ class ImportanceFlowProposal(Proposal):
         ``flow.log_prob(x') + log|dx'/dx|``.
         Reference: ``nessai/proposal/importance.py:382-441``.
         """
+        if np.isnan(x_prime).any():
+            logger.warning("NaNs in samples when computing log_Q")
+        if any(np.isnan(w) for w in self.weights.values()):
+            raise RuntimeError("Some weights are not set!")
         n = len(x_prime)
         log_q_all = np.zeros((n, self.n_proposals))
         n_flows = self.flow.n_models
+        if self.n_proposals > 1 and log_j is None:
+            raise RuntimeError(
+                "Must specify log_j! Meta-proposal includes flows"
+            )
         if n_flows >= 1:
-            if log_j is None:
-                raise RuntimeError(
-                    "Must specify log_j when the meta-proposal includes flows"
-                )
             log_q_all[:, 1:] = self.flow.log_prob_all(x_prime) + log_j[:, None]
         if np.isnan(log_q_all).any():
             raise ValueError("log_q contains NaNs")
-        w = self.weights_array
-        if np.isnan(w).any():
-            raise RuntimeError("Some proposal weights are not set")
-        log_Q = logsumexp(log_q_all, b=w[None, :], axis=1)
+        log_Q = logsumexp(log_q_all, b=self.weights_array[None, :], axis=1)
         return log_Q, log_q_all
 
     def compute_meta_proposal_from_log_q(self, log_q: np.ndarray) -> np.ndarray:
@@ -268,8 +314,17 @@ class ImportanceFlowProposal(Proposal):
         return logsumexp(log_q, b=self.weights_array[None, :], axis=1)
 
     def compute_meta_proposal_samples(self, samples) -> Tuple[np.ndarray, np.ndarray]:
+        """Meta-proposal log-prob for structured hypercube samples.
+        Reference: ``nessai/proposal/importance.py:550-576``."""
+        if self.level_count not in self.weights or np.isnan(
+            self.weights[self.level_count]
+        ):
+            raise RuntimeError(
+                "Weight(s) missing or not set. "
+                f"Current weights: {self.weights}."
+            )
         x_prime, log_j = self.rescale(samples)
-        return self.compute_log_Q(x_prime, log_j)
+        return self.compute_log_Q(x_prime, log_j=log_j)
 
     # ------------------------------------------------------------------
     def draw(self, n: int, flow_number: Optional[int] = None, update_counts: bool = True):
@@ -328,19 +383,25 @@ class ImportanceFlowProposal(Proposal):
 
         Reference: ``nessai/proposal/importance.py:528``.
         """
+        if log_q.shape[1] == self.n_proposals:
+            raise ValueError("log_q array already contains current proposal")
         x_prime, log_j = self.rescale(samples)
-        new_col = self.flow.log_prob_ith(x_prime, self.flow.n_models - 1) + log_j
+        log_prob_fn = self.get_proposal_log_prob(self.level_count)
+        new_col = log_prob_fn(x_prime) + log_j
         return np.concatenate([log_q, new_col[:, None]], axis=1)
 
     def draw_from_prior(self, n: int):
-        """Uniform hypercube draws with their log_q matrix."""
-        arr = self.rng.uniform(size=(n, self.model.dims))
-        samples = numpy_array_to_live_points(arr, self.model.names)
-        x_prime, log_j = self.to_prime(arr)
-        log_Q, log_q = self.compute_log_Q(x_prime, log_j)
+        """Prior draws (via the model, so non-uniform hypercube priors
+        are honoured) with their log_q matrix.
+        Reference: ``nessai/proposal/importance.py:630-641``."""
+        samples = self.model.sample_unit_hypercube(n)
+        samples["logU"] = self.model.batch_evaluate_log_prior_unit_hypercube(
+            samples
+        )
+        x_prime, log_j = self.rescale(samples)
+        log_Q, log_q = self.compute_log_Q(x_prime, log_j=log_j)
         samples["logQ"] = log_Q
-        samples["logU"] = 0.0
-        samples["logW"] = -log_Q
+        samples["logW"] = samples["logU"] - log_Q
         return samples, log_q
 
     def draw_from_flows(
