@@ -423,8 +423,17 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     # ------------------------------------------------------------------
     @property
+    def _ordered_samples(self) -> OrderedSamples:
+        """The 'main' ordered-samples set: the i.i.d. samples when
+        ``draw_iid_live``, else the training samples. Reference:
+        ``importancesampler.py:550-560``."""
+        if self.draw_iid_live:
+            return self.iid_samples
+        return self.training_samples
+
+    @property
     def live_points_unit(self):
-        return self.training_samples.live_points
+        return self._ordered_samples.live_points
 
     @live_points_unit.setter
     def live_points_unit(self, samples) -> None:
@@ -433,11 +442,17 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     @property
     def nested_samples_unit(self):
-        return self.training_samples.nested_samples
+        return self._ordered_samples.nested_samples
 
     @property
     def samples_unit(self):
-        return self.training_samples.samples
+        return self._ordered_samples.samples
+
+    @property
+    def log_q(self):
+        """Meta-proposal log-probabilities of the main sample set.
+        Reference: ``importancesampler.py:574-576``."""
+        return self._ordered_samples.log_q
 
     @property
     def samples(self):
@@ -446,13 +461,12 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     @property
     def posterior_samples_set(self):
-        """The sample set used for posterior estimation: the i.i.d. set
-        when drawn, otherwise the training set."""
-        return self.iid_samples or self.training_samples
+        """Legacy alias for :attr:`_ordered_samples`."""
+        return self._ordered_samples
 
     @property
     def state(self) -> _INSIntegralState:
-        return self.posterior_samples_set.state
+        return self._ordered_samples.state
 
     @property
     def log_evidence(self) -> float:
@@ -608,11 +622,23 @@ class ImportanceNestedSampler(BaseNestedSampler):
             raise ValueError(method)
         if n == 0:
             if self.min_remove < 1:
+                # deliberate divergence: the reference returns the
+                # literal 0 here (``importancesampler.py:1013-1016``);
+                # -inf expresses the clear intent (remove nothing)
                 return -np.inf
             n = 1
         if (samples.size - n) < self.min_samples:
+            logger.warning(
+                "Cannot remove %s from %s, min_samples=%s",
+                n,
+                samples.size,
+                self.min_samples,
+            )
             n = max(0, samples.size - self.min_samples)
         elif n < self.min_remove:
+            logger.warning(
+                "Cannot remove less than %s samples", self.min_remove
+            )
             n = self.min_remove
         if (
             self.draw_constant
@@ -620,6 +646,11 @@ class ImportanceNestedSampler(BaseNestedSampler):
             and ((samples.size - n) + self.nlive) > self.max_samples
         ):
             n = samples.size - self.max_samples + self.nlive
+            logger.warning(
+                "Next level would have more than max samples, "
+                "removing %s samples",
+                n,
+            )
         return float(samples[n]["logL"])
 
     def update_log_likelihood_threshold(self, threshold: float) -> None:

@@ -223,6 +223,7 @@ def test_update_sample_counts_parity(ins, rng):
         rng.standard_normal((5, 2)), ["x_0", "x_1"]
     )
     x["it"] = np.array([-1, 0, 2, 2, 2])
+    ins.draw_iid_live = False
     ins.training_samples.samples = x
 
     class P:
@@ -284,3 +285,179 @@ def test_update_evidence_delegates(ins):
     ins.iid_samples = Fake("iid")
     ins.update_evidence()
     assert calls == ["train", "iid"]
+
+
+# ---------------------------------------------------------------------------
+# threshold determination (reference test_threshold.py)
+# ---------------------------------------------------------------------------
+def _threshold_samples(n):
+    samples = np.empty(n, dtype=[("x", "f8"), ("logL", "f8"), ("logW", "f8")])
+    samples["logL"] = 10.0 * np.arange(n)
+    samples["logW"] = -0.1 * np.arange(n)
+    samples["x"] = 0.0
+    return samples
+
+
+@pytest.mark.parametrize("include_likelihood", [False, True])
+@pytest.mark.parametrize("use_log_weights", [False, True])
+def test_determine_threshold_entropy_bounds(
+    ins, include_likelihood, use_log_weights
+):
+    samples = _threshold_samples(50)
+    ins.plot = False
+    n = ins.determine_threshold_entropy(
+        samples,
+        q=0.5,
+        use_log_weights=use_log_weights,
+        include_likelihood=include_likelihood,
+    )
+    assert 0 < n < samples.size
+
+
+@pytest.mark.parametrize("include_likelihood", [False, True])
+def test_determine_threshold_quantile_bounds(ins, include_likelihood):
+    samples = _threshold_samples(50)
+    ins.plot = False
+    n = ins.determine_threshold_quantile(
+        samples, q=0.8, include_likelihood=include_likelihood
+    )
+    assert 0 < n < samples.size
+
+
+@pytest.mark.parametrize(
+    "n, min_remove, min_samples, n_live, expected",
+    [
+        [10, 5, 8, 20, 10],
+        [4, 5, 8, 20, 5],
+        [15, 5, 10, 20, 10],
+    ],
+)
+@pytest.mark.parametrize("method", ["entropy", "quantile"])
+def test_determine_threshold_clamps(
+    ins, monkeypatch, n, min_remove, min_samples, n_live, expected, method
+):
+    """Reference test_determine_threshold: min_remove/min_samples clamp
+    the raw index."""
+    ins.min_samples = min_samples
+    ins.min_remove = min_remove
+    ins.max_samples = None
+    ins.draw_constant = True
+    ins.nlive = n_live
+    samples = _threshold_samples(n_live)
+    monkeypatch.setattr(
+        ins, "determine_threshold_quantile", lambda s, **k: n
+    )
+    monkeypatch.setattr(
+        ins, "determine_threshold_entropy", lambda s, **k: n
+    )
+    out = ins.determine_log_likelihood_threshold(
+        samples, method=method, q=0.8
+    )
+    assert out == samples["logL"][expected]
+
+
+@pytest.mark.parametrize(
+    "n_samples, n_remove, min_remove, min_samples, max_samples, n_live, "
+    "expected",
+    [
+        [50, 10, 5, 10, 55, 30, 25],
+        [56, 10, 5, 10, 55, 30, 31],
+        [50, 20, 5, 10, 100, 30, 20],
+        [1601, 100, 50, 50, 1600, 200, 201],
+    ],
+)
+def test_determine_threshold_max_samples(
+    ins,
+    monkeypatch,
+    caplog,
+    n_samples,
+    n_remove,
+    min_remove,
+    min_samples,
+    max_samples,
+    n_live,
+    expected,
+):
+    ins.min_samples = min_samples
+    ins.min_remove = min_remove
+    ins.max_samples = max_samples
+    ins.draw_constant = True
+    ins.nlive = n_live
+    samples = _threshold_samples(n_samples)
+    monkeypatch.setattr(
+        ins, "determine_threshold_entropy", lambda s, **k: n_remove
+    )
+    with caplog.at_level("WARNING"):
+        out = ins.determine_log_likelihood_threshold(
+            samples, method="entropy", q=0.8
+        )
+    assert out == samples["logL"][expected]
+    if expected != n_remove:
+        assert "Next level would have more than max samples" in caplog.text
+
+
+def test_determine_threshold_invalid_method(ins):
+    with pytest.raises(ValueError):
+        ins.determine_log_likelihood_threshold(
+            _threshold_samples(10), method="invalid"
+        )
+
+
+def test_update_log_likelihood_threshold_delegates(ins):
+    calls = []
+
+    class Fake:
+        def __init__(self, name):
+            self.name = name
+
+        def update_log_likelihood_threshold(self, threshold):
+            calls.append((self.name, threshold))
+
+    ins.training_samples = Fake("train")
+    ins.iid_samples = Fake("iid")
+    ins.update_log_likelihood_threshold(10.0)
+    assert ins.log_likelihood_threshold == 10.0
+    assert calls == [("train", 10.0), ("iid", 10.0)]
+
+
+# ---------------------------------------------------------------------------
+# main-sample-set routing (reference test_samples.py)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("iid", [False, True])
+def test_ordered_samples_property(ins, iid):
+    ins.draw_iid_live = iid
+    ins.training_samples = object()
+    ins.iid_samples = object()
+    expected = ins.iid_samples if iid else ins.training_samples
+    assert ins._ordered_samples is expected
+
+
+def test_unit_views_follow_ordered_samples(ins):
+    class Fake:
+        samples = "samples"
+        live_points = "live"
+        nested_samples = "nested"
+        log_q = "log_q"
+
+    ins.draw_iid_live = False
+    ins.training_samples = Fake()
+    assert ins.samples_unit == "samples"
+    assert ins.live_points_unit == "live"
+    assert ins.nested_samples_unit == "nested"
+    assert ins.log_q == "log_q"
+
+
+def test_populate_live_points_iid(ins):
+    """With draw_iid_live both sets get n_initial finite samples
+    (reference test_populate_live_points_iid)."""
+    ins.draw_iid_live = True
+    ins.n_initial = 50
+    ins.populate_live_points()
+    for os_ in (ins.training_samples, ins.iid_samples):
+        assert len(os_.samples) == 50
+        assert os_.log_q.shape == (50, 1)
+        assert np.isfinite(os_.samples["logL"]).all()
+        assert np.isfinite(os_.samples["logP"]).all()
+    assert not np.shares_memory(
+        ins.training_samples.samples, ins.iid_samples.samples
+    )
