@@ -376,6 +376,10 @@ class _INSIntegralState:
             return 0.0
         return effective_sample_size(w.astype(float))
 
+    ess = effective_n_posterior_samples
+    """Alias for :attr:`effective_n_posterior_samples` (reference
+    ``nessai/evidence.py:100``)."""
+
 
 def log_evidence_from_ins_samples(samples) -> float:
     """Evidence from a set of INS samples. Reference:

@@ -2,6 +2,7 @@
 
 import datetime
 import logging
+import os
 from abc import ABC, abstractmethod
 
 import numpy as np
@@ -41,6 +42,16 @@ class Proposal(ABC):
     def initialise(self) -> None:
         """Initialise the proposal."""
         self.initialised = True
+
+    def update_output(self, output: str) -> None:
+        """Update the output directory, if the proposal has one.
+        Reference: ``nessai/proposal/base.py:64-80``."""
+        if hasattr(self, "output"):
+            logger.debug("Updating output directory to %s", output)
+            self.output = output
+            os.makedirs(self.output, exist_ok=True)
+        else:
+            logger.debug("No output directory to update")
 
     def evaluate_likelihoods(self) -> None:
         """Evaluate the likelihoods of the current samples."""

@@ -39,9 +39,10 @@ class ImportanceFlowProposal(Proposal):
         flow_config: Optional[dict] = None,
         training_config: Optional[dict] = None,
         reparameterisation: str = "logit",
-        weighted_kl: bool = False,
+        weighted_kl: bool = True,
         reset_flow: bool = True,
         clip: bool = False,
+        plot_training: bool = False,
         rng=None,
         mesh=None,
     ):
@@ -53,6 +54,7 @@ class ImportanceFlowProposal(Proposal):
         # (reference ``nessai/proposal/importance.py:93,130-135``)
         self.reset_flow = int(reset_flow)
         self.clip = clip
+        self.plot_training = plot_training
         if reparameterisation not in ("logit", None, "none"):
             raise ValueError(
                 f"Unknown reparameterisation: {reparameterisation}"
@@ -116,6 +118,13 @@ class ImportanceFlowProposal(Proposal):
         self.flow.initialise()
         self.verify_rescaling()
         super().initialise()
+
+    def update_output(self, output: str) -> None:
+        """Update the output directory and the flow weights path.
+        Reference: ``nessai/proposal/base.py:64`` (the flow path update
+        is needed here because checkpoints store per-level weights)."""
+        super().update_output(output)
+        self.flow.update_weights_path(self.output)
 
     @staticmethod
     def _check_fields() -> None:
@@ -255,8 +264,30 @@ class ImportanceFlowProposal(Proposal):
         """
         self.level_count += 1
         self._weights[self.level_count] = np.nan
+        output = self.output if output is None else output
+        level_output = os.path.join(output, f"level_{self.level_count}", "")
         training_data = samples.copy()
         x_prime, _ = self.rescale(training_data)
+
+        if plot:
+            from ..plot import (
+                plot_1d_comparison,
+                plot_histogram,
+                plot_live_points,
+            )
+
+            os.makedirs(level_output, exist_ok=True)
+            plot_live_points(
+                training_data,
+                filename=os.path.join(level_output, "training_data.png"),
+            )
+            plot_1d_comparison(
+                x_prime,
+                convert_to_live_points=True,
+                filename=os.path.join(
+                    level_output, "prime_training_data.png"
+                ),
+            )
 
         if self.weighted_kl or weights is not None:
             if weights is not None:
@@ -266,19 +297,51 @@ class ImportanceFlowProposal(Proposal):
                 log_w = np.asarray(training_data["logW"], dtype=float).copy()
                 log_w -= logsumexp(log_w)
                 weights = np.exp(log_w)
+            if np.isnan(weights).any():
+                raise ValueError("Weights contain NaN(s)")
             if not np.isfinite(weights).all():
-                raise ValueError("Training weights contain non-finite values")
+                raise ValueError("Weights contain Inf(s)")
+            if plot:
+                plot_histogram(
+                    weights,
+                    filename=os.path.join(
+                        level_output, "training_weights.png"
+                    ),
+                )
         else:
             weights = None
 
-        self.flow.add_new_flow(reset=self._should_reset_flow)
-        logger.debug("Training level %d with %d samples", self.level_count, len(x_prime))
+        self.flow.add_new_flow(reset=self._reset_flow)
+        logger.debug(
+            "Training level %d with %d samples",
+            self.level_count,
+            len(x_prime),
+        )
         # sync=False: the level's log_Q evaluation that follows queues
         # behind the training program instead of paying an extra
         # host-device roundtrip (ignored when training plots are on)
         kwargs.setdefault("sync", False)
-        self.flow.train(x_prime, weights=weights, plot=plot, **kwargs)
+        self.flow.train(
+            x_prime,
+            weights=weights,
+            plot=plot or self.plot_training,
+            **kwargs,
+        )
         self.training_count += 1
+
+        if plot:
+            test_samples_prime, log_prob = self.flow.sample_and_log_prob(2000)
+            test_samples, log_j_inv = self.inverse_rescale(
+                test_samples_prime
+            )
+            log_prob = log_prob - log_j_inv
+            test_samples["logQ"] = log_prob
+            plot_live_points(
+                test_samples,
+                filename=os.path.join(
+                    level_output, "generated_samples.png"
+                ),
+            )
 
     # ------------------------------------------------------------------
     def compute_log_Q(

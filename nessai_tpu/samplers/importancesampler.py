@@ -337,9 +337,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
         # extra kwargs go to the proposal, as in the reference
         # (``nessai/samplers/importancesampler.py:449,684-688``) — e.g.
         # reparameterisation=None for flows defined on the unit hypercube
-        self.proposal = ImportanceFlowProposal(
-            self.model,
-            output=os.path.join(self.output, "levels", ""),
+        self.proposal = self.get_proposal(
             flow_config=flow_config,
             training_config=training_config,
             weighted_kl=weighted_kl,
@@ -409,15 +407,14 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.combined_criterion = CriterionGroup(
             criteria, mode="and" if check_criteria == "all" else "or"
         )
-        self.stopping_criteria = self.combined_criterion.names
 
-    # map criterion names to evidence-state attributes
+    # compat map for legacy criterion names whose canonical form does not
+    # match a state attribute (canonical names are state attributes, as in
+    # the reference ``importancesampler.py:1392-1400``)
     _CRITERION_ATTRS = {
         "ratio": "log_evidence_ratio",
         "ratio_ns": "log_evidence_ratio_nested_samples",
-        "ess": "effective_n_posterior_samples",
         "Z_err": "evidence_error",
-        "fractional_error": "fractional_error",
         "dlogZ": "difference_log_evidence",
     }
 
@@ -479,6 +476,12 @@ class ImportanceNestedSampler(BaseNestedSampler):
     @property
     def reached_tolerance(self) -> bool:
         return self.combined_criterion.is_met(self.criterion)
+
+    @property
+    def stopping_criteria(self):
+        """Names of the stopping criteria used by the sampler.
+        Reference: ``importancesampler.py:642-644``."""
+        return self.combined_criterion.names
 
     @property
     def live_points(self):
@@ -1053,21 +1056,24 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
         Reference: ``importancesampler.py:620``."""
         if self.min_samples > self.nlive:
-            raise ValueError("min_samples must be <= nlive")
+            raise ValueError("`min_samples` must be less than `nlive`")
         if self.min_remove > self.nlive:
-            raise ValueError("min_remove must be <= nlive")
+            raise ValueError("`min_remove` must be less than `nlive`")
         return True
+
+    def get_proposal(self, subdir: str = "levels", **kwargs):
+        """Construct the meta-proposal in ``output/subdir``.
+        Reference: ``importancesampler.py:684-688``."""
+        output = os.path.join(self.output, subdir, "")
+        return ImportanceFlowProposal(self.model, output=output, **kwargs)
 
     def update_output(self, output: str) -> None:
         """Move the sampler to a new output directory (used when resuming
-        into a different path). Reference: ``importancesampler.py:760``."""
-        self.output = output
-        os.makedirs(output, exist_ok=True)
-        self.resume_file = os.path.join(
-            output, os.path.basename(self.resume_file)
-        )
-        self.proposal.output = os.path.join(output, "levels", "")
-        self.proposal.flow.update_weights_path(self.proposal.output)
+        into a different path). Reference: ``importancesampler.py:690-695``."""
+        super().update_output(output)
+        if self.proposal is not None:
+            subdir = os.path.basename(os.path.normpath(self.proposal.output))
+            self.proposal.update_output(os.path.join(output, subdir, ""))
 
     def configure_iterations(
         self,

@@ -135,31 +135,31 @@ class StoppingCriterionRegistry:
         return sorted(cls._registry)
 
 
-@StoppingCriterionRegistry.register("dZ", "evidence")
+@StoppingCriterionRegistry.register("dZ", "evidence", "dlogZ")
 class DeltaLogZ(StoppingCriterion):
     """Remaining-evidence estimate; standard-sampler default (tol 0.1).
 
     Reference: ``nessai/stopping_criteria.py:160``.
     """
 
-    name = "dlogZ"
+    name = "difference_log_evidence"
     default_tolerance = 0.1
     comparison_basis = "<="
 
 
-@StoppingCriterionRegistry.register("log_evidence_ratio", "evidence_ratio")
+@StoppingCriterionRegistry.register("ratio", "evidence_ratio")
 class Ratio(StoppingCriterion):
     """INS default: log ratio of live-point to nested-sample evidence
     (tol 0.0)."""
 
-    name = "ratio"
+    name = "log_evidence_ratio"
     default_tolerance = 0.0
     comparison_basis = "<="
 
 
-@StoppingCriterionRegistry.register("log_evidence_ratio_nested_samples")
+@StoppingCriterionRegistry.register("ratio_ns")
 class RatioNS(StoppingCriterion):
-    name = "ratio_ns"
+    name = "log_evidence_ratio_nested_samples"
     default_tolerance = 0.0
     comparison_basis = "<="
 
@@ -171,9 +171,9 @@ class ESS(StoppingCriterion):
     comparison_basis = ">="
 
 
-@StoppingCriterionRegistry.register("evidence_error", "log_evidence_error")
+@StoppingCriterionRegistry.register("Z_err", "log_evidence_error")
 class ZErr(StoppingCriterion):
-    name = "Z_err"
+    name = "evidence_error"
     default_tolerance = 0.1
     comparison_basis = "<="
 

@@ -5,6 +5,8 @@ test_properties,test_config}.py`` (42 tests) against real objects.
 Reference: ``nessai/proposal/importance.py``.
 """
 
+import os
+
 import numpy as np
 import pytest
 from scipy.special import logsumexp
@@ -376,3 +378,93 @@ def test_draw_from_prior(trained, model):
     np.testing.assert_allclose(
         samples["logW"], samples["logU"] - samples["logQ"]
     )
+
+
+# ---------------------------------------------------------------------------
+# training (reference test_training.py)
+# ---------------------------------------------------------------------------
+def test_train_creates_level_and_nan_weight(ifp, model):
+    ifp.initialise()
+    x = model.to_unit_hypercube(model.new_point(64))
+    x["logW"] = 0.0
+    ifp.train(x)
+    assert ifp.level_count == 0
+    assert ifp.flow.n_models == 1
+    assert np.isnan(ifp._weights[0])
+    assert len(ifp._weights) == 2
+
+
+def test_train_plotting_outputs(ifp, model, tmp_path):
+    ifp.initialise()
+    x = model.to_unit_hypercube(model.new_point(64))
+    x["logW"] = np.log(np.random.default_rng(0).random(64))
+    ifp.weighted_kl = True
+    ifp.train(x, plot=True)
+    level = os.path.join(ifp.output, "level_0", "")
+    for name in (
+        "training_data.png",
+        "prime_training_data.png",
+        "training_weights.png",
+        "generated_samples.png",
+    ):
+        assert os.path.exists(os.path.join(level, name)), name
+
+
+@pytest.mark.parametrize("use_weights", [True, False])
+def test_train_weights_normalised(ifp, model, monkeypatch, use_weights):
+    """Weights passed to the flow are normalised; weighted_kl derives
+    them from logW (reference test_train_weights)."""
+    ifp.initialise()
+    x = model.to_unit_hypercube(model.new_point(32))
+    rng = np.random.default_rng(3)
+    x["logW"] = np.log(rng.random(32))
+    captured = {}
+
+    orig_train = ifp.flow.train
+
+    def capture(samples, weights=None, **kwargs):
+        captured["weights"] = weights
+        return orig_train(samples, weights=weights, **kwargs)
+
+    monkeypatch.setattr(ifp.flow, "train", capture)
+    if use_weights:
+        weights = rng.random(32)
+        expected = weights / weights.sum()
+        ifp.weighted_kl = False
+        ifp.train(x, weights=weights)
+    else:
+        ifp.weighted_kl = True
+        expected = np.exp(x["logW"] - logsumexp(x["logW"]))
+        ifp.train(x)
+    np.testing.assert_allclose(captured["weights"].sum(), 1.0)
+    np.testing.assert_allclose(captured["weights"], expected)
+
+
+def test_train_weights_nan(ifp, model):
+    ifp.initialise()
+    x = model.to_unit_hypercube(model.new_point(16))
+    weights = np.ones(16)
+    weights[0] = np.nan
+    with pytest.raises(ValueError, match=r"Weights contain NaN\(s\)"):
+        ifp.train(x, weights=weights)
+
+
+def test_training_and_prob_integration(model, tmp_path):
+    """4 levels of train/draw, then a meta-proposal evaluation
+    (reference test_training_and_prob)."""
+    ifp = ImportanceFlowProposal(
+        model,
+        output=str(tmp_path / "t"),
+        weighted_kl=False,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=2, batch_size=16),
+    )
+    ifp.initialise()
+    for i in range(4):
+        ifp.train(model.to_unit_hypercube(model.new_point(10)))
+        weights = {j - 1: 1 / (i + 2) for j in range(i + 2)}
+        ifp.update_proposal_weights(weights)
+        x, _ = ifp.draw(10)
+    log_Q, log_q = ifp.compute_meta_proposal_samples(x)
+    assert len(log_Q) == 10
+    assert log_q.shape == (10, 5)

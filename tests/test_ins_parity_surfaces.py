@@ -7,6 +7,8 @@ and the ``non_sampling_parameters`` switch in the livepoint codec
 (``nessai/livepoint.py:74-254``).
 """
 
+import os
+
 import numpy as np
 import pickle
 import pytest
@@ -461,3 +463,141 @@ def test_populate_live_points_iid(ins):
     assert not np.shares_memory(
         ins.training_samples.samples, ins.iid_samples.samples
     )
+
+
+# ---------------------------------------------------------------------------
+# configuration surfaces (reference test_config.py / test_stopping_criteria.py)
+# ---------------------------------------------------------------------------
+def test_add_fields_registers_non_sampling_parameters():
+    ImportanceNestedSampler.add_fields()
+    for field in ("logW", "logQ", "logU"):
+        assert field in config.livepoints.non_sampling_parameters
+
+
+@pytest.mark.parametrize("save_log_q", [False, True])
+def test_init_save_log_q_propagates(tmp_path, rng, save_log_q):
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    s = ImportanceNestedSampler(
+        model,
+        output=str(tmp_path),
+        rng=rng,
+        nlive=100,
+        min_samples=10,
+        save_log_q=save_log_q,
+        draw_iid_live=True,
+    )
+    assert s.training_samples.save_log_q is save_log_q
+    assert s.iid_samples.save_log_q is save_log_q
+
+
+def test_check_configuration_messages(ins):
+    ins.min_samples = 200
+    ins.nlive = 100
+    ins.min_remove = 1
+    with pytest.raises(
+        ValueError, match=r"`min_samples` must be less than `nlive`"
+    ):
+        ins.check_configuration()
+    ins.min_samples = 50
+    ins.min_remove = 200
+    with pytest.raises(
+        ValueError, match=r"`min_remove` must be less than `nlive`"
+    ):
+        ins.check_configuration()
+    ins.min_remove = 1
+    assert ins.check_configuration() is True
+
+
+def test_update_output_delegates_to_proposal(ins, tmp_path):
+    new = str(tmp_path / "moved")
+    ins.update_output(new)
+    assert ins.output == new
+    assert os.path.dirname(ins.resume_file) == new
+    assert ins.proposal.output == os.path.join(new, "levels", "")
+    assert os.path.isdir(ins.proposal.output)
+
+
+@pytest.mark.parametrize(
+    "stopping_criterion, tolerance, check_criteria, mode",
+    [
+        ("ess", 1000, "all", "and"),
+        (["ess", "log_evidence_ratio"], [1000, 0], "all", "and"),
+        (["ess", "log_evidence_ratio"], [1000, 0], "any", "or"),
+    ],
+)
+def test_configure_stopping_criterion_parity(
+    ins, stopping_criterion, tolerance, check_criteria, mode
+):
+    ins.configure_stopping_criterion(
+        stopping_criterion, tolerance, check_criteria
+    )
+    names = (
+        [stopping_criterion]
+        if isinstance(stopping_criterion, str)
+        else stopping_criterion
+    )
+    assert ins.stopping_criteria == names
+    assert ins.combined_criterion.mode == mode
+
+
+@pytest.mark.parametrize("met", [False, True])
+def test_reached_tolerance_delegates(ins, met):
+    class Fake:
+        def is_met(self, criterion):
+            return met
+
+    ins.combined_criterion = Fake()
+    ins.criterion = {"ess": 1000}
+    assert ins.reached_tolerance is met
+
+
+# ---------------------------------------------------------------------------
+# proposal management (reference test_proposal.py)
+# ---------------------------------------------------------------------------
+def test_get_proposal_subdir(ins, tmp_path):
+    p = ins.get_proposal(
+        "custom", flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1)
+    )
+    assert p.output == os.path.join(ins.output, "custom", "")
+
+
+def test_update_proposal_weights_from_counts(ins):
+    calls = []
+
+    class P:
+        def update_proposal_weights(self, weights):
+            calls.append(weights)
+
+    ins.draw_iid_live = False
+    x = numpy_array_to_live_points(np.ones((10, 2)), ["x_0", "x_1"])
+    ins.training_samples.samples = x
+    ins.sample_counts = {-1: 2, 0: 4, 1: 4}
+    ins.proposal = P()
+    ins.update_proposal_weights()
+    assert calls == [{-1: 0.2, 0: 0.4, 1: 0.4}]
+
+
+def test_add_new_proposal_weight_table(ins):
+    calls = []
+
+    class P:
+        def update_proposal_weights(self, weights):
+            calls.append(weights)
+
+    ins.draw_iid_live = False
+    x = numpy_array_to_live_points(np.ones((8, 2)), ["x_0", "x_1"])
+    ins.training_samples.samples = x
+    ins.sample_counts = {-1: 2, 0: 3, 1: 3}
+    ins.proposal = P()
+    ins.add_new_proposal_weight(2, 2)
+    assert ins.sample_counts[2] == 2
+    assert calls == [{-1: 0.2, 0: 0.3, 1: 0.3, 2: 0.2}]
+
+
+def test_add_new_proposal_weight_error(ins):
+    ins.sample_counts = {-1: 2, 0: 3, 1: 3, 2: 2}
+    with pytest.raises(
+        RuntimeError, match="Samples already drawn from proposal 2"
+    ):
+        ins.add_new_proposal_weight(2, 2)

@@ -45,10 +45,10 @@ def test_group_and_or_combinations():
     both = dlogz & ess
     either = dlogz | ess
     assert isinstance(both, CriterionGroup)
-    assert both.is_met({"dlogZ": 0.05, "ess": 200})
-    assert not both.is_met({"dlogZ": 0.05, "ess": 50})
-    assert either.is_met({"dlogZ": 0.5, "ess": 200})
-    assert not either.is_met({"dlogZ": 0.5, "ess": 50})
+    assert both.is_met({"difference_log_evidence": 0.05, "ess": 200})
+    assert not both.is_met({"difference_log_evidence": 0.05, "ess": 50})
+    assert either.is_met({"difference_log_evidence": 0.5, "ess": 200})
+    assert not either.is_met({"difference_log_evidence": 0.5, "ess": 50})
 
 
 def test_group_nesting():
@@ -56,12 +56,18 @@ def test_group_nesting():
     b = StoppingCriterionRegistry.get("ess", tolerance=100)
     c = StoppingCriterionRegistry.get("ratio", tolerance=0.0)
     g = (a & b) | c
-    assert g.is_met({"dlogZ": 1.0, "ess": 1.0, "ratio": -1.0})
+    assert g.is_met(
+        {
+            "difference_log_evidence": 1.0,
+            "ess": 1.0,
+            "log_evidence_ratio": -1.0,
+        }
+    )
 
 
 def test_registry_names_property():
     names = StoppingCriterionRegistry.known()
-    for n in ("dlogZ", "ratio", "ess"):
+    for n in ("difference_log_evidence", "log_evidence_ratio", "ess"):
         assert any(n.lower() == m.lower() for m in names)
 
 

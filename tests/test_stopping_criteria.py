@@ -11,7 +11,15 @@ from nessai_tpu.stopping_criteria import (
 
 def test_registry_known():
     known = StoppingCriterionRegistry.known()
-    for name in ("dlogz", "ratio", "ess", "z_err"):
+    for name in (
+        "dlogz",
+        "difference_log_evidence",
+        "ratio",
+        "log_evidence_ratio",
+        "ess",
+        "z_err",
+        "evidence_error",
+    ):
         assert name in known
 
 
@@ -45,16 +53,16 @@ def test_and_group():
         "ess", tolerance=100
     )
     assert isinstance(g, CriterionGroup)
-    assert g.is_met({"ratio": -1.0, "ess": 200})
-    assert not g.is_met({"ratio": -1.0, "ess": 50})
+    assert g.is_met({"log_evidence_ratio": -1.0, "ess": 200})
+    assert not g.is_met({"log_evidence_ratio": -1.0, "ess": 50})
 
 
 def test_or_group():
     g = StoppingCriterionRegistry.get("ratio") | StoppingCriterionRegistry.get(
         "ess", tolerance=100
     )
-    assert g.is_met({"ratio": -1.0, "ess": 50})
-    assert not g.is_met({"ratio": 1.0, "ess": 50})
+    assert g.is_met({"log_evidence_ratio": -1.0, "ess": 50})
+    assert not g.is_met({"log_evidence_ratio": 1.0, "ess": 50})
 
 
 def test_none_value_not_met():
@@ -72,11 +80,11 @@ class TestRound3CriteriaBranches:
         g_or = a | b
         assert g_and.mode == "and"
         assert g_or.mode == "or"
-        assert set(g_and.names) == {"dlogZ", "ess"}
-        vals_one = {"dlogZ": 0.01, "ess": 10.0}
+        assert set(g_and.names) == {"difference_log_evidence", "ess"}
+        vals_one = {"difference_log_evidence": 0.01, "ess": 10.0}
         assert not g_and.is_met(vals_one)
         assert g_or.is_met(vals_one)
-        vals_both = {"dlogZ": 0.01, "ess": 500.0}
+        vals_both = {"difference_log_evidence": 0.01, "ess": 500.0}
         assert g_and.is_met(vals_both)
 
     def test_group_merge_and_repr(self):
@@ -90,11 +98,11 @@ class TestRound3CriteriaBranches:
         assert "&" in repr(g)
         g2 = (a | b) | c
         assert "|" in repr(g2)
-        assert repr(a) == "dlogZ<=0.1"
+        assert repr(a) == "difference_log_evidence<=0.1"
 
     def test_group_tolerances_dict(self):
         from nessai_tpu.stopping_criteria import StoppingCriterionRegistry
 
         a = StoppingCriterionRegistry.get("dlogZ", tolerance=0.2)
         g = a & StoppingCriterionRegistry.get("ess", tolerance=50)
-        assert g.tolerances == {"dlogZ": 0.2, "ess": 50}
+        assert g.tolerances == {"difference_log_evidence": 0.2, "ess": 50}
