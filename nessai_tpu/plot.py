@@ -342,7 +342,8 @@ def plot_trace(
             if n not in config.livepoints.non_sampling_parameters
         ]
     if labels is not None and len(labels) != len(parameters):
-        raise ValueError(
+        # reference raises RuntimeError here (``nessai/plot.py:584``)
+        raise RuntimeError(
             f"List of labels is the wrong length ({len(labels)}) for the "
             f"parameters: {parameters}."
         )
@@ -367,7 +368,15 @@ def plot_trace(
     axs[-1, 0].set_xlabel("log X")
     axs[-1, 0].invert_xaxis()
     fig.tight_layout()
-    return _save_or_return(fig, filename)
+    if filename is not None:
+        try:
+            fig.savefig(filename, bbox_inches="tight")
+        except ValueError as e:
+            # reference ``nessai/plot.py:613``
+            logger.warning("Could not save trace plot. Error: %s", e)
+        plt.close(fig)
+        return None
+    return fig
 
 
 @nessai_style()
@@ -396,30 +405,63 @@ def corner_plot(
     reference signature (``nessai/plot.py:648``); ``parameters`` is an
     alias for ``include``. Fields with no dynamic range are dropped."""
     live_points = array
+    if include and exclude:
+        raise ValueError("Cannot specify both `include` and `exclude`")
     if parameters is None:
         parameters = include
+    if exclude:
+        parameters = [n for n in live_points.dtype.names if n not in exclude]
     if parameters is None:
         parameters = [
             n
             for n in live_points.dtype.names
             if n not in config.livepoints.non_sampling_parameters
         ]
-    if exclude:
-        parameters = [n for n in parameters if n not in exclude]
-    # drop fields with no dynamic range (as the reference does)
-    parameters = [
-        n
-        for n in parameters
-        if np.ptp(np.asarray(live_points[n], dtype=float)) > 0
-    ]
+    if labels is None:
+        labels = np.asarray(parameters)
+    else:
+        labels = np.asarray(labels)
+    # drop fields with no dynamic range (as the reference does,
+    # ``nessai/plot.py:710-726``)
+    has_range = np.array(
+        [
+            (not np.isnan(np.asarray(live_points[n], dtype=float)).all())
+            and np.nanmin(live_points[n]) != np.nanmax(live_points[n])
+            for n in parameters
+        ],
+        dtype=bool,
+    )
+    if not has_range.all():
+        logger.warning(
+            "Some parameters have no dynamic range. Removing: %s",
+            [n for n, b in zip(parameters, has_range) if not b],
+        )
+    parameters = [n for n, b in zip(parameters, has_range) if b]
+    if len(labels) != len(parameters):
+        labels = labels[has_range]
+    if truths is not None:
+        if isinstance(truths, dict):
+            if include:
+                truths = np.array([truths[n] for n in include])
+            else:
+                truths = np.fromiter(truths.values(), float)
+        else:
+            truths = np.asarray(truths)
+        if len(truths) != len(parameters):
+            if not has_range.all():
+                truths = truths[has_range]
+            else:
+                raise ValueError(
+                    "Length of truths does not match number of "
+                    "parameters being plotted"
+                )
     arr = live_points_to_array(live_points, parameters)
     try:
         import corner
 
         fig = corner.corner(
-            arr, labels=labels or parameters, truths=truths, **kwargs
+            arr, labels=list(labels), truths=truths, **kwargs
         )
-        return _save_or_return(fig, filename)
     except ImportError:
         import pandas as pd
         import seaborn as sns
@@ -428,7 +470,16 @@ def corner_plot(
         g = sns.PairGrid(df, corner=True, diag_sharey=False)
         g.map_diag(sns.histplot)
         g.map_offdiag(sns.histplot, bins=30)
-        return _save_or_return(g.figure, filename)
+        fig = g.figure
+    if filename is not None:
+        try:
+            fig.savefig(filename, bbox_inches="tight")
+        except ValueError as e:
+            # reference ``nessai/plot.py:753``
+            logger.warning("Could not save corner plot. Error: %s", e)
+        plt.close(fig)
+        return None
+    return fig
 
 
 @nessai_style()

@@ -207,7 +207,8 @@ class TestPlotTrace:
 
     def test_labels_wrong_length(self, rng):
         ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
-        with pytest.raises(ValueError, match="wrong length"):
+        # reference raises RuntimeError (``nessai/plot.py:584``)
+        with pytest.raises(RuntimeError, match="wrong length"):
             plot_trace(-np.arange(30) / 10, ns, labels=["only-one"])
 
     def test_parameter_subset(self, rng):
@@ -266,3 +267,102 @@ class TestStyleAndMisc:
             is None
         )
         assert out.exists()
+
+
+class TestCornerPlotParity:
+    """Ports of reference test_plot.py corner_plot cases."""
+
+    @pytest.fixture()
+    def live_points(self, rng):
+        x = numpy_array_to_live_points(rng.normal(size=(50, 2)), ["x", "y"])
+        x["logL"] = rng.normal(size=50)
+        return x
+
+    def test_include_and_exclude_error(self, live_points):
+        with pytest.raises(
+            ValueError, match=r"Cannot specify both `include` and `exclude`"
+        ):
+            corner_plot(live_points, include=["x"], exclude=["y"])
+
+    def test_include(self, live_points):
+        fig = corner_plot(live_points, include=["x", "y"])
+        assert fig is not None
+
+    def test_exclude(self, live_points):
+        fig = corner_plot(live_points, exclude=["y"])
+        assert fig is not None
+
+    def test_truths_list(self, live_points):
+        fig = corner_plot(live_points, include=["x", "y"], truths=[0.0, 0.0])
+        assert fig is not None
+
+    def test_truths_dict(self, live_points):
+        fig = corner_plot(
+            live_points, include=["x", "y"], truths={"x": 0.0, "y": 0.0}
+        )
+        assert fig is not None
+
+    def test_truths_mismatch_error(self, live_points):
+        with pytest.raises(ValueError, match=r"truths does not match"):
+            corner_plot(live_points, include=["x"], truths=[1, 1])
+
+    def test_no_dynamic_range_removed(self, live_points, caplog):
+        live_points["y"] = 1.0
+        with caplog.at_level("WARNING"):
+            fig = corner_plot(live_points, include=["x", "y"])
+        assert fig is not None
+        assert "no dynamic range" in caplog.text
+
+    def test_all_nans_column(self, live_points, caplog):
+        live_points["y"] = np.nan
+        with caplog.at_level("WARNING"):
+            fig = corner_plot(live_points, include=["x", "y"])
+        assert fig is not None
+
+    def test_truths_filtered_with_range(self, live_points):
+        live_points["y"] = 1.0
+        fig = corner_plot(
+            live_points, include=["x", "y"], truths=[0.0, 1.0]
+        )
+        assert fig is not None
+
+    def test_save(self, live_points, tmp_path):
+        out = tmp_path / "corner.png"
+        assert corner_plot(live_points, filename=str(out)) is None
+        assert out.exists()
+
+    def test_save_error_warns(self, live_points, caplog, monkeypatch):
+        import matplotlib.figure
+
+        def bad_save(self, *args, **kwargs):
+            raise ValueError("bad dpi")
+
+        monkeypatch.setattr(matplotlib.figure.Figure, "savefig", bad_save)
+        with caplog.at_level("WARNING"):
+            out = corner_plot(live_points, filename="corner.png")
+        assert out is None
+        assert "Could not save corner plot" in caplog.text
+
+
+class TestTracePlotParity:
+    def test_save_error_warns(self, rng, caplog, monkeypatch):
+        import matplotlib.figure
+
+        ns = numpy_array_to_live_points(rng.normal(size=(30, 2)), ["x", "y"])
+
+        def bad_save(self, *args, **kwargs):
+            raise ValueError("bad dpi")
+
+        monkeypatch.setattr(matplotlib.figure.Figure, "savefig", bad_save)
+        with caplog.at_level("WARNING"):
+            out = plot_trace(
+                -np.arange(30) / 10, ns, filename="trace.png"
+            )
+        assert out is None
+        assert "Could not save trace plot" in caplog.text
+
+    def test_large_dims(self, rng):
+        names = [f"x_{i}" for i in range(12)]
+        ns = numpy_array_to_live_points(rng.normal(size=(20, 12)), names)
+        fig = plot_trace(-np.arange(20) / 10, ns)
+        assert len(fig.axes) == 12
