@@ -33,42 +33,95 @@ class LivepointsConfig(_BaseConfig):
     Reference: ``nessai/config.py:22-115``.
     """
 
+    #: Default log-likelihood dtype.
+    logl_dtype: str = "f8"
+    #: Integer dtype for iteration field.
+    it_dtype: str = "i4"
+    #: Default value for the iteration parameter.
+    it_default: int = 0
+    #: Default dtype for the sampled parameters.
+    default_float_dtype: str = "f8"
+    #: Default value for float parameters (users may set e.g. -inf; call
+    #: :meth:`reset_properties` afterwards, as in the reference).
+    default_float_value: float = np.nan
     #: Fields every live point carries besides the model parameters.
     core_parameters: List[str] = field(
         default_factory=lambda: ["logP", "logL", "it"]
     )
-    #: dtypes for the core parameters.
-    core_parameters_dtype: List[str] = field(
-        default_factory=lambda: ["f8", "f8", "i4"]
-    )
-    #: Default values for the core parameters in new points.
-    core_parameters_defaults: tuple = (np.nan, np.nan, 0)
     #: Extra fields (e.g. INS adds logW, logQ, logU at runtime).
     extra_parameters: List[str] = field(default_factory=list)
     extra_parameters_dtype: List[str] = field(default_factory=list)
     extra_parameters_defaults: tuple = ()
-    #: Default dtype for the sampled parameters.
-    default_float_dtype: str = "f8"
-    #: Integer dtype for iteration field.
-    it_dtype: str = "i4"
+
+    # cached derived values (reference ``nessai/config.py:46-50``)
+    _core_parameter_dtype: List[str] = None
+    _core_parameter_defaults: tuple = None
+    _non_sampling_defaults: tuple = None
+    _non_sampling_parameters: List[str] = None
+    _non_sampling_dtype: List[str] = None
+
+    @property
+    def core_parameters_dtype(self) -> List[str]:
+        """dtypes for the core parameters (cached)."""
+        if self._core_parameter_dtype is None:
+            self._core_parameter_dtype = [
+                self.default_float_dtype,
+                self.logl_dtype,
+                self.it_dtype,
+            ]
+        return self._core_parameter_dtype
+
+    @property
+    def core_parameters_defaults(self) -> tuple:
+        """Default values for the core parameters in new points (cached)."""
+        if self._core_parameter_defaults is None:
+            self._core_parameter_defaults = (
+                self.default_float_value,
+                self.default_float_value,
+                self.it_default,
+            )
+        return self._core_parameter_defaults
 
     @property
     def non_sampling_parameters(self) -> List[str]:
-        return self.core_parameters + self.extra_parameters
+        if self._non_sampling_parameters is None:
+            self._non_sampling_parameters = (
+                self.core_parameters + self.extra_parameters
+            )
+        return self._non_sampling_parameters
 
     @property
     def non_sampling_dtype(self) -> List[str]:
-        return self.core_parameters_dtype + self.extra_parameters_dtype
+        if self._non_sampling_dtype is None:
+            self._non_sampling_dtype = (
+                self.core_parameters_dtype + self.extra_parameters_dtype
+            )
+        return self._non_sampling_dtype
 
     @property
     def non_sampling_defaults(self) -> tuple:
-        return self.core_parameters_defaults + self.extra_parameters_defaults
+        if self._non_sampling_defaults is None:
+            self._non_sampling_defaults = (
+                self.core_parameters_defaults
+                + self.extra_parameters_defaults
+            )
+        return self._non_sampling_defaults
 
     def reset(self) -> None:
         """Remove all extra parameters (used by tests and INS teardown)."""
         self.extra_parameters = []
         self.extra_parameters_dtype = []
         self.extra_parameters_defaults = ()
+        self.reset_properties()
+
+    def reset_properties(self) -> None:
+        """Clear the cached derived values (reference
+        ``nessai/config.py:108-115``)."""
+        self._core_parameter_dtype = None
+        self._core_parameter_defaults = None
+        self._non_sampling_defaults = None
+        self._non_sampling_parameters = None
+        self._non_sampling_dtype = None
 
 
 @dataclass

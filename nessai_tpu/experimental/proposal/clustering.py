@@ -37,7 +37,7 @@ class ClusteringFlowProposal(FlowProposal):
         if not resumed:
             self.verify_rescaling()
         flow_config = dict(self.flow_config or {})
-        flow_config["n_inputs"] = self.rescaled_dims
+        flow_config["n_inputs"] = self.prime_dims
         flow_config = self.update_flow_config(flow_config)
         self.flow = ClusteringFlowModel(
             flow_config=flow_config,

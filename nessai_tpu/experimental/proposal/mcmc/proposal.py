@@ -53,7 +53,7 @@ class MCMCFlowProposal(BaseFlowProposal):
         super().initialise(resumed=resumed)
         if self._step is None:
             self._step = KNOWN_STEPS[self.step_type](
-                self.rescaled_dims, rng=self.rng, **self.step_kwargs
+                self.prime_dims, rng=self.rng, **self.step_kwargs
             )
 
     def _backward_nofilter(self, z):

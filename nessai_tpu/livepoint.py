@@ -56,6 +56,8 @@ def add_extra_parameters_to_live_points(parameters: List[str], default_values=No
                 "values and add this parameter.",
                 p,
             )
+    # invalidate the cached derived lists (reference ``livepoint.py:65``)
+    config.livepoints.reset_properties()
 
 
 def reset_extra_live_points_parameters():

@@ -47,14 +47,14 @@ class AugmentedFlowProposal(FlowProposal):
         self.augment_names = [f"e_{i}" for i in range(self.augment_dims)]
         self.parameters = self.parameters + self.augment_names
         self.prime_parameters = self.prime_parameters + self.augment_names
-        self._base_dims = self.rescaled_dims - self.augment_dims
+        self._base_dims = self.prime_dims - self.augment_dims
 
     def update_flow_config(self, flow_config: dict) -> dict:
         """Fix the coupling mask: real dims identity, augment dims
         transformed (reference ``augmented.py:91``)."""
         flow_config = dict(flow_config)
         if "mask" not in flow_config:
-            m = np.ones(self.rescaled_dims, dtype=int)
+            m = np.ones(self.prime_dims, dtype=int)
             m[-self.augment_dims :] = -1
             flow_config["mask"] = m
         return flow_config

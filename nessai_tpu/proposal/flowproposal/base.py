@@ -122,7 +122,22 @@ class BaseFlowProposal(RejectionProposal):
         return len(self.parameters)
 
     @property
+    def prime_dims(self) -> int:
+        """Number of parameters in the prime (rescaled) space."""
+        return len(self.prime_parameters)
+
+    @property
     def rescaled_dims(self) -> int:
+        """Deprecated alias for :attr:`prime_dims` (reference
+        ``flowproposal/base.py:215-222``)."""
+        import warnings
+
+        warnings.warn(
+            "rescaled_dims is deprecated and will be removed in a future "
+            "release, use prime_dims instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         return len(self.prime_parameters)
 
     @property
@@ -139,12 +154,7 @@ class BaseFlowProposal(RejectionProposal):
 
     @property
     def flow_dims(self) -> int:
-        return self.rescaled_dims
-
-    @property
-    def prime_dims(self) -> int:
-        """Alias kept for reference parity."""
-        return self.rescaled_dims
+        return self.prime_dims
 
     def latent_log_prob(self, z, temperature=None):
         """Log-prob of latent samples under the (optionally tempered)
@@ -196,7 +206,7 @@ class BaseFlowProposal(RejectionProposal):
         if not resumed:
             self.verify_rescaling()
         flow_config = dict(self.flow_config or {})
-        flow_config["n_inputs"] = self.rescaled_dims
+        flow_config["n_inputs"] = self.prime_dims
         flow_config = self.update_flow_config(flow_config)
         self.flow = FlowModel(
             flow_config=flow_config,
@@ -510,7 +520,7 @@ class BaseFlowProposal(RejectionProposal):
         from ...flowmodel.base import _bucket_size
 
         fm = self.flow
-        dims = self.rescaled_dims
+        dims = self.prime_dims
         # Pin the thread to the main thread's current default device —
         # jax device contexts are thread-local.
         try:

@@ -64,6 +64,17 @@ class FlowProposal(BaseFlowProposal):
         volume_fraction: float = 0.95,
         fuse_likelihood: Optional[bool] = None,
         populate_mode: str = "auto",
+        truncation_method=None,
+        truncation_methods=None,
+        truncation_kwargs=None,
+        truncate_log_q: bool = False,
+        enforce_likelihood_threshold: bool = False,
+        fixed_radius=None,
+        radius_mode=None,
+        min_radius=None,
+        max_radius=None,
+        compute_radius_with_all=None,
+        latent_prior=None,
         **kwargs,
     ):
         super().__init__(model, **kwargs)
@@ -95,6 +106,72 @@ class FlowProposal(BaseFlowProposal):
         #: configuration supports it.
         self.populate_mode = populate_mode
         self._fuse_likelihood_resolved = None
+        if latent_prior is not None:
+            import warnings
+
+            warnings.warn(
+                "latent_prior is deprecated; latent sampling is always the "
+                "flow's (optionally truncated/tempered) Gaussian base",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        # reference-parity truncation kwargs (flowproposal.py:102-168):
+        # truncation_method(s)/truncation_kwargs name registry rules;
+        # truncate_log_q / enforce_likelihood_threshold are the
+        # deprecated boolean forms; fixed_radius/radius_mode/min_radius/
+        # max_radius fold into the latent_radius rule kwargs
+        if truncation_method is not None and truncation_methods is not None:
+            raise ValueError(
+                "Specify only one of truncation_method or truncation_methods"
+            )
+        if truncation is None and (
+            truncation_method is not None or truncation_methods is not None
+        ):
+            if truncation_methods is None:
+                methods = [truncation_method]
+            elif isinstance(truncation_methods, str):
+                methods = [truncation_methods]
+            else:
+                methods = list(truncation_methods)
+            # dedupe preserving order
+            methods = list(dict.fromkeys(methods))
+            t_kwargs = dict(truncation_kwargs or {})
+            # flat kwargs for a single method (reference
+            # ``truncation.py:133-152``)
+            if (
+                isinstance(truncation_method, str)
+                and truncation_method not in t_kwargs
+                and t_kwargs
+                and not any(isinstance(v, dict) for v in t_kwargs.values())
+            ):
+                t_kwargs = {truncation_method: t_kwargs}
+            for name, v in t_kwargs.items():
+                if v is not None and not isinstance(v, dict):
+                    raise TypeError(
+                        f"Truncation kwargs for {name} must be a dictionary"
+                    )
+            truncation = {
+                name: dict(t_kwargs.get(name) or {}) for name in methods
+            }
+        if compute_radius_with_all is not None:
+            import warnings
+
+            warnings.warn(
+                "compute_radius_with_all is deprecated: the adaptive "
+                "latent radius always encloses the full training set",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        extra_radius_kwargs = {}
+        if fixed_radius is not None:
+            extra_radius_kwargs["mode"] = "fixed"
+            extra_radius_kwargs["radius"] = float(fixed_radius)
+        if radius_mode is not None:
+            extra_radius_kwargs["mode"] = radius_mode
+        if min_radius is not None:
+            extra_radius_kwargs["min_radius"] = float(min_radius)
+        if max_radius is not None:
+            extra_radius_kwargs["max_radius"] = float(max_radius)
         if truncation is None and constant_volume_mode:
             truncation = {
                 "latent_radius": {
@@ -111,6 +188,20 @@ class FlowProposal(BaseFlowProposal):
                     "fuzz": fuzz,
                 }
             }
+        if isinstance(truncation, str):
+            truncation = {truncation: {}}
+        elif isinstance(truncation, (list, tuple)):
+            truncation = {name: {} for name in truncation}
+        if isinstance(truncation, dict):
+            truncation = {k: dict(v or {}) for k, v in truncation.items()}
+            if truncate_log_q:
+                truncation.setdefault("min_log_q", {})
+            if enforce_likelihood_threshold:
+                truncation.setdefault("likelihood_threshold", {})
+            if extra_radius_kwargs:
+                truncation.setdefault("latent_radius", {}).update(
+                    extra_radius_kwargs
+                )
         self._truncation_config = truncation
         self._truncation_scheme = None
 
@@ -121,6 +212,33 @@ class FlowProposal(BaseFlowProposal):
                 self._truncation_config, rng=self.rng
             )
         self._build_device_inverse()
+
+    # ------------------------------------------------------------------
+    # Truncation introspection (reference ``flowproposal.py:171-188``)
+    # ------------------------------------------------------------------
+    @property
+    def truncation(self) -> TruncationScheme:
+        """The active truncation scheme (built lazily at initialise)."""
+        if self._truncation_scheme is None:
+            self._truncation_scheme = TruncationScheme.from_config(
+                self._truncation_config, rng=self.rng
+            )
+        return self._truncation_scheme
+
+    def get_truncation_rule(self, name: str):
+        return self.truncation.get_rule(name)
+
+    @property
+    def truncation_methods(self):
+        return self.truncation.rule_names
+
+    @property
+    def truncate_log_q(self) -> bool:
+        return "min_log_q" in self.truncation_methods
+
+    @property
+    def enforce_likelihood_threshold(self) -> bool:
+        return "likelihood_threshold" in self.truncation_methods
 
     #: cap on the acceptance-adaptive latent draw scale
     _max_draw_scale: float = 32.0

@@ -96,7 +96,7 @@ class LatentRadiusTruncation(TruncationRule):
         self._dist = None
 
     def prepare(self, proposal, worst_point, radius=None) -> None:
-        dims = proposal.rescaled_dims
+        dims = proposal.prime_dims
         if self.rng is None:
             self.rng = proposal.rng
         if radius is not None:

@@ -122,11 +122,46 @@ def check_proposal_kwargs(cls, kwargs, strict: bool = False) -> dict:
         if real:
             if strict:
                 raise RuntimeError(
-                    f"{cls.__name__} does not accept kwargs: {sorted(real)}"
+                    f"Keyword arguments contain unknown keys: {set(real)}"
+                )
+            # keys valid for OTHER proposal classes are dropped with a
+            # warning; truly unknown keys are an error (reference
+            # ``nessai/proposal/utils.py:59-75``)
+            allowed_extra = set()
+            for other in _known_proposal_classes():
+                if other is cls:
+                    continue
+                for klass in inspect.getmro(other):
+                    init = getattr(klass, "__init__", None)
+                    if init is None:
+                        continue
+                    try:
+                        allowed_extra |= set(
+                            inspect.signature(init).parameters
+                        )
+                    except (TypeError, ValueError):  # pragma: no cover
+                        continue
+            invalid = set(real) - allowed_extra
+            if invalid:
+                raise RuntimeError(
+                    f"Unknown kwargs for {cls.__name__}: {invalid}."
                 )
             logger.warning(
-                "Dropping kwargs not accepted by %s: %s",
+                "Removing unused keyword arguments (%s) from kwargs for "
+                "%s. These are valid keyword arguments but correspond to "
+                "other proposal classes.",
+                set(real),
                 cls.__name__,
-                real,
             )
     return out
+
+
+def _known_proposal_classes():
+    """The registered proposal classes whose kwargs are tolerated (and
+    dropped) when configuring a different class. Reference:
+    ``nessai/proposal/utils.py:28-38``."""
+    from ..experimental.proposal.clustering import ClusteringFlowProposal
+    from .augmented import AugmentedFlowProposal
+    from .flowproposal import FlowProposal
+
+    return [FlowProposal, AugmentedFlowProposal, ClusteringFlowProposal]

@@ -43,7 +43,7 @@ def test_update_flow_config_mask(proposal):
     out = proposal.update_flow_config(dict(proposal.flow_config or {}))
     mask = np.asarray(out["mask"])
     # real dims identity (+1), augment dims transformed (-1)
-    assert mask.size == proposal.rescaled_dims
+    assert mask.size == proposal.prime_dims
     assert (mask[-2:] == -1).all()
     assert (mask[:-2] == 1).all()
 

@@ -133,3 +133,100 @@ def test_flowmodel_get_optimiser():
     assert hasattr(opt, "init") and hasattr(opt, "update")
     opt2 = fm.get_optimiser("adamw")
     assert hasattr(opt2, "init")
+
+
+def test_livepoint_config_reset_properties():
+    """Reference test_config.py: cached derived lists recompute after
+    reset_properties (``nessai/config.py:46-115``)."""
+    import numpy as np
+
+    from nessai_tpu.config import LivepointsConfig
+
+    conf = LivepointsConfig()
+    assert conf.core_parameters == ["logP", "logL", "it"]
+    assert conf.core_parameters_dtype == ["f8", "f8", "i4"]
+    assert conf.core_parameters_defaults == (np.nan, np.nan, 0)
+    assert conf.extra_parameters == []
+    assert conf.non_sampling_dtype == ["f8", "f8", "i4"]
+    assert conf.non_sampling_defaults == (np.nan, np.nan, 0)
+
+    conf.default_float_value = -np.inf
+    conf.extra_parameters = ["a"]
+    conf.extra_parameters_defaults = (0.0,)
+    conf.extra_parameters_dtype = ["f4"]
+    # cached values persist until reset_properties
+    assert conf.non_sampling_defaults == (np.nan, np.nan, 0)
+
+    conf.reset_properties()
+    assert conf.core_parameters_defaults == (-np.inf, -np.inf, 0)
+    assert conf.non_sampling_parameters == ["logP", "logL", "it", "a"]
+    assert conf.non_sampling_dtype == ["f8", "f8", "i4", "f4"]
+    assert conf.non_sampling_defaults == (-np.inf, -np.inf, 0, 0.0)
+
+
+def test_livepoint_config_reset_clears_extras():
+    from nessai_tpu.config import LivepointsConfig
+
+    conf = LivepointsConfig(
+        extra_parameters=["a", "b"],
+        extra_parameters_dtype=["f4", "i4"],
+        extra_parameters_defaults=(0.0, 0),
+    )
+    assert conf.non_sampling_parameters == ["logP", "logL", "it", "a", "b"]
+    conf.reset()
+    assert conf.extra_parameters == []
+    assert conf.non_sampling_parameters == ["logP", "logL", "it"]
+
+
+def test_add_extra_parameters_invalidates_cache():
+    """add_extra_parameters_to_live_points must refresh the cached
+    non_sampling_parameters (reference ``livepoint.py:65``)."""
+    from nessai_tpu import config
+    from nessai_tpu.livepoint import (
+        add_extra_parameters_to_live_points,
+        reset_extra_live_points_parameters,
+    )
+
+    before = list(config.livepoints.non_sampling_parameters)
+    add_extra_parameters_to_live_points(["zzz"])
+    assert "zzz" in config.livepoints.non_sampling_parameters
+    reset_extra_live_points_parameters()
+    assert config.livepoints.non_sampling_parameters == before
+
+
+def test_rescaled_dims_deprecated(model, flow_config):
+    import warnings
+
+    from nessai_tpu.proposal import FlowProposal
+
+    p = FlowProposal(model, flow_config=flow_config, poolsize=10)
+    p.prime_parameters = ["x", "y"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        import pytest as _pytest
+
+        with _pytest.raises(DeprecationWarning):
+            p.rescaled_dims
+    assert p.prime_dims == 2
+
+
+def test_compute_evidence_ratio_deprecated():
+    import pytest as _pytest
+
+    from nessai_tpu.evidence import _INSIntegralState
+
+    import numpy as np
+
+    from nessai_tpu.livepoint import numpy_array_to_live_points
+    from nessai_tpu.samplers.importancesampler import (
+        ImportanceNestedSampler,
+    )
+
+    ImportanceNestedSampler.add_fields()
+    x = numpy_array_to_live_points(np.zeros((10, 1)), ["x"])
+    x["logL"] = np.arange(10.0)
+    x["logW"] = -1.0
+    state = _INSIntegralState()
+    state.update_evidence(x[:5], live_points=x[5:])
+    with _pytest.deprecated_call():
+        state.compute_evidence_ratio()

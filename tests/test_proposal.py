@@ -46,7 +46,7 @@ def flow_proposal(model, rng, tmp_path, flow_config, training_config):
 def test_flow_proposal_initialise(flow_proposal, model):
     assert flow_proposal.initialised
     assert flow_proposal.parameters == model.names
-    assert flow_proposal.rescaled_dims == 2
+    assert flow_proposal.prime_dims == 2
 
 
 def test_flow_proposal_forward_backward(flow_proposal, model):
@@ -148,12 +148,19 @@ def test_get_flow_proposal_class():
 
 
 def test_check_proposal_kwargs():
-    kwargs = check_proposal_kwargs(
-        FlowProposal, {"poolsize": 10, "not_a_kwarg": 5}
-    )
+    kwargs = check_proposal_kwargs(FlowProposal, {"poolsize": 10})
     assert "poolsize" in kwargs
-    assert "not_a_kwarg" not in kwargs
-    with pytest.raises(RuntimeError):
+    # kwargs valid for another proposal class are dropped with a warning
+    kwargs = check_proposal_kwargs(
+        FlowProposal, {"poolsize": 10, "augment_dims": 2}
+    )
+    assert "augment_dims" not in kwargs
+    # truly unknown kwargs raise (reference proposal/utils.py:66-69)
+    with pytest.raises(
+        RuntimeError, match=r"Unknown kwargs for FlowProposal"
+    ):
+        check_proposal_kwargs(FlowProposal, {"not_a_kwarg": 5})
+    with pytest.raises(RuntimeError, match="unknown keys"):
         check_proposal_kwargs(FlowProposal, {"not_a_kwarg": 5}, strict=True)
 
 

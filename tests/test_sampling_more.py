@@ -146,3 +146,94 @@ def test_regex_reparameterisation_spec(tmp_path, flow_config, training_config):
     fs.run(plot=False, save=False)
     reparam = list(fs.ns._flow_proposal._reparameterisation.values())[0]
     assert sorted(reparam.parameters) == sorted(model.names)
+
+
+def test_sampling_with_infinite_prior_bounds(
+    tmp_path, flow_config, training_config
+):
+    """Reference test_standard_sampling.py:511 — a parameter with
+    infinite prior bounds samples fine with reparameterisation None."""
+    from scipy.stats import norm
+
+    from nessai_tpu.livepoint import numpy_array_to_live_points
+    from nessai_tpu.model import Model
+
+    class InfModel(Model):
+        names = ["x", "y"]
+        bounds = {"x": [0, 1], "y": [-np.inf, np.inf]}
+        reparameterisations = {"x": "default", "y": None}
+
+        def new_point(self, N=1):
+            arr = np.concatenate(
+                [
+                    self.rng.random((N, 1)),
+                    self.rng.standard_normal((N, 1)),
+                ],
+                axis=1,
+            )
+            return numpy_array_to_live_points(arr, self.names)
+
+        def new_point_log_prob(self, x):
+            return self.log_prior(x)
+
+        def log_prior(self, x):
+            log_p = np.log(self.in_bounds(x), dtype=float)
+            log_p += norm.logpdf(x["y"])
+            return log_p
+
+        def log_likelihood(self, x):
+            log_l = np.zeros(x.size)
+            for n in self.names:
+                log_l += norm.logpdf(x[n])
+            return log_l
+
+    fs = FlowSampler(
+        InfModel(),
+        output=str(tmp_path),
+        nlive=100,
+        seed=5,
+        resume=False,
+        plot=False,
+        flow_config=flow_config,
+        training_config=training_config,
+    )
+    fs.run(plot=False, save=False)
+    assert np.isfinite(fs.logZ)
+    assert fs.logZ_error > 0
+
+
+def test_sampling_truncate_log_q(tmp_path, flow_config, training_config):
+    """Reference test_standard_sampling.py truncate_log_q run."""
+    fs = FlowSampler(
+        IntegrationTestModel(2),
+        output=str(tmp_path),
+        nlive=100,
+        seed=11,
+        resume=False,
+        plot=False,
+        max_iteration=40,
+        maximum_uninformed=10000,
+        truncate_log_q=True,
+        flow_config=flow_config,
+        training_config=training_config,
+        poolsize=100,
+    )
+    fs.run(plot=False, save=False)
+    assert "min_log_q" in fs.ns._flow_proposal.truncation_methods
+    assert np.isfinite(fs.logZ)
+
+
+def test_invalid_keyword_argument(tmp_path):
+    """Reference test_standard_sampling.py:733 — unknown proposal kwargs
+    raise a RuntimeError naming the offending keys."""
+    with pytest.raises(
+        RuntimeError,
+        match=r"Unknown kwargs for FlowProposal: {'not_a_valid_kwarg'}.",
+    ):
+        FlowSampler(
+            IntegrationTestModel(2),
+            output=str(tmp_path),
+            resume=False,
+            nlive=100,
+            not_a_valid_kwarg=True,
+        )

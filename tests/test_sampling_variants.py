@@ -51,7 +51,7 @@ def test_standard_sampling_augmented(tmp_path, training_config):
     )
     fs.run(plot=False, save=False)
     assert np.isfinite(fs.logZ)
-    assert fs.ns._flow_proposal.rescaled_dims == 3
+    assert fs.ns._flow_proposal.prime_dims == 3
 
 
 @pytest.mark.integration_test

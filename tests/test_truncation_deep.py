@@ -18,7 +18,7 @@ from nessai_tpu.proposal.flowproposal.truncation import (
 
 
 class FakeProposal:
-    rescaled_dims = 3
+    prime_dims = 3
     training_latent = None
     training_log_q = None
 
@@ -250,3 +250,141 @@ def test_scheme_rule_names_has_get_add():
     assert scheme.rule_names == ["likelihood_threshold", "min_log_q"]
     with pytest.raises(ValueError, match="Duplicate truncation rule"):
         scheme.add_rule(LikelihoodThresholdTruncation())
+
+
+class TestReferenceTruncationKwargs:
+    """Reference FlowProposal ctor kwargs for truncation
+    (``flowproposal.py:102-168``)."""
+
+    @pytest.fixture()
+    def model(self):
+        from nessai_tpu.utils.testing import IntegrationTestModel
+
+        m = IntegrationTestModel(2)
+        m.set_rng(np.random.default_rng(0))
+        return m
+
+    def test_truncation_methods_and_kwargs(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(
+            model,
+            poolsize=50,
+            truncation_methods=["latent_radius", "min_log_q"],
+            truncation_kwargs={
+                "latent_radius": {"mode": "constant_volume", "q": 0.9}
+            },
+        )
+        assert p.truncation_methods == ["latent_radius", "min_log_q"]
+        assert p.truncate_log_q is True
+        assert p.get_truncation_rule("latent_radius").q == 0.9
+
+    def test_truncation_method_single(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(model, poolsize=50, truncation_method="min_log_q")
+        assert p.truncation_methods == ["min_log_q"]
+
+    def test_deprecated_boolean_forms(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(
+            model,
+            poolsize=50,
+            truncate_log_q=True,
+            enforce_likelihood_threshold=True,
+        )
+        assert "min_log_q" in p.truncation_methods
+        assert "likelihood_threshold" in p.truncation_methods
+        assert p.enforce_likelihood_threshold is True
+
+    def test_deprecated_radius_kwargs(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(
+            model,
+            poolsize=50,
+            fixed_radius=3.0,
+            min_radius=1.0,
+            max_radius=5.0,
+        )
+        rule = p.get_truncation_rule("latent_radius")
+        assert rule.mode == "fixed"
+        assert rule.radius == 3.0
+        assert rule.min_radius == 1.0
+        assert rule.max_radius == 5.0
+
+    def test_deprecation_warnings(self, model):
+        import warnings
+
+        from nessai_tpu.proposal import FlowProposal
+
+        with pytest.warns(DeprecationWarning, match="latent_prior"):
+            FlowProposal(
+                model, poolsize=50, latent_prior="truncated_gaussian"
+            )
+        with pytest.warns(
+            DeprecationWarning, match="compute_radius_with_all"
+        ):
+            FlowProposal(model, poolsize=50, compute_radius_with_all=True)
+
+    def test_truncation_as_string_or_list(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(model, poolsize=50, truncation="min_log_q")
+        assert p.truncation_methods == ["min_log_q"]
+        p = FlowProposal(
+            model, poolsize=50, truncation=["latent_radius", "min_log_q"]
+        )
+        assert p.truncation_methods == ["latent_radius", "min_log_q"]
+
+    def test_method_and_methods_rejected(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        with pytest.raises(ValueError, match="only one of"):
+            FlowProposal(
+                model,
+                poolsize=50,
+                truncation_method="min_log_q",
+                truncation_methods=["latent_radius"],
+            )
+
+    def test_methods_string_and_dedup(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(model, poolsize=50, truncation_methods="min_log_q")
+        assert p.truncation_methods == ["min_log_q"]
+        p = FlowProposal(
+            model,
+            poolsize=50,
+            truncation_methods=["min_log_q", "min_log_q"],
+        )
+        assert p.truncation_methods == ["min_log_q"]
+
+    def test_explicit_empty_methods_disable_default_radius(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(model, poolsize=50, truncation_methods=[])
+        assert p.truncation_methods == []
+
+    def test_flat_kwargs_single_method(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(
+            model,
+            poolsize=50,
+            truncation_method="latent_radius",
+            truncation_kwargs={"mode": "constant_volume", "q": 0.9},
+        )
+        assert p.get_truncation_rule("latent_radius").q == 0.9
+
+    def test_non_dict_kwargs_rejected(self, model):
+        from nessai_tpu.proposal import FlowProposal
+
+        with pytest.raises(TypeError, match="must be a dictionary"):
+            FlowProposal(
+                model,
+                poolsize=50,
+                truncation_methods=["min_log_q"],
+                truncation_kwargs={"min_log_q": 5.0},
+            )
