@@ -78,6 +78,30 @@ def update_flow_config(config) -> FlowConfig:
 
 
 def update_training_config(config) -> TrainingConfig:
+    if config is not None and not isinstance(config, (dict, TrainingConfig)):
+        # reference ``nessai/flowmodel/utils.py:50-53``
+        raise TypeError(
+            "Must pass a dictionary to update the default model config"
+        )
+    if isinstance(config, dict):
+        # reference noise semantics (``flowmodel/utils.py:55-66``):
+        # noise_type alone needs a scale; a bare float noise_scale
+        # implies constant noise
+        if (
+            config.get("noise_type") is not None
+            and config.get("noise_scale") is None
+        ):
+            raise RuntimeError(
+                "`noise_scale` must be specified when `noise_type` is given."
+            )
+        ns = config.get("noise_scale")
+        if ns is not None and not isinstance(ns, float):
+            raise TypeError(
+                f"`noise_scale` must be a float. Got type: {type(ns)}"
+            )
+        if isinstance(ns, float) and config.get("noise_type") is None:
+            config = dict(config)
+            config["noise_type"] = "constant"
     cfg = _update(TrainingConfig, config)
     if cfg.noise_type is not None and cfg.noise_type not in (
         "constant",

@@ -203,11 +203,21 @@ def test_flow_config_validation():
     from nessai_tpu.flowmodel.config import update_training_config
 
     with pytest.raises(ValueError):
-        update_training_config({"noise_type": "bogus"})
+        update_training_config({"noise_type": "bogus", "noise_scale": 0.1})
     with pytest.raises(ValueError):
         update_training_config({"batch_size": "bogus"})
     cfg = update_training_config({"batch_size": "all"})
     assert cfg.batch_size == "all"
+    # reference noise semantics (nessai/flowmodel/utils.py:50-66)
+    with pytest.raises(TypeError, match="Must pass a dictionary"):
+        update_training_config(1.0)
+    with pytest.raises(RuntimeError, match="noise_scale"):
+        update_training_config({"noise_type": "adaptive"})
+    with pytest.raises(TypeError, match="must be a float"):
+        update_training_config({"noise_scale": "big"})
+    cfg = update_training_config({"noise_scale": 0.1})
+    assert cfg.noise_type == "constant"
+    assert cfg.noise_scale == 0.1
 
 
 def test_flow_registry_unknown():
