@@ -22,9 +22,20 @@ __all__ = ["ClusteringFlowProposal"]
 class ClusteringFlowProposal(FlowProposal):
     """FlowProposal with a cluster-conditional flow."""
 
-    def __init__(self, model, max_clusters: int = 8, **kwargs):
+    def __init__(
+        self, model, max_clusters: int = 8, max_n_clusters=None, **kwargs
+    ):
         super().__init__(model, **kwargs)
+        # max_n_clusters is the reference kwarg name
+        # (``experimental/proposal/clustering.py:37``)
+        if max_n_clusters is not None:
+            max_clusters = max_n_clusters
         self.max_clusters = int(max_clusters)
+
+    @property
+    def max_n_clusters(self) -> int:
+        """Reference alias for :attr:`max_clusters`."""
+        return self.max_clusters
 
     def initialise(self, resumed: bool = False) -> None:
         # Build everything as usual, then swap in the clustering model.

@@ -10,6 +10,7 @@ one batched likelihood call — ideal for the TPU (no per-walker python).
 
 import datetime
 import logging
+import os
 from typing import Optional
 
 import numpy as np
@@ -35,12 +36,21 @@ class MCMCFlowProposal(BaseFlowProposal):
         self,
         model,
         n_steps: int = 10,
+        n_accept: Optional[int] = None,
         step_type: str = "diff",
         step_kwargs: Optional[dict] = None,
+        plot_chain: bool = False,
+        plot_history: bool = False,
+        enforce_likelihood_threshold: bool = True,
+        ensemble_fraction: float = 0.5,
         **kwargs,
     ):
         super().__init__(model, **kwargs)
         self.n_steps = int(n_steps)
+        #: adaptive stopping: keep stepping until the mean number of
+        #: acceptances per walker reaches ``n_accept`` (reference
+        #: ``mcmc/proposal.py:26,35-36``)
+        self.n_accept = n_accept
         if step_type not in KNOWN_STEPS:
             raise ValueError(
                 f"Unknown step type: {step_type}. Known: {sorted(KNOWN_STEPS)}"
@@ -48,6 +58,15 @@ class MCMCFlowProposal(BaseFlowProposal):
         self.step_type = step_type
         self.step_kwargs = dict(step_kwargs or {})
         self._step = None
+        self._plot_chain = plot_chain
+        self._plot_history = plot_history
+        self.enforce_likelihood_threshold = enforce_likelihood_threshold
+        if not 0.0 < ensemble_fraction <= 1.0:
+            raise ValueError("ensemble_fraction must be in (0, 1]")
+        self.ensemble_fraction = ensemble_fraction
+        #: per-populate acceptance / step-count record (reference
+        #: ``mcmc/proposal.py:42-45``)
+        self.mcmc_history = {"acceptance": [], "n_steps": []}
 
     def initialise(self, resumed: bool = False) -> None:
         super().initialise(resumed=resumed)
@@ -102,7 +121,22 @@ class MCMCFlowProposal(BaseFlowProposal):
 
         n_accept_total = 0
         n_prop_total = 0
-        for _ in range(self.n_steps):
+        n_walkers = len(z_walkers)
+        # adaptive stopping: with n_accept set, keep stepping until the
+        # mean acceptances per walker reaches it (hard cap guards
+        # pathological chains); else run exactly n_steps
+        max_steps = (
+            self.n_steps
+            if self.n_accept is None
+            else max(10 * self.n_steps, 100)
+        )
+        steps_taken = 0
+        for _ in range(max_steps):
+            # complementary-ensemble partners for ensemble-based steps
+            if getattr(self._step, "requires_ensemble", False):
+                n_ens = max(int(self.ensemble_fraction * n_walkers), 2)
+                ens_idx = self.rng.choice(n_walkers, n_ens, replace=False)
+                self._step.update_ensemble(z_walkers[ens_idx])
             z_new, log_ratio = self._step.propose(z_walkers)
             x_new, log_q_new = self._backward_nofilter(z_new)
             log_p_new = self._masked_log_prior(x_new)
@@ -116,11 +150,11 @@ class MCMCFlowProposal(BaseFlowProposal):
                     + log_ratio
                 )
             u = np.log(self.rng.random(len(z_walkers)))
-            accept = (
-                (u < np.nan_to_num(log_alpha, nan=-np.inf))
-                & np.isfinite(log_p_new)
-                & (logL_new > logL_threshold)
+            accept = (u < np.nan_to_num(log_alpha, nan=-np.inf)) & np.isfinite(
+                log_p_new
             )
+            if self.enforce_likelihood_threshold:
+                accept &= logL_new > logL_threshold
             z_walkers = np.where(accept[:, None], z_new, z_walkers)
             x_cur[accept] = x_new[accept]
             log_p = np.where(accept, log_p_new, log_p)
@@ -129,6 +163,16 @@ class MCMCFlowProposal(BaseFlowProposal):
             n_accept_total += int(accept.sum())
             n_prop_total += len(accept)
             self._step.update(float(accept.mean()))
+            steps_taken += 1
+            if (
+                self.n_accept is not None
+                and n_accept_total / n_walkers >= self.n_accept
+            ):
+                break
+        self.mcmc_history["acceptance"].append(
+            n_accept_total / n_prop_total if n_prop_total else np.nan
+        )
+        self.mcmc_history["n_steps"].append(steps_taken)
 
         samples = x_cur.copy()
         samples["logP"] = log_p
@@ -144,3 +188,42 @@ class MCMCFlowProposal(BaseFlowProposal):
         self.populated_count += 1
         self.populated = True
         self._checked_population = False
+        if self._plot_chain or self._plot_history:
+            self._make_mcmc_plots()
+
+    def _make_mcmc_plots(self) -> None:
+        """Best-effort chain/history diagnostics (reference
+        ``mcmc/proposal.py:29-30`` plot_chain/plot_history flags)."""
+        try:
+            import matplotlib.pyplot as plt
+
+            if self._plot_chain and self.samples is not None:
+                names = self.model.names
+                fig, axs = plt.subplots(
+                    len(names), 1, sharex=True, figsize=(6, 2 * len(names))
+                )
+                axs = np.atleast_1d(axs)
+                for ax, p in zip(axs, names):
+                    ax.plot(self.samples[p], ",")
+                    ax.set_ylabel(p)
+                axs[-1].set_xlabel("walker")
+                fig.tight_layout()
+                fig.savefig(
+                    os.path.join(
+                        self.output,
+                        f"mcmc_chain_{self.populated_count}.png",
+                    )
+                )
+                plt.close(fig)
+            if self._plot_history and self.mcmc_history["acceptance"]:
+                fig, axs = plt.subplots(2, 1, sharex=True)
+                axs[0].plot(self.mcmc_history["acceptance"])
+                axs[0].set_ylabel("acceptance")
+                axs[1].plot(self.mcmc_history["n_steps"])
+                axs[1].set_ylabel("n steps")
+                axs[1].set_xlabel("populate call")
+                fig.tight_layout()
+                fig.savefig(os.path.join(self.output, "mcmc_history.png"))
+                plt.close(fig)
+        except Exception as e:  # pragma: no cover - plotting best effort
+            logger.warning("Could not produce MCMC plots: %s", e)

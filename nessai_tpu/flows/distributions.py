@@ -46,7 +46,15 @@ class MultivariateNormal(StandardNormal):
     Reference: ``nessai/flows/distributions.py:17``.
     """
 
-    def __init__(self, dim: int, var: float = 1.0):
+    def __init__(self, dim: int = None, var: float = 1.0, shape=None):
+        # ``shape`` is the reference ctor argument
+        # (``nessai/flows/distributions.py:30``): a 1-tuple of the dim
+        if shape is not None:
+            if dim is not None:
+                raise ValueError("Specify either dim or shape, not both")
+            dim = int(jnp.prod(jnp.asarray(shape)))
+        if dim is None:
+            raise ValueError("Must specify dim or shape")
         super().__init__(dim)
         self.var = float(var)
         # reference attribute name (``nessai/flows/distributions.py:40``)

@@ -45,6 +45,7 @@ class FlowSampler:
         exit_code: int = 130,
         pytorch_threads=None,
         max_threads=None,
+        torch_dtype=None,
         signal_handling: bool = True,
         close_pool: bool = True,
         result_extension: str = "hdf5",
@@ -70,6 +71,14 @@ class FlowSampler:
         if self.eps is not None:
             logger.info("Setting eps to %s", self.eps)
             config.general.eps = self.eps
+        # reference flowsampler.py:101,121 — sets the torch default
+        # dtype; here it maps onto the device compute dtype
+        if torch_dtype is not None:
+            name = str(torch_dtype).replace("torch.", "")
+            if name not in ("float32", "float64"):
+                raise ValueError(f"Unknown torch_dtype: {torch_dtype}")
+            config.compute.default_dtype = name
+        self.torch_dtype = config.compute.default_dtype
         self.close_pool = close_pool
         self.result_extension = result_extension
         self._result = None

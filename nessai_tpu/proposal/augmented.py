@@ -114,9 +114,20 @@ class AugmentedFlowProposal(FlowProposal):
             (log_prob - log_prob_e).reshape(n, self.n_marg), axis=1
         )
 
-    def backward_pass(self, z, rescale: bool = True, discard_nans: bool = True, return_z: bool = False):
+    def backward_pass(
+        self,
+        z,
+        rescale: bool = True,
+        discard_nans: bool = True,
+        return_z: bool = False,
+        return_unit_hypercube=None,
+    ):
         x, log_q, z_out = super().backward_pass(
-            z, rescale=rescale, discard_nans=discard_nans, return_z=True
+            z,
+            rescale=rescale,
+            discard_nans=discard_nans,
+            return_z=True,
+            return_unit_hypercube=return_unit_hypercube,
         )
         if self.marginalise_augment and len(x):
             x_prime_array = np.stack(

@@ -716,10 +716,15 @@ class BaseFlowProposal(RejectionProposal):
         rescale: bool = True,
         discard_nans: bool = True,
         return_z: bool = False,
+        return_unit_hypercube: Optional[bool] = None,
     ):
         """z -> (x, log_q(x)) with prior-bound and finiteness filtering.
 
-        Reference: ``flowproposal/flowproposal.py:345-389``.
+        With ``map_to_unit_hypercube`` the samples stay in the unit
+        hypercube by default (this package's internal convention);
+        pass ``return_unit_hypercube=False`` for model-space samples
+        (matching the reference default,
+        ``flowproposal/flowproposal.py:345-389``).
         """
         x_prime_array, log_q = self.flow.inverse_and_log_prob(
             z, temperature=getattr(self, "latent_temperature", None)
@@ -739,6 +744,8 @@ class BaseFlowProposal(RejectionProposal):
         if discard_nans:
             keep = keep & np.isfinite(log_q)
         x, log_q, z = x[keep], log_q[keep], z[keep]
+        if return_unit_hypercube is False and self.map_to_unit_hypercube:
+            x = self.model.from_unit_hypercube(x)
         if return_z:
             return x, log_q, z
         return x, log_q

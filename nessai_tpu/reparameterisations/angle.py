@@ -39,8 +39,14 @@ class Angle(Reparameterisation):
         scale=1.0,
         prior=None,
         rng=None,
+        **kwargs,
     ):
-        super().__init__(parameters=parameters, prior_bounds=prior_bounds, rng=rng)
+        super().__init__(
+            parameters=parameters,
+            prior_bounds=prior_bounds,
+            rng=rng,
+            **kwargs,
+        )
         if len(self.parameters) == 1:
             self.auxiliary_parameters = [self.parameters[0] + "_radial"]
             self.chi = stats.chi(2)
@@ -264,8 +270,14 @@ class AnglePair(Reparameterisation):
         convention=None,
         prior=None,
         rng=None,
+        **kwargs,
     ):
-        super().__init__(parameters=parameters, prior_bounds=prior_bounds, rng=rng)
+        super().__init__(
+            parameters=parameters,
+            prior_bounds=prior_bounds,
+            rng=rng,
+            **kwargs,
+        )
         if len(self.parameters) not in (2, 3):
             raise RuntimeError("AnglePair requires 2 or 3 parameters")
 

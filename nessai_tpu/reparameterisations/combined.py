@@ -20,11 +20,22 @@ class CombinedReparameterisation(dict):
     reverse order. Reference: ``nessai/reparameterisations/combined.py``.
     """
 
-    def __init__(self, reparameterisations=None, reverse_order: bool = False):
+    def __init__(
+        self,
+        reparameterisations=None,
+        reverse_order: bool = False,
+        initial_parameters=None,
+    ):
         super().__init__()
         self.reverse_order = reverse_order
         self.parameters = []
         self.prime_parameters = []
+        #: Parameters available before any reparameterisation runs
+        #: (reference ``combined.py:40,48-50``) — lets chained stages
+        #: consume model parameters no stage produces.
+        self.initial_parameters = (
+            list(initial_parameters) if initial_parameters is not None else []
+        )
         if reparameterisations is not None:
             self.add_reparameterisations(reparameterisations)
 
@@ -69,7 +80,10 @@ class CombinedReparameterisation(dict):
             reparameterisations = [reparameterisations]
         ordered = sort_reparameterisations(
             list(reparameterisations),
-            existing_parameters=self.prime_parameters + self.parameters,
+            existing_parameters=(
+                getattr(self, "initial_parameters", []) + self.parameters
+            ),
+            existing_prime_parameters=self.prime_parameters,
         )
         for r in ordered:
             self[r.name] = r
@@ -82,7 +96,11 @@ class CombinedReparameterisation(dict):
     def check_order(self) -> None:
         """Verify every reparameterisation's requirements are met by the
         time it runs. Reference: ``combined.py:128``."""
-        produced = list(self.parameters) + list(self.prime_parameters)
+        produced = (
+            list(getattr(self, "initial_parameters", []))
+            + list(self.parameters)
+            + list(self.prime_parameters)
+        )
         for r in self._order():
             missing = [q for q in (r.requires or []) if q not in produced]
             if missing:

@@ -165,8 +165,14 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
         pre_rescaling=None,
         post_rescaling=None,
         rng=None,
+        **kwargs,
     ):
-        super().__init__(parameters=parameters, prior_bounds=prior_bounds, rng=rng)
+        super().__init__(
+            parameters=parameters,
+            prior_bounds=prior_bounds,
+            rng=rng,
+            **kwargs,
+        )
         self.estimate_scale = estimate_scale or estimate
         self.estimate_shift = estimate_shift or estimate
         self.estimate = self.estimate_scale or self.estimate_shift
@@ -312,7 +318,9 @@ class Rescale(ScaleAndShift):
     """Scale-only variant (shift = 0). Reference:
     ``nessai/reparameterisations/rescale.py:300``."""
 
-    def __init__(self, parameters=None, prior_bounds=None, scale=None, rng=None):
+    def __init__(
+        self, parameters=None, prior_bounds=None, scale=None, rng=None, **kwargs
+    ):
         if scale is None:
             raise RuntimeError("Must specify a scale")
         super().__init__(
@@ -321,6 +329,7 @@ class Rescale(ScaleAndShift):
             scale=scale,
             shift=None,
             estimate=False,
+            **kwargs,
             rng=rng,
         )
 
@@ -350,8 +359,14 @@ class RescaleToBounds(Reparameterisation, PrePostMixin):
         pre_rescaling=None,
         post_rescaling=None,
         rng=None,
+        **kwargs,
     ):
-        super().__init__(parameters=parameters, prior_bounds=prior_bounds, rng=rng)
+        super().__init__(
+            parameters=parameters,
+            prior_bounds=prior_bounds,
+            rng=rng,
+            **kwargs,
+        )
         if rescale_bounds is None:
             self.rescale_bounds = {p: [-1.0, 1.0] for p in self.parameters}
         elif isinstance(rescale_bounds, dict):

@@ -40,6 +40,8 @@ class BaseNestedSampler(ABC):
         log_on_iteration: bool = True,
         resume_file: Optional[str] = None,
         plot: bool = True,
+        n_pool: Optional[int] = None,
+        pool=None,
     ):
         self.info_enabled = logger.isEnabledFor(logging.INFO)
         self.model = model
@@ -55,6 +57,10 @@ class BaseNestedSampler(ABC):
         if self.model.rng is None:
             self.model.set_rng(self.rng)
         self.model.verify_model()
+        #: Reference ``samplers/base.py:84-96``
+        self.n_pool = n_pool
+        if pool is not None or n_pool is not None:
+            self.model.configure_pool(pool=pool, n_pool=n_pool)
 
         self.iteration = 0
         self.sampling_start_time = datetime.datetime.now()

@@ -1652,14 +1652,23 @@ class ImportanceNestedSampler(BaseNestedSampler):
 
     @classmethod
     def resume_from_pickled_sampler(
-        cls, sampler, model, flow_config=None, training_config=None, rng=None, **kwargs
+        cls,
+        sampler,
+        model,
+        flow_config=None,
+        training_config=None,
+        weights_path=None,
+        rng=None,
+        **kwargs,
     ):
         """Reference: ``importancesampler.py:2284-2365``."""
         cls.add_fields()
         sampler = super().resume_from_pickled_sampler(
             sampler, model, rng=rng, **kwargs
         )
-        sampler.proposal.resume(model, flow_config=flow_config)
+        sampler.proposal.resume(
+            model, flow_config=flow_config, weights_path=weights_path
+        )
         if sampler.training_samples.log_q is None:
             # recompute log_q for all samples
             x_prime, log_j = sampler.proposal.rescale(

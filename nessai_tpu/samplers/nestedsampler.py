@@ -81,12 +81,20 @@ class NestedSampler(BaseNestedSampler):
         proposal_plots: bool = False,
         shrinkage_expectation: str = "logt",
         batched_bookkeeping: bool = True,
+        n_pool: Optional[int] = None,
+        pool=None,
+        close_pool: bool = False,
         **kwargs,
     ):
+        #: close the model's pool when the sampling loop ends
+        #: (reference ``nestedsampler.py:176,220,1336``)
+        self._close_pool = close_pool
         super().__init__(
             model,
             nlive,
             output=output,
+            n_pool=n_pool,
+            pool=pool,
             seed=seed,
             rng=rng,
             checkpointing=checkpointing,
@@ -122,12 +130,8 @@ class NestedSampler(BaseNestedSampler):
         self.train_on_empty = train_on_empty
         self.cooldown = cooldown
         self.memory = memory
-        if reset_flow:
-            reset_weights = reset_flow
-            reset_permutations = reset_flow
-        self.reset_weights = float(reset_weights) if reset_weights else False
-        self.reset_permutations = (
-            float(reset_permutations) if reset_permutations else False
+        self.configure_flow_reset(
+            reset_weights, reset_permutations, reset_flow
         )
         self.reset_acceptance = reset_acceptance
 
@@ -202,6 +206,30 @@ class NestedSampler(BaseNestedSampler):
     # ------------------------------------------------------------------
     # Configuration
     # ------------------------------------------------------------------
+    def configure_flow_reset(
+        self, reset_weights, reset_permutations, reset_flow
+    ) -> None:
+        """Configure how often the flow is reset; ``reset_flow``
+        overrides the other two. Reference:
+        ``nessai/samplers/nestedsampler.py:527-562``."""
+        if isinstance(reset_weights, (int, float)):
+            self.reset_weights = float(reset_weights)
+        else:
+            raise TypeError("`reset_weights` must be a bool, int or float")
+        if isinstance(reset_permutations, (int, float)):
+            self.reset_permutations = float(reset_permutations)
+        else:
+            raise TypeError(
+                "`reset_permutations` must be a bool, int or float"
+            )
+        if isinstance(reset_flow, (int, float)):
+            self.reset_flow = float(reset_flow)
+        else:
+            raise TypeError("`reset_flow` must be a bool, int or float")
+        if self.reset_flow:
+            self.reset_weights = self.reset_flow
+            self.reset_permutations = self.reset_flow
+
     def configure_uninformed_proposal(
         self, uninformed_proposal, analytic_priors, kwargs
     ) -> None:
@@ -959,6 +987,8 @@ class NestedSampler(BaseNestedSampler):
             for i, point in enumerate(self.live_points):
                 self.nested_samples.append(point.copy())
             logger.info("Prior sampling only; skipping NS loop")
+            if getattr(self, "_close_pool", False):
+                self.close_pool()
             return self.state.logZ, np.array(self.nested_samples)
 
         self._yield_iter = self.yield_sample(
@@ -997,6 +1027,8 @@ class NestedSampler(BaseNestedSampler):
         )
         self.sampling_start_time = datetime.datetime.now()
         self.checkpoint(force=True) if self.checkpointing else None
+        if getattr(self, "_close_pool", False):
+            self.close_pool()
         return self.state.logZ, np.array(self.nested_samples)
 
     # ------------------------------------------------------------------

@@ -605,3 +605,234 @@ class TestRound3KwargParity:
         )
         # no history yet -> returns None without error
         assert ins.plot_extra_state() is None
+
+
+# ---------------------------------------------------------------------------
+# round-3 signature-audit batch (AST diff vs reference)
+# ---------------------------------------------------------------------------
+class TestSignatureAuditBatch:
+    @pytest.fixture()
+    def simple_model(self, rng):
+        from nessai_tpu.utils.testing import IntegrationTestModel
+
+        m = IntegrationTestModel(2)
+        m.set_rng(rng)
+        return m
+
+    def test_flowsampler_torch_dtype(self, simple_model, tmp_path):
+        from nessai_tpu import config
+        from nessai_tpu.flowsampler import FlowSampler
+
+        before = config.compute.default_dtype
+        try:
+            fs = FlowSampler(
+                simple_model,
+                output=str(tmp_path),
+                resume=False,
+                nlive=100,
+                torch_dtype="float32",
+            )
+            assert fs.torch_dtype == "float32"
+            with pytest.raises(ValueError, match="Unknown torch_dtype"):
+                FlowSampler(
+                    simple_model,
+                    output=str(tmp_path),
+                    resume=False,
+                    nlive=100,
+                    torch_dtype="float16",
+                )
+        finally:
+            config.compute.default_dtype = before
+
+    def test_sampler_pool_kwargs(self, simple_model, tmp_path):
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        ns = NestedSampler(
+            simple_model,
+            output=str(tmp_path),
+            nlive=100,
+            plot=False,
+            checkpointing=False,
+            n_pool=2,
+            close_pool=True,
+        )
+        assert ns.n_pool == 2
+        assert ns._close_pool is True
+        ns.model.close_pool()
+
+    def test_configure_flow_reset_errors(self, simple_model, tmp_path):
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        ns = NestedSampler(
+            simple_model,
+            output=str(tmp_path),
+            nlive=100,
+            plot=False,
+            checkpointing=False,
+        )
+        with pytest.raises(TypeError, match="reset_weights"):
+            ns.configure_flow_reset("bad", False, False)
+        with pytest.raises(TypeError, match="reset_permutations"):
+            ns.configure_flow_reset(False, "bad", False)
+        with pytest.raises(TypeError, match="reset_flow"):
+            ns.configure_flow_reset(False, False, "bad")
+        ns.configure_flow_reset(False, False, 4)
+        assert ns.reset_weights == 4.0
+        assert ns.reset_permutations == 4.0
+
+    def test_mcmc_proposal_reference_kwargs(self, simple_model, tmp_path):
+        from nessai_tpu.experimental.proposal import MCMCFlowProposal
+
+        p = MCMCFlowProposal(
+            simple_model,
+            output=str(tmp_path),
+            poolsize=50,
+            n_accept=5,
+            plot_chain=False,
+            plot_history=False,
+            enforce_likelihood_threshold=False,
+            ensemble_fraction=0.5,
+        )
+        assert p.n_accept == 5
+        assert p.enforce_likelihood_threshold is False
+        assert p.mcmc_history == {"acceptance": [], "n_steps": []}
+        with pytest.raises(ValueError, match="ensemble_fraction"):
+            MCMCFlowProposal(
+                simple_model, poolsize=50, ensemble_fraction=0.0
+            )
+
+    def test_mcmc_steps_reference_api(self, rng):
+        from nessai_tpu.experimental.proposal.mcmc.steps import (
+            DifferentialEvolutionStep,
+            GaussianStep,
+            Step,
+            StretchStep,
+        )
+
+        z = rng.standard_normal((16, 2))
+        g = GaussianStep(
+            2, scale=0.5, update_scale=True, target_acceptance=0.5, rng=rng
+        )
+        assert g.scale == 0.5
+        z_new, ratio = g(z)  # __call__ == step == propose
+        assert z_new.shape == z.shape
+        g.update_stats(8, 8)
+        assert g.n_accept == 8
+
+        ens = rng.standard_normal((8, 2))
+        d = DifferentialEvolutionStep(2, ensemble=ens, sigma=1e-4, rng=rng)
+        z_new, _ = d.step(z)
+        assert z_new.shape == z.shape
+
+        s = StretchStep(2, ensemble=ens, scale=2.0, rng=rng)
+        z_new, ratio = s.step(z)
+        assert z_new.shape == z.shape
+        assert ratio.shape == (16,)
+        assert issubclass(GaussianStep, Step)
+
+    def test_combined_initial_parameters(self):
+        from nessai_tpu.reparameterisations import (
+            CombinedReparameterisation,
+            RescaleToBounds,
+        )
+
+        r = RescaleToBounds(parameters=["x"], prior_bounds={"x": [0, 1]})
+        c = CombinedReparameterisation(initial_parameters=["ext"])
+        c.add_reparameterisations(r)
+        assert c.initial_parameters == ["ext"]
+
+    def test_reparameterisation_multispace_kwargs(self):
+        from nessai_tpu.reparameterisations import (
+            RescaleToBounds,
+            ScaleAndShift,
+        )
+        from nessai_tpu.reparameterisations.angle import Angle, AnglePair
+
+        s = ScaleAndShift(
+            input_parameters=["a"],
+            output_parameters=["a_s"],
+            prior_bounds={"a": [0, 1]},
+            scale=2.0,
+        )
+        assert s.parameters == ["a"]
+        r = RescaleToBounds(
+            input_parameters=["b"], prior_bounds={"b": [0, 1]}
+        )
+        assert r.parameters == ["b"]
+        a = Angle(
+            input_parameters=["phi"],
+            prior_bounds={"phi": [0, 2 * np.pi]},
+        )
+        assert a.parameters == ["phi"]
+        ap = AnglePair(
+            input_parameters=["ra", "dec"],
+            prior_bounds={
+                "ra": [0, 2 * np.pi],
+                "dec": [-np.pi / 2, np.pi / 2],
+            },
+        )
+        assert sorted(ap.parameters) == ["dec", "ra"]
+
+    def test_multivariate_normal_shape(self):
+        from nessai_tpu.flows.distributions import MultivariateNormal
+
+        m = MultivariateNormal(shape=(3,), var=2.0)
+        assert m.dim == 3
+        assert m._var == 2.0
+        with pytest.raises(ValueError, match="not both"):
+            MultivariateNormal(3, shape=(3,))
+
+    def test_sort_reparameterisations_signature(self):
+        from nessai_tpu.utils.sorting import sort_reparameterisations
+
+        class R:
+            parameters = ["a"]
+            prime_parameters = ["a_p"]
+            requires = ["ext"]
+
+        out = sort_reparameterisations(
+            [R()],
+            existing_prime_parameters=["ext"],
+            known_parameters=[],
+            initial_sort=True,
+        )
+        assert len(out) == 1
+
+    def test_clustering_max_n_clusters(self, simple_model, tmp_path):
+        from nessai_tpu.experimental.proposal.clustering import (
+            ClusteringFlowProposal,
+        )
+
+        p = ClusteringFlowProposal(
+            simple_model, output=str(tmp_path), poolsize=50, max_n_clusters=4
+        )
+        assert p.max_clusters == 4
+        assert p.max_n_clusters == 4
+
+    def test_backward_pass_return_unit_hypercube(
+        self, simple_model, tmp_path, rng, flow_config, training_config
+    ):
+        from nessai_tpu.proposal import FlowProposal
+
+        fp = FlowProposal(
+            simple_model,
+            output=str(tmp_path),
+            poolsize=100,
+            flow_config=flow_config,
+            training_config=training_config,
+            map_to_unit_hypercube=True,
+            rng=rng,
+        )
+        fp.initialise()
+        x = simple_model.to_unit_hypercube(simple_model.new_point(128))
+        fp.train(x)
+        z = rng.standard_normal((64, 2))
+        x_cube, _ = fp.backward_pass(z)
+        x_model, _ = fp.backward_pass(z, return_unit_hypercube=False)
+        for n in simple_model.names:
+            assert x_cube[n].min() >= 0.0 and x_cube[n].max() <= 1.0
+        expected = simple_model.from_unit_hypercube(x_cube)
+        for n in simple_model.names:
+            np.testing.assert_allclose(
+                np.sort(x_model[n]), np.sort(expected[n])
+            )
