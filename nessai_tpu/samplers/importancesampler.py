@@ -808,11 +808,17 @@ class ImportanceNestedSampler(BaseNestedSampler):
         dX = self.logX - logX_pre
         self.gradient = (self.logL - logL_pre) / dX if dX else np.nan
 
-    def compute_leakage(self, samples) -> float:
-        """Fraction of weight below the current threshold.
+    def compute_leakage(self, samples, weights: bool = True) -> float:
+        """Fraction of weight (or count, with ``weights=False``) below
+        the current threshold.
 
-        Reference: ``importancesampler.py:1137``."""
+        Reference: ``importancesampler.py:1137-1168``. Deliberate
+        divergence: the reference ratios SUMS OF LOG-weights; here the
+        weighted form is the (numerically stable) fraction of the total
+        importance weight."""
         below = samples["logL"] < self.log_likelihood_threshold
+        if not weights:
+            return float(np.mean(below))
         if not below.any():
             return 0.0
         return float(
