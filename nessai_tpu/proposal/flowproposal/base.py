@@ -91,8 +91,7 @@ class BaseFlowProposal(RejectionProposal):
         self.precompile = precompile
         self.mesh = mesh
 
-        self._plot_pool = plot in (True, "all")
-        self._plot_training = plot in (True, "all")
+        self.configure_plotting(plot)
 
         self.flow: Optional[FlowModel] = None
         self._reparameterisation: Optional[CombinedReparameterisation] = None
@@ -108,6 +107,38 @@ class BaseFlowProposal(RejectionProposal):
         self.x = None
         self._checked_population = True
         self.use_x_prime_prior = False
+
+    def configure_plotting(self, plot) -> None:
+        """Split ``plot`` into training/pool flags. ``'all'``/``'train'``/
+        ``'pool'`` enable corner-style plots for the respective stages;
+        other truthy values enable minimal (1-D) plots; False disables
+        all. Reference: ``flowproposal/base.py:312-352``."""
+        if plot:
+            if isinstance(plot, str):
+                if plot == "all":
+                    self._plot_pool = "all"
+                    self._plot_training = "all"
+                elif plot == "train":
+                    self._plot_pool = False
+                    self._plot_training = "all"
+                elif plot == "pool":
+                    self._plot_pool = "all"
+                    self._plot_training = False
+                elif plot in ("minimal", "min"):
+                    self._plot_pool = True
+                    self._plot_training = True
+                else:
+                    logger.warning(
+                        "Unknown plot argument: %s, setting all false", plot
+                    )
+                    self._plot_pool = False
+                    self._plot_training = False
+            else:
+                self._plot_pool = True
+                self._plot_training = True
+        else:
+            self._plot_pool = False
+            self._plot_training = False
 
     # ------------------------------------------------------------------
     # Properties

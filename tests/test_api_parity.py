@@ -836,3 +836,25 @@ class TestSignatureAuditBatch:
             np.testing.assert_allclose(
                 np.sort(x_model[n]), np.sort(expected[n])
             )
+
+    @pytest.mark.parametrize(
+        "plot, pool, training",
+        [
+            (True, True, True),
+            (False, False, False),
+            ("all", "all", "all"),
+            ("train", False, "all"),
+            ("pool", "all", False),
+            ("min", True, True),
+            ("minimal", True, True),
+            ("bogus", False, False),
+        ],
+    )
+    def test_configure_plotting_values(
+        self, simple_model, plot, pool, training
+    ):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(simple_model, poolsize=10, plot=plot)
+        assert p._plot_pool == pool
+        assert p._plot_training == training
