@@ -1175,6 +1175,55 @@ class FlowModel:
         method exists for custom training loops."""
         self.params = self.flow.end_iteration(self.params, self.next_key())
 
+    def finalise(self):
+        """Finalise the flow before inference (reference
+        ``nessai/flowmodel/base.py:525-528``): final MC estimate of the
+        LARS normalisation when the base distribution carries one."""
+        self.params = self.flow.finalise(self.params, self.next_key())
+
+    def move_to(self, device, update_default: bool = False):
+        """Torch-parity shim (reference ``flowmodel/base.py:178``):
+        device placement is managed by JAX/XLA here, so this only logs."""
+        logger.debug(
+            "move_to(%s) is a no-op: JAX manages device placement", device
+        )
+
+    def numpy_array_to_tensor(self, array):
+        """Torch-parity shim (reference ``flowmodel/base.py:774``):
+        returns a device array of the configured training dtype."""
+        return jnp.asarray(
+            array, dtype=getattr(self.training_config, "dtype", "float32")
+        )
+
+    def setup_from_input_dict(self, flow_config, training_config) -> None:
+        """Apply config dicts onto the defaults and persist them to the
+        output directory (reference ``flowmodel/base.py:74-96``)."""
+        from ..utils.io import save_to_json
+        from .config import (
+            flow_config_to_dict,
+            update_flow_config,
+            update_training_config,
+        )
+
+        self.flow_config = update_flow_config(flow_config)
+        self.training_config = update_training_config(training_config)
+        if self.output is not None:
+            os.makedirs(self.output, exist_ok=True)
+            save_to_json(
+                flow_config_to_dict(self.flow_config),
+                os.path.join(self.output, "flow_config.json"),
+            )
+            from dataclasses import asdict as _asdict
+
+            save_to_json(
+                _asdict(self.training_config),
+                os.path.join(self.output, "training_config.json"),
+            )
+
+    def update_mask(self) -> None:
+        """Hook called at ``initialise``; the mask is left unchanged by
+        default (reference ``flowmodel/base.py:98-102``)."""
+
     def freeze_transform(self):
         """Freeze the flow transform's parameters: subsequent training
         only updates the base distribution (e.g. the LARS acceptance

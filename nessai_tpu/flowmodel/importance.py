@@ -54,6 +54,40 @@ class ImportanceFlowModel(FlowModel):
     def n_models(self) -> int:
         return len(self.params_list)
 
+    @property
+    def models(self) -> List:
+        """Per-level parameter pytrees (the functional analogue of the
+        reference's list of flow modules,
+        ``nessai/flowmodel/importance.py:40``)."""
+        return self.params_list
+
+    @property
+    def model(self):
+        """The latest level's parameters; ``None`` before any level is
+        added (reference ``flowmodel/importance.py:45-51``)."""
+        if self.params_list:
+            return self.params_list[-1]
+        return None
+
+    @model.setter
+    def model(self, params) -> None:
+        """Append a new level (reference ``flowmodel/importance.py:57-59``)."""
+        if params is not None:
+            self.params_list.append(params)
+            self._stacked = None
+
+    def resume(self, flow_config=None, training_config=None, weights_path=None) -> None:
+        """Rebuild the flow stack from saved per-level weights.
+        Reference: ``nessai/flowmodel/importance.py:209-227``."""
+        from .config import update_flow_config, update_training_config
+
+        if flow_config is not None:
+            self.flow_config = update_flow_config(flow_config)
+        if training_config is not None:
+            self.training_config = update_training_config(training_config)
+        self.initialise()
+        self.load_all_weights(weights_path or self.output)
+
     # ------------------------------------------------------------------
     def add_new_flow(self, reset: bool = False) -> None:
         """Start a new level: fresh parameters (reset) or a copy of the

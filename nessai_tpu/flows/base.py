@@ -77,6 +77,16 @@ class Flow:
             params["base"] = self.base.update_log_z(params["base"], key)
         return params
 
+    def finalise(self, params, key):
+        """Finalise the flow before inference (functional form of
+        ``nessai/flows/base.py:310-318``): a final from-scratch MC
+        estimate of the LARS base's normalisation constant when the
+        base distribution carries one; otherwise a no-op."""
+        if hasattr(self.base, "finalise"):
+            params = dict(params)
+            params["base"] = self.base.finalise(params["base"], key)
+        return params
+
     def sample_base(self, params, key, n: int):
         return self.base.sample(params["base"], key, n)
 

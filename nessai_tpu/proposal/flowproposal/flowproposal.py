@@ -78,20 +78,13 @@ class FlowProposal(BaseFlowProposal):
         **kwargs,
     ):
         super().__init__(model, **kwargs)
-        self.drawsize = drawsize
         self.accumulate_weights = accumulate_weights
         self.max_samples = max_samples
-        # Reference-parity validation (flowproposal.py:263-270); None
-        # means no scaling (stored as 1.0 so device programs see a float)
-        if latent_temperature is None:
-            latent_temperature = 1.0
-        if isinstance(latent_temperature, bool) or not isinstance(
-            latent_temperature, (int, float)
-        ):
-            raise TypeError("latent_temperature must be a float")
-        if latent_temperature <= 0.0:
-            raise ValueError("latent_temperature must be positive")
-        self.latent_temperature = float(latent_temperature)
+        self.configure_population(
+            drawsize,
+            latent_prior=latent_prior,
+            latent_temperature=latent_temperature,
+        )
         self.fuse_likelihood = fuse_likelihood
         if populate_mode not in ("auto", "rounds", "device_loop"):
             raise ValueError(
@@ -106,6 +99,45 @@ class FlowProposal(BaseFlowProposal):
         #: configuration supports it.
         self.populate_mode = populate_mode
         self._fuse_likelihood_resolved = None
+        self.configure_truncation(
+            truncation=truncation,
+            truncation_method=truncation_method,
+            truncation_methods=truncation_methods,
+            truncation_kwargs=truncation_kwargs,
+            truncate_log_q=truncate_log_q,
+            enforce_likelihood_threshold=enforce_likelihood_threshold,
+            fixed_radius=fixed_radius,
+            radius_mode=radius_mode,
+            min_radius=min_radius,
+            max_radius=max_radius,
+            compute_radius_with_all=compute_radius_with_all,
+            constant_volume_mode=constant_volume_mode,
+            volume_fraction=volume_fraction,
+            fuzz=fuzz,
+            expansion_fraction=expansion_fraction,
+        )
+
+    def configure_population(
+        self,
+        drawsize=None,
+        latent_prior=None,
+        latent_temperature=None,
+    ) -> None:
+        """Configure the population settings (reference
+        ``flowproposal.py:235-275``): drawsize, the (deprecated)
+        latent_prior and the latent temperature."""
+        self.drawsize = drawsize
+        # Reference-parity validation (flowproposal.py:263-270); None
+        # means no scaling (stored as 1.0 so device programs see a float)
+        if latent_temperature is None:
+            latent_temperature = 1.0
+        if isinstance(latent_temperature, bool) or not isinstance(
+            latent_temperature, (int, float)
+        ):
+            raise TypeError("latent_temperature must be a float")
+        if latent_temperature <= 0.0:
+            raise ValueError("latent_temperature must be positive")
+        self.latent_temperature = float(latent_temperature)
         if latent_prior is not None:
             import warnings
 
@@ -115,11 +147,31 @@ class FlowProposal(BaseFlowProposal):
                 DeprecationWarning,
                 stacklevel=2,
             )
-        # reference-parity truncation kwargs (flowproposal.py:102-168):
-        # truncation_method(s)/truncation_kwargs name registry rules;
-        # truncate_log_q / enforce_likelihood_threshold are the
-        # deprecated boolean forms; fixed_radius/radius_mode/min_radius/
-        # max_radius fold into the latent_radius rule kwargs
+
+    def configure_truncation(
+        self,
+        truncation=None,
+        truncation_method=None,
+        truncation_methods=None,
+        truncation_kwargs=None,
+        truncate_log_q: bool = False,
+        enforce_likelihood_threshold: bool = False,
+        fixed_radius=None,
+        radius_mode=None,
+        min_radius=None,
+        max_radius=None,
+        compute_radius_with_all=None,
+        constant_volume_mode: bool = True,
+        volume_fraction: float = 0.95,
+        fuzz: float = 1.0,
+        expansion_fraction: float = 4.0,
+    ) -> None:
+        """Build the truncation configuration from the reference kwarg
+        surface (reference ``flowproposal.py:276-338``,
+        ``truncation.py:75-152``): truncation_method(s)/truncation_kwargs
+        name registry rules; truncate_log_q / enforce_likelihood_threshold
+        are the deprecated boolean forms; fixed_radius/radius_mode/
+        min_radius/max_radius fold into the latent_radius rule kwargs."""
         if truncation_method is not None and truncation_methods is not None:
             raise ValueError(
                 "Specify only one of truncation_method or truncation_methods"

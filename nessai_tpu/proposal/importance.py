@@ -60,8 +60,7 @@ class ImportanceFlowProposal(Proposal):
                 f"Unknown reparameterisation: {reparameterisation}"
             )
         self.reparameterisation = reparameterisation
-        self.flow_config = dict(flow_config or {})
-        self.flow_config["n_inputs"] = model.dims
+        self.flow_config = flow_config
         self.training_config = training_config
         self.mesh = mesh
         self.flow = ImportanceFlowModel(
@@ -76,6 +75,19 @@ class ImportanceFlowProposal(Proposal):
         self.dtype = get_dtype(model.names)
 
     # ------------------------------------------------------------------
+    @property
+    def flow_config(self) -> dict:
+        """Configuration for the flow (reference
+        ``proposal/importance.py:117-128``); the setter injects
+        ``n_inputs`` from the model."""
+        return self._flow_config
+
+    @flow_config.setter
+    def flow_config(self, config) -> None:
+        config = dict(config or {})
+        config["n_inputs"] = self.model.dims
+        self._flow_config = config
+
     @property
     def _reset_flow(self) -> bool:
         """Reset the flow this level? ``reset_flow`` may be an int N

@@ -23,11 +23,24 @@ class RejectionProposal(AnalyticProposal):
         self._checked_population = True
         self.population_acceptance = None
 
+    def draw_proposal(self, N=None):
+        """Draw ``N`` (default ``poolsize``) points from the proposal
+        (``model.new_point``). Reference:
+        ``nessai/proposal/rejection.py:29-45``."""
+        if N is None:
+            N = self.poolsize
+        return self.model.new_point(N=N)
+
+    def log_proposal(self, x):
+        """Log proposal probability (``model.new_point_log_prob``).
+        Reference: ``nessai/proposal/rejection.py:47-62``."""
+        return self.model.new_point_log_prob(x)
+
     def compute_weights(self, x):
         """logW = logP - logQ where logQ is the proposal density of
         ``new_point``. Reference: ``nessai/proposal/rejection.py:64``."""
         x["logP"] = self.model.batch_evaluate_log_prior(x)
-        log_q = self.model.new_point_log_prob(x)
+        log_q = self.log_proposal(x)
         return x["logP"] - log_q
 
     def populate(self, N=None) -> None:
@@ -36,7 +49,7 @@ class RejectionProposal(AnalyticProposal):
         if N is None:
             N = self.poolsize
         st = datetime.datetime.now()
-        x = self.model.new_point(N=N)
+        x = self.draw_proposal(N=N)
         log_w = self.compute_weights(x)
         log_w = log_w - np.nanmax(log_w)
         log_u = np.log(self.rng.random(N))

@@ -73,6 +73,22 @@ class Angle(Reparameterisation):
             return self.auxiliary_parameters[0]
         return self.parameters[1]
 
+    @property
+    def radius(self):
+        """Name of the radial parameter (alias of :attr:`radial`).
+        Reference: ``angle.py:100-102``."""
+        return self.radial
+
+    @property
+    def x(self):
+        """Name of the x prime coordinate. Reference: ``angle.py:105``."""
+        return self.prime_parameters[0]
+
+    @property
+    def y(self):
+        """Name of the y prime coordinate. Reference: ``angle.py:110``."""
+        return self.prime_parameters[1]
+
     # hooks overridden by ToCartesian
     def _rescale_angle(self, x, x_prime, log_j, **kwargs):
         return (
@@ -338,6 +354,24 @@ class AnglePair(Reparameterisation):
         if self.chi is not None:
             return self.auxiliary_parameters[0]
         return self.parameters[2]
+
+    @property
+    def x(self):
+        """Name of the first Cartesian prime coordinate.
+        Reference: ``angle.py:396``."""
+        return self.prime_parameters[0]
+
+    @property
+    def y(self):
+        """Name of the second Cartesian prime coordinate.
+        Reference: ``angle.py:401``."""
+        return self.prime_parameters[1]
+
+    @property
+    def z(self):
+        """Name of the third Cartesian prime coordinate.
+        Reference: ``angle.py:406``."""
+        return self.prime_parameters[2]
 
     def reparameterise(self, x, x_prime, log_j, **kwargs):
         alpha = self.get_parameter_value(self._angles[0], x, x_prime)

@@ -266,6 +266,20 @@ class NestedSampler(BaseNestedSampler):
     def flow_proposal(self):
         return self._flow_proposal
 
+    def check_resume(self) -> None:
+        """Ensure the proposals are consistent after resuming: force the
+        proposal switch if uninformed sampling already ended, and restore
+        the populated flag. Reference: ``nestedsampler.py:1277-1295``."""
+        if getattr(self, "resumed", False):
+            if self.uninformed_sampling is False:
+                self.check_proposal_switch(force=True)
+            if getattr(self._flow_proposal, "resume_populated", False) and (
+                getattr(self._flow_proposal, "indices", None)
+            ):
+                self._flow_proposal.populated = True
+                logger.info("Resumed with populated pool")
+            self.resumed = False
+
     @property
     def mean_acceptance(self) -> float:
         """Mean acceptance of the last ``nlive // 10`` blocks.

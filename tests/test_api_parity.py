@@ -858,3 +858,140 @@ class TestSignatureAuditBatch:
         p = FlowProposal(simple_model, poolsize=10, plot=plot)
         assert p._plot_pool == pool
         assert p._plot_training == training
+
+    def test_angle_coordinate_name_properties(self):
+        from nessai_tpu.reparameterisations.angle import Angle, AnglePair
+
+        a = Angle(parameters=["phi"], prior_bounds={"phi": [0, 2 * np.pi]})
+        assert a.x == "phi_x"
+        assert a.y == "phi_y"
+        assert a.radius == a.radial
+        ap = AnglePair(
+            parameters=["ra", "dec"],
+            prior_bounds={
+                "ra": [0, 2 * np.pi],
+                "dec": [-np.pi / 2, np.pi / 2],
+            },
+        )
+        assert ap.x.endswith("_x")
+        assert ap.y.endswith("_y")
+        assert ap.z.endswith("_z")
+
+    def test_rejection_proposal_draw_and_log_proposal(self, simple_model):
+        from nessai_tpu.proposal.rejection import RejectionProposal
+
+        p = RejectionProposal(simple_model, poolsize=20)
+        x = p.draw_proposal()
+        assert len(x) == 20
+        log_q = p.log_proposal(x)
+        assert len(log_q) == 20
+
+    def test_flowmodel_reference_shims(self, tmp_path):
+        import json
+        import os
+
+        from nessai_tpu.flowmodel import FlowModel
+
+        fm = FlowModel(
+            flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=4),
+            training_config=dict(max_epochs=2, batch_size=32),
+            output=str(tmp_path),
+        )
+        fm.move_to("cpu")  # no-op shim
+        t = fm.numpy_array_to_tensor(np.ones((3, 2)))
+        assert t.shape == (3, 2)
+        fm.update_mask()  # no-op hook
+        fm.setup_from_input_dict(
+            dict(n_inputs=2, n_blocks=3), dict(max_epochs=5)
+        )
+        assert fm.flow_config.n_blocks == 3
+        assert fm.training_config.max_epochs == 5
+        assert os.path.exists(os.path.join(str(tmp_path), "flow_config.json"))
+        with open(os.path.join(str(tmp_path), "training_config.json")) as f:
+            assert json.load(f)["max_epochs"] == 5
+
+    def test_flowmodel_finalise_lars(self, tmp_path, rng):
+        from nessai_tpu.flowmodel import FlowModel
+
+        fm = FlowModel(
+            flow_config=dict(
+                n_inputs=2,
+                n_blocks=2,
+                n_neurons=4,
+                distribution="lars",
+            ),
+            training_config=dict(max_epochs=2, batch_size=32),
+            output=str(tmp_path),
+        )
+        fm.initialise()
+        before = float(fm.params["base"]["log_Z"])
+        fm.finalise()
+        after = float(fm.params["base"]["log_Z"])
+        assert np.isfinite(after)
+        # a from-scratch MC estimate replaces the EMA value
+        assert after != before or abs(after - before) < 1.0
+
+    def test_importance_flowmodel_model_and_resume(self, tmp_path, rng):
+        from nessai_tpu.flowmodel.importance import ImportanceFlowModel
+
+        fm = ImportanceFlowModel(
+            flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=4),
+            training_config=dict(max_epochs=2, batch_size=32),
+            output=str(tmp_path),
+            rng=rng,
+        )
+        fm.initialise()
+        assert fm.model is None
+        assert fm.models == []
+        fm.add_new_flow()
+        fm.train(rng.standard_normal((64, 2)).astype(np.float32))
+        assert fm.n_models == 1
+        assert fm.model is fm.params_list[-1]
+        fm.save_all_weights()
+
+        fm2 = ImportanceFlowModel(
+            flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=4),
+            training_config=dict(max_epochs=2, batch_size=32),
+            output=str(tmp_path),
+            rng=rng,
+        )
+        fm2.resume(
+            flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=4),
+            weights_path=str(tmp_path),
+        )
+        assert fm2.n_models == 1
+
+    def test_ifp_flow_config_property(self, simple_model, tmp_path):
+        from nessai_tpu.proposal.importance import ImportanceFlowProposal
+
+        p = ImportanceFlowProposal(simple_model, output=str(tmp_path))
+        assert p.flow_config["n_inputs"] == simple_model.dims
+        p.flow_config = {"n_blocks": 3}
+        assert p.flow_config["n_inputs"] == simple_model.dims
+        assert p.flow_config["n_blocks"] == 3
+
+    def test_flowproposal_configure_methods(self, simple_model):
+        from nessai_tpu.proposal import FlowProposal
+
+        p = FlowProposal(simple_model, poolsize=10)
+        p.configure_population(drawsize=123, latent_temperature=2.0)
+        assert p.drawsize == 123
+        assert p.latent_temperature == 2.0
+        p._truncation_scheme = None
+        p.configure_truncation(truncation_methods=["min_log_q"])
+        assert p.truncation_methods == ["min_log_q"]
+
+    def test_ns_check_resume(self, simple_model, tmp_path):
+        from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+        ns = NestedSampler(
+            simple_model,
+            output=str(tmp_path),
+            nlive=100,
+            plot=False,
+            checkpointing=False,
+        )
+        ns.resumed = True
+        ns.uninformed_sampling = True
+        ns.check_resume()
+        assert ns.resumed is False
