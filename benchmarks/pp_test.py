@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Posterior-coverage (p-p) study for the standard sampler.
+
+For each injection: draw a truth from the uniform prior, sample a 2-D
+Gaussian likelihood centred on it, run the standard sampler, and record
+the credible level of the truth in the recovered posterior for every
+parameter. Calibrated posteriors give uniform credible levels (KS test).
+
+Matches the contract of the reference's posterior machinery
+(``nessai/posterior.py``); the reference's own CI never checks this —
+its integration tests assert finiteness only (SURVEY.md §4).
+
+Usage: python benchmarks/pp_test.py --count 24 --nlive 500
+Appends one JSON line per injection to --out and prints a summary.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+from scipy import stats
+
+
+def run_injection(seed: int, nlive: int):
+    import jax.numpy as jnp
+
+    from nessai_tpu.flowsampler import FlowSampler
+    from nessai_tpu.livepoint import numpy_array_to_live_points
+    from nessai_tpu.model import Model
+
+    # decorrelate the injection stream from the sampler stream
+    # (both would otherwise start from the same integer seed - the
+    # seed-sharing trap documented in VALIDATION.md round 2)
+    rng = np.random.default_rng(10_000_019 * seed + 7)
+    truth = rng.uniform(-5, 5, 2)
+    # observed data: truth + unit-normal observation noise — the
+    # posterior centres on the data, so the truth's credible level is
+    # uniform iff the recovered posterior is calibrated
+    observed = truth + rng.standard_normal(2)
+
+    class InjectionModel(Model):
+        names = ["x_0", "x_1"]
+        bounds = {"x_0": [-10.0, 10.0], "x_1": [-10.0, 10.0]}
+
+        def __init__(self):
+            self.data = observed.copy()
+            # runtime argument to the jitted likelihood: every injection
+            # shares ONE compiled program (docs/model.md)
+            self.jax_likelihood_data = {"mu": observed.copy()}
+
+        def new_point(self, N=1):
+            return numpy_array_to_live_points(
+                self.rng.uniform(-10, 10, (N, 2)), self.names
+            )
+
+        def new_point_log_prob(self, x):
+            return self.log_prior(x)
+
+        def log_prior(self, x):
+            log_p = np.log(self.in_bounds(x), dtype=float)
+            return log_p - 2 * np.log(20.0)
+
+        def log_likelihood(self, x):
+            out = np.zeros(x.size)
+            for i, n in enumerate(self.names):
+                out += -0.5 * (x[n] - self.data[i]) ** 2
+            return out - np.log(2 * np.pi)
+
+        def jax_log_likelihood(self, x, data):
+            return -0.5 * jnp.sum(
+                (x - data["mu"]) ** 2, axis=-1
+            ) - jnp.log(2 * jnp.pi)
+
+    output = tempfile.mkdtemp(prefix=f"pp_{seed}_")
+    t0 = time.perf_counter()
+    fs = FlowSampler(
+        InjectionModel(),
+        output=output,
+        nlive=nlive,
+        seed=seed,
+        resume=False,
+        plot=False,
+        checkpointing=False,
+    )
+    fs.run(plot=False, save=False)
+    wall = time.perf_counter() - t0
+
+    post = fs.posterior_samples
+    levels = [
+        float(np.mean(post[n] < truth[i]))
+        for i, n in enumerate(InjectionModel.names)
+    ]
+    return {
+        "seed": seed,
+        "truth": truth.tolist(),
+        "levels": levels,
+        "n_posterior": int(len(post)),
+        "logZ": float(fs.logZ),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--start", type=int, default=1000)
+    p.add_argument("--count", type=int, default=24)
+    p.add_argument("--nlive", type=int, default=500)
+    p.add_argument("--out", default="/tmp/pp_test.jsonl")
+    args = p.parse_args()
+
+    levels = []
+    with open(args.out, "a") as f:
+        for seed in range(args.start, args.start + args.count):
+            row = run_injection(seed, args.nlive)
+            levels.extend(row["levels"])
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            print(json.dumps(row), file=sys.stderr)
+
+    ks = stats.kstest(levels, "uniform")
+    summary = {
+        "n_injections": args.count,
+        "n_levels": len(levels),
+        "ks_p": round(float(ks.pvalue), 4),
+        "ks_D": round(float(ks.statistic), 4),
+    }
+    print(json.dumps({"summary": summary}))
+
+
+if __name__ == "__main__":
+    main()
