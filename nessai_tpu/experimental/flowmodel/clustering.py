@@ -132,6 +132,24 @@ class ClusteringFlowModel(FlowModel):
         )
         return np.argmin(d, axis=1)
 
+    def get_cluster_labels(self, samples: np.ndarray) -> np.ndarray:
+        """Cluster labels for a set of samples as an ``(n, 1)`` column,
+        matching the reference return shape.
+
+        Reference: ``clustering.py:91-98`` (there via a faiss index
+        search; here nearest-centre assignment).
+        """
+        return self.assign_labels(np.asarray(samples)).reshape(-1, 1)
+
+    def sample_cluster_labels(self, n: int) -> np.ndarray:
+        """Sample ``n`` random cluster labels as an ``(n, 1)`` column.
+
+        Reference: ``clustering.py:100-104``.
+        """
+        return self.rng.choice(
+            self.n_clusters, size=(int(n), 1), p=self.cluster_weights
+        )
+
     def train(self, samples, conditional=None, **kwargs):
         if conditional is None:
             conditional = self.train_clustering(np.asarray(samples))

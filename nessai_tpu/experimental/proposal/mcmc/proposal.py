@@ -131,6 +131,9 @@ class MCMCFlowProposal(BaseFlowProposal):
             else max(10 * self.n_steps, 100)
         )
         steps_taken = 0
+        # z-space chain record for plot_chain (reference
+        # ``mcmc/proposal.py:134-135,180``) — only kept when plotting
+        z_chain = [z_walkers.copy()] if self._plot_chain else None
         for _ in range(max_steps):
             # complementary-ensemble partners for ensemble-based steps
             if getattr(self._step, "requires_ensemble", False):
@@ -164,6 +167,8 @@ class MCMCFlowProposal(BaseFlowProposal):
             n_prop_total += len(accept)
             self._step.update(float(accept.mean()))
             steps_taken += 1
+            if z_chain is not None:
+                z_chain.append(z_walkers.copy())
             if (
                 self.n_accept is not None
                 and n_accept_total / n_walkers >= self.n_accept
@@ -188,42 +193,56 @@ class MCMCFlowProposal(BaseFlowProposal):
         self.populated_count += 1
         self.populated = True
         self._checked_population = False
-        if self._plot_chain or self._plot_history:
-            self._make_mcmc_plots()
+        if z_chain is not None:
+            try:
+                self.plot_chain(np.stack(z_chain))
+            except Exception as e:  # pragma: no cover - plotting best effort
+                logger.warning("Could not produce MCMC chain plot: %s", e)
+        if self._plot_history and self.mcmc_history["acceptance"]:
+            try:
+                self.plot_history()
+            except Exception as e:  # pragma: no cover - plotting best effort
+                logger.warning("Could not produce MCMC history plot: %s", e)
 
-    def _make_mcmc_plots(self) -> None:
-        """Best-effort chain/history diagnostics (reference
-        ``mcmc/proposal.py:29-30`` plot_chain/plot_history flags)."""
-        try:
-            import matplotlib.pyplot as plt
+    def plot_chain(self, chains) -> None:
+        """Plot the recorded latent-space walker chains.
 
-            if self._plot_chain and self.samples is not None:
-                names = self.model.names
-                fig, axs = plt.subplots(
-                    len(names), 1, sharex=True, figsize=(6, 2 * len(names))
-                )
-                axs = np.atleast_1d(axs)
-                for ax, p in zip(axs, names):
-                    ax.plot(self.samples[p], ",")
-                    ax.set_ylabel(p)
-                axs[-1].set_xlabel("walker")
-                fig.tight_layout()
-                fig.savefig(
-                    os.path.join(
-                        self.output,
-                        f"mcmc_chain_{self.populated_count}.png",
-                    )
-                )
-                plt.close(fig)
-            if self._plot_history and self.mcmc_history["acceptance"]:
-                fig, axs = plt.subplots(2, 1, sharex=True)
-                axs[0].plot(self.mcmc_history["acceptance"])
-                axs[0].set_ylabel("acceptance")
-                axs[1].plot(self.mcmc_history["n_steps"])
-                axs[1].set_ylabel("n steps")
-                axs[1].set_xlabel("populate call")
-                fig.tight_layout()
-                fig.savefig(os.path.join(self.output, "mcmc_history.png"))
-                plt.close(fig)
-        except Exception as e:  # pragma: no cover - plotting best effort
-            logger.warning("Could not produce MCMC plots: %s", e)
+        ``chains`` has shape ``(n_steps, n_chains, n_dims)``.
+        Reference: ``mcmc/proposal.py:63-73``.
+        """
+        import matplotlib.pyplot as plt
+
+        chains = np.asarray(chains)
+        nsteps, nchains, ndims = chains.shape
+        fig, axs = plt.subplots(
+            ndims, 1, sharex=True, figsize=(6, 2 * ndims)
+        )
+        axs = np.atleast_1d(axs)
+        # one line per walker per dimension, as in the reference
+        for j in range(ndims):
+            axs[j].plot(chains[:, :, j], lw=0.5, alpha=0.5)
+            axs[j].set_ylabel(f"z_{j}")
+        axs[-1].set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(
+            os.path.join(self.output, f"chain_{self.populated_count}.png")
+        )
+        plt.close(fig)
+
+    def plot_history(self) -> None:
+        """Plot the per-populate acceptance and step-count history.
+
+        Useful for diagnosing the MCMC proposal over the course of a
+        run. Reference: ``mcmc/proposal.py:75-89``.
+        """
+        import matplotlib.pyplot as plt
+
+        fig, axs = plt.subplots(2, 1, sharex=True)
+        axs[0].plot(self.mcmc_history["acceptance"])
+        axs[0].set_ylabel("Acceptance")
+        axs[1].plot(self.mcmc_history["n_steps"])
+        axs[1].set_ylabel("Number of steps")
+        axs[-1].set_xlabel("Iteration")
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.output, "mcmc_history.png"))
+        plt.close(fig)

@@ -265,6 +265,17 @@ class FlowModel:
 
     # ------------------------------------------------------------------
     @property
+    def optimiser_kwargs(self) -> dict:
+        """Keyword arguments passed to the optimiser.
+
+        Reference: ``nessai/flowmodel/base.py:138-142``. NB the repo's
+        ``optimiser`` attribute is the optax transformation itself (the
+        functional analogue of the reference's torch optimiser); the
+        configured name lives in ``training_config.optimiser``.
+        """
+        return dict(self.training_config.optimiser_kwargs or {})
+
+    @property
     def dims(self):
         return self.flow_config.n_inputs
 
@@ -369,12 +380,26 @@ class FlowModel:
     # ------------------------------------------------------------------
     # Training
     # ------------------------------------------------------------------
-    def check_batch_size(self, n_train: int):
+    def check_batch_size(self, x, batch_size=None, min_fraction=0.1):
         """Resolve the batch size; 'all' trains full-batch.
 
-        Reference: ``nessai/flowmodel/base.py:195``.
+        Accepts the reference call form ``check_batch_size(x, batch_size,
+        min_fraction)`` (``nessai/flowmodel/base.py:195``) where ``x`` is
+        the training data; ``x`` may also be the number of training
+        samples. The reference shrinks ``batch_size`` until the final
+        batch is at least ``min_fraction`` of it; here the final batch is
+        padded to a whole batch instead (shape-static programs), so
+        ``min_fraction`` never forces an adjustment — a user batch size
+        of 1 still raises, as in the reference.
         """
-        bs = self.training_config.batch_size
+        n_train = len(x) if hasattr(x, "__len__") else int(x)
+        if batch_size == 1:
+            raise ValueError("Cannot use a batch size of 1!")
+        bs = (
+            batch_size
+            if batch_size is not None
+            else self.training_config.batch_size
+        )
         if bs == "all" or bs is None:
             bs = _bucket_size(n_train, minimum=32)
         else:

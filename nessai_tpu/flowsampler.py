@@ -215,12 +215,25 @@ class FlowSampler:
         return self.ns.rng
 
     # ------------------------------------------------------------------
-    def run(self, **kwargs):
-        """Run the configured sampler. Reference:
-        ``nessai/flowsampler.py:315``."""
+    def run(
+        self,
+        plot: bool = True,
+        save: bool = True,
+        posterior_sampling_method: Optional[str] = None,
+        close_pool: Optional[bool] = None,
+        **kwargs,
+    ):
+        """Run the configured sampler.
+
+        Picks the correct run method given the configuration used.
+        Reference: ``nessai/flowsampler.py:315-357``.
+        """
+        common = dict(plot=plot, save=save, close_pool=close_pool)
+        if posterior_sampling_method is not None:
+            common["posterior_sampling_method"] = posterior_sampling_method
         if self.importance_nested_sampler:
-            return self.run_importance_nested_sampler(**kwargs)
-        return self.run_standard_sampler(**kwargs)
+            return self.run_importance_nested_sampler(**common, **kwargs)
+        return self.run_standard_sampler(**common, **kwargs)
 
     def run_standard_sampler(
         self,

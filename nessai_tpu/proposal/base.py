@@ -60,7 +60,7 @@ class Proposal(ABC):
         )
 
     @abstractmethod
-    def draw(self, old_point):
+    def draw(self, old_param):
         raise NotImplementedError
 
     def train(self, x, **kwargs) -> None:

@@ -69,10 +69,11 @@ class BaseFlowProposal(RejectionProposal):
         mesh=None,
     ):
         super().__init__(model, rng=rng)
-        self._poolsize = poolsize if poolsize is not None else 1000
-        self._poolsize_scale = 1.0
-        self.update_poolsize = update_poolsize
-        self.max_poolsize_scale = max_poolsize_scale
+        self.configure_poolsize(
+            poolsize if poolsize is not None else 1000,
+            update_poolsize,
+            max_poolsize_scale,
+        )
         self.ns_acceptance = 1.0
         self.output = output
         self.flow_config = flow_config
@@ -140,6 +141,20 @@ class BaseFlowProposal(RejectionProposal):
             self._plot_pool = False
             self._plot_training = False
 
+    def configure_poolsize(
+        self, poolsize, update_poolsize, max_poolsize_scale
+    ) -> None:
+        """Configure the pool-size settings.
+
+        Reference: ``flowproposal/base.py:294-312``.
+        """
+        if poolsize is None:
+            raise RuntimeError("Must specify `poolsize`")
+        self._poolsize = int(poolsize)
+        self._poolsize_scale = 1.0
+        self.update_poolsize = update_poolsize
+        self.max_poolsize_scale = max_poolsize_scale
+
     # ------------------------------------------------------------------
     # Properties
     # ------------------------------------------------------------------
@@ -182,6 +197,24 @@ class BaseFlowProposal(RejectionProposal):
     @property
     def x_prime_dtype(self):
         return np.dtype([(p, "f8") for p in self.prime_parameters])
+
+    @property
+    def internal_prime_parameters(self):
+        """Prime parameters including intermediates not visible to the
+        flow. Every produced prime parameter is flow-visible here, so
+        this equals :attr:`prime_parameters`.
+
+        Reference: ``flowproposal/base.py:249-253``.
+        """
+        return self.prime_parameters
+
+    @property
+    def x_prime_internal_dtype(self):
+        """Dtype of the internal x-prime space.
+
+        Reference: ``flowproposal/base.py:256-267``.
+        """
+        return self.x_prime_dtype
 
     @property
     def flow_dims(self) -> int:
@@ -871,11 +904,11 @@ class BaseFlowProposal(RejectionProposal):
         except Exception as e:  # pragma: no cover - best effort
             logger.warning("Could not plot pool: %s", e)
 
-    def compute_acceptance(self, logL_threshold) -> float:
-        """Fraction of the pool above the likelihood threshold.
+    def compute_acceptance(self, logL) -> float:
+        """Fraction of the pool above the likelihood threshold ``logL``.
 
         Reference: ``flowproposal/base.py:1135``."""
-        return float(np.mean(self.samples["logL"] > logL_threshold))
+        return float(np.mean(self.samples["logL"] > logL))
 
     def draw(self, worst_point):
         """Pop a sample from the pool, repopulating (with adaptive

@@ -773,6 +773,34 @@ class ImportanceNestedSampler(BaseNestedSampler):
         )
         self.add_and_update_samples_time += datetime.datetime.now() - st
 
+    def add_level_post_sampling(self, samples: np.ndarray, n: int) -> None:
+        """Add a proposal level after the initial sampling has completed.
+
+        Trains a new flow level on ``samples``, draws ``n`` new points
+        from it, refreshes the stored meta-proposal densities, adds the
+        new points directly to the nested set and updates the evidence.
+
+        Reference: ``nessai/samplers/importancesampler.py:1381-1390``
+        (NB the reference body calls ``update_live_points``/
+        ``update_nested_samples`` helpers that no longer exist there;
+        this performs the same update through the current sample-set
+        machinery).
+        """
+        self.proposal.train(samples)
+        self.add_new_proposal_weight(self.iteration, n)
+        sample_sets = [self.training_samples]
+        if self.iid_samples is not None:
+            sample_sets.append(self.iid_samples)
+        for ordered in sample_sets:
+            new_samples, log_q = self.draw_n_samples(n)
+            new_samples["it"] = self.iteration
+            self._refresh_ordered_samples(ordered)
+            ordered.add_samples(new_samples, log_q)
+            # post-sampling levels only extend the nested set
+            ordered.add_to_nested_samples(ordered.live_points_indices)
+            ordered.finalise()
+        self.iteration += 1
+
     def remove_samples(self) -> int:
         """Reference: ``importancesampler.py:1250``."""
         n_removed = self.training_samples.remove_samples()

@@ -97,8 +97,8 @@ class NDimensionalTruncatedGaussian:
         # public name matches the reference (``sampling.py:211``)
         self.u_max = gammainc(self.dims / 2.0, r**2 / 2.0)
 
-    def sample(self, n: int) -> np.ndarray:
-        u = self.rng.uniform(0, self.u_max, int(n))
+    def sample(self, N: int) -> np.ndarray:
+        u = self.rng.uniform(0, self.u_max, int(N))
         r = np.sqrt(2.0 * gammaincinv(self.dims / 2.0, u))
-        x = draw_surface_nsphere(self.dims, r=1.0, N=n, rng=self.rng)
+        x = draw_surface_nsphere(self.dims, r=1.0, N=N, rng=self.rng)
         return r[:, None] * x

@@ -205,3 +205,26 @@ def test_draw_final_samples_optimisation_method_invalid(tmp_path, rng):
         ins.draw_final_samples(
             n_post=10, optimise_weights=True, optimisation_method="bad"
         )
+
+
+def test_add_level_post_sampling(tmp_path, rng):
+    """Reference: ``importancesampler.py:1381-1390`` — adding a level
+    after sampling trains a new flow, draws n new nested samples and
+    updates the evidence."""
+    ins = _make(tmp_path, rng, max_iteration=1, checkpointing=False)
+    ins.nested_sampling_loop()
+    n_before = len(ins.samples_unit)
+    n_flows_before = ins.proposal.n_proposals
+    logz_before = ins.log_evidence
+    training = ins.training_samples.samples[-50:].copy()
+    ins.add_level_post_sampling(training, 40)
+    assert ins.proposal.n_proposals == n_flows_before + 1
+    assert len(ins.samples_unit) == n_before + 40
+    assert ins.training_samples.log_q.shape == (
+        n_before + 40,
+        n_flows_before + 1,
+    )
+    # every sample (incl. the new ones) is in the nested set
+    assert ins.training_samples.live_points is None
+    assert np.isfinite(ins.log_evidence)
+    assert ins.log_evidence != logz_before
