@@ -125,3 +125,133 @@ def test_mcmc_plot_chain(model, rng, tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path), f"chain_{fp.populated_count}.png")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncation module reference surfaces (``truncation.py:15-152, 169-482``)
+# ---------------------------------------------------------------------------
+
+from nessai_tpu.proposal.flowproposal import truncation as trunc
+
+
+def test_normalise_truncation_methods():
+    assert trunc.normalise_truncation_methods() == []
+    assert trunc.normalise_truncation_methods("latent_radius") == [
+        "latent_radius"
+    ]
+    assert trunc.normalise_truncation_methods(
+        truncation_methods=["a", "b", "a"]
+    ) == ["a", "b"]
+
+
+def test_build_truncation_methods():
+    with pytest.raises(ValueError, match="only one"):
+        trunc.build_truncation_methods("a", ["b"])
+    methods = trunc.build_truncation_methods(
+        truncate_log_q=True,
+        enforce_likelihood_threshold=True,
+        default_latent_radius=True,
+    )
+    assert methods == ["latent_radius", "min_log_q", "likelihood_threshold"]
+    assert trunc.build_truncation_methods(
+        latent_radius_kwargs={"fuzz": 1.1}
+    ) == ["latent_radius"]
+    assert trunc.should_enable_latent_radius({"fuzz": 1.1})
+    assert not trunc.should_enable_latent_radius(None)
+
+
+def test_apply_default_truncation_config():
+    methods, kwargs = trunc.apply_default_truncation_config(
+        [], default_latent_radius=True
+    )
+    assert methods == ["latent_radius"]
+    assert kwargs["latent_radius"]["mode"] == "constant_volume"
+    # user values win over defaults
+    _, kwargs = trunc.apply_default_truncation_config(
+        ["latent_radius"], {"latent_radius": {"q": 0.9}}
+    )
+    assert kwargs["latent_radius"]["q"] == 0.9
+
+
+def test_normalise_truncation_kwargs():
+    assert trunc.normalise_truncation_kwargs() == {}
+    # flat kwargs nest under the single method
+    out = trunc.normalise_truncation_kwargs(
+        truncation_method="latent_radius", truncation_kwargs={"fuzz": 1.2}
+    )
+    assert out == {"latent_radius": {"fuzz": 1.2}}
+    # already-nested kwargs pass through
+    nested = {"latent_radius": {"fuzz": 1.2}}
+    assert trunc.normalise_truncation_kwargs(
+        truncation_kwargs=nested
+    ) == nested
+
+
+def test_deprecated_latent_radius_helpers():
+    kw = dict.fromkeys(trunc.LEGACY_LATENT_RADIUS_ARGUMENTS)
+    kw["fuzz"] = 1.5
+    kw["min_radius"] = 2.0
+    assert trunc.get_deprecated_latent_radius_arguments(**kw) == [
+        "fuzz",
+        "min_radius",
+    ]
+    assert trunc.get_deprecated_latent_radius_kwargs(**kw) == {
+        "fuzz": 1.5,
+        "min_radius": 2.0,
+    }
+
+
+def test_get_truncation_rule_class():
+    assert (
+        trunc.get_truncation_rule_class("latent_radius")
+        is trunc.LatentRadiusTruncation
+    )
+    with pytest.raises(ValueError, match="Unknown truncation rule"):
+        trunc.get_truncation_rule_class("nope")
+
+
+def test_latent_radius_reference_aliases():
+    rule = trunc.LatentRadiusTruncation(
+        radius_mode="constant_volume", volume_fraction=0.9
+    )
+    assert rule.mode == "constant_volume"
+    assert rule.constant_volume_mode
+    assert rule.volume_fraction == 0.9
+    assert rule.radius_mode == "constant_volume"
+    fixed = trunc.LatentRadiusTruncation(fixed_radius=3.0)
+    assert fixed.mode == "fixed"
+    assert fixed.fixed_radius == 3.0
+    assert trunc.LatentRadiusTruncation().fixed_radius is False
+    kw = rule.to_kwargs()
+    rebuilt = trunc.LatentRadiusTruncation(**kw)
+    assert rebuilt.mode == rule.mode and rebuilt.q == rule.q
+
+
+def test_rule_threshold_properties():
+    assert trunc.LatentRadiusTruncation(mode="adaptive").threshold is None
+    rule = trunc.LatentRadiusTruncation(mode="fixed", radius=2.0, fuzz=1.5)
+
+    class _P:
+        prime_dims = 2
+        rng = np.random.default_rng(0)
+        r = None
+
+    rule.prepare(_P(), None)
+    assert rule.threshold == pytest.approx(2.0 * 1.5)
+    mq = trunc.MinLogQTruncation(threshold=-5.0)
+    assert mq.min_log_q is None
+    mq.prepare(None, None)
+    assert mq.min_log_q == -5.0
+    lt = trunc.LikelihoodThresholdTruncation()
+    assert lt.threshold == -np.inf
+
+
+def test_configure_applies_expansion_fraction():
+    rule = trunc.LatentRadiusTruncation(expansion_fraction=3.0)
+
+    class _P:
+        prime_dims = 2
+
+    scheme = trunc.TruncationScheme([rule])
+    scheme.configure(_P())
+    assert rule.fuzz == pytest.approx(4.0**0.5)
