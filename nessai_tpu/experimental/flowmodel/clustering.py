@@ -132,14 +132,27 @@ class ClusteringFlowModel(FlowModel):
         )
         return np.argmin(d, axis=1)
 
-    def get_cluster_labels(self, samples: np.ndarray) -> np.ndarray:
+    def get_cluster_labels(
+        self, samples: np.ndarray, clusterer=None
+    ) -> np.ndarray:
         """Cluster labels for a set of samples as an ``(n, 1)`` column,
         matching the reference return shape.
 
-        Reference: ``clustering.py:91-98`` (there via a faiss index
-        search; here nearest-centre assignment).
+        ``clusterer`` may be another object exposing ``cluster_centres``
+        or a raw ``(k, dims)`` centre array; defaults to this model's
+        centres. Reference: ``clustering.py:91-98`` (there via a faiss
+        index search; here nearest-centre assignment).
         """
-        return self.assign_labels(np.asarray(samples)).reshape(-1, 1)
+        samples = np.asarray(samples)
+        if clusterer is None:
+            return self.assign_labels(samples).reshape(-1, 1)
+        centres = np.asarray(
+            getattr(clusterer, "cluster_centres", clusterer)
+        )
+        d = np.linalg.norm(
+            samples[:, None, :] - centres[None, :, :], axis=-1
+        )
+        return np.argmin(d, axis=1).reshape(-1, 1)
 
     def sample_cluster_labels(self, n: int) -> np.ndarray:
         """Sample ``n`` random cluster labels as an ``(n, 1)`` column.

@@ -70,10 +70,11 @@ class ImportanceFlowModel(FlowModel):
         return None
 
     @model.setter
-    def model(self, params) -> None:
-        """Append a new level (reference ``flowmodel/importance.py:57-59``)."""
-        if params is not None:
-            self.params_list.append(params)
+    def model(self, model) -> None:
+        """Append a new level (reference ``flowmodel/importance.py:57-59``).
+        ``model`` is a level's parameter pytree."""
+        if model is not None:
+            self.params_list.append(model)
             self._stacked = None
 
     def resume(self, flow_config=None, training_config=None, weights_path=None) -> None:

@@ -64,7 +64,10 @@ class Flow:
 
     #: Reference-parity alias (``nessai/flows/base.py:BaseFlow
     #: .base_distribution_log_prob``).
-    def base_distribution_log_prob(self, params, z):
+    def base_distribution_log_prob(self, params, z, context=None):
+        """Reference: ``nessai/flows/base.py`` — ``context`` is accepted
+        for API parity; the bundled base distributions are
+        unconditional."""
         return self.base_log_prob(params, z)
 
     def end_iteration(self, params, key):

@@ -36,8 +36,8 @@ class Proposal(ABC):
         return self._initialised
 
     @initialised.setter
-    def initialised(self, value: bool):
-        self._initialised = bool(value)
+    def initialised(self, boolean: bool):
+        self._initialised = bool(boolean)
 
     def initialise(self) -> None:
         """Initialise the proposal."""

@@ -74,6 +74,8 @@ class FlowProposal(BaseFlowProposal):
         min_radius=None,
         max_radius=None,
         compute_radius_with_all=None,
+        latent_radius_kwargs=None,
+        default_latent_radius: bool = False,
         latent_prior=None,
         **kwargs,
     ):
@@ -115,6 +117,8 @@ class FlowProposal(BaseFlowProposal):
             volume_fraction=volume_fraction,
             fuzz=fuzz,
             expansion_fraction=expansion_fraction,
+            latent_radius_kwargs=latent_radius_kwargs,
+            default_latent_radius=default_latent_radius,
         )
 
     def configure_population(
@@ -165,6 +169,8 @@ class FlowProposal(BaseFlowProposal):
         volume_fraction: float = 0.95,
         fuzz: float = 1.0,
         expansion_fraction: float = 4.0,
+        latent_radius_kwargs=None,
+        default_latent_radius: bool = False,
     ) -> None:
         """Build the truncation configuration from the reference kwarg
         surface (reference ``flowproposal.py:276-338``,
@@ -224,6 +230,24 @@ class FlowProposal(BaseFlowProposal):
             extra_radius_kwargs["min_radius"] = float(min_radius)
         if max_radius is not None:
             extra_radius_kwargs["max_radius"] = float(max_radius)
+        # reference-style sparse latent-radius kwargs
+        # (``truncation.py:75-105``): they enable the rule and seed its
+        # configuration, like the legacy flat arguments above
+        if latent_radius_kwargs:
+            extra_radius_kwargs = {
+                **dict(latent_radius_kwargs),
+                **extra_radius_kwargs,
+            }
+            if truncation is None and not default_latent_radius:
+                truncation = {"latent_radius": {}}
+        if truncation is None and default_latent_radius:
+            truncation = {
+                "latent_radius": {
+                    "mode": "constant_volume",
+                    "q": volume_fraction,
+                    "fuzz": fuzz,
+                }
+            }
         if truncation is None and constant_volume_mode:
             truncation = {
                 "latent_radius": {

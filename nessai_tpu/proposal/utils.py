@@ -62,19 +62,20 @@ def available_external_flow_proposal_classes(load: bool = False) -> dict:
     return external
 
 
-def get_flow_proposal_class(flow_class):
+def get_flow_proposal_class(proposal_class):
     """Resolve a proposal class from a name/class/None, including
-    entry-point plugins (group ``nessai_tpu.proposals``)."""
+    entry-point plugins (group ``nessai_tpu.proposals``).
+    Reference: ``nessai/proposal/utils.py:112``."""
     from .flowproposal.base import BaseFlowProposal
 
-    if flow_class is None:
+    if proposal_class is None:
         return _known_classes()[None]
-    if isinstance(flow_class, type) and issubclass(
-        flow_class, BaseFlowProposal
+    if isinstance(proposal_class, type) and issubclass(
+        proposal_class, BaseFlowProposal
     ):
-        return flow_class
-    if isinstance(flow_class, str):
-        name = flow_class.lower()
+        return proposal_class
+    if isinstance(proposal_class, str):
+        name = proposal_class.lower()
         classes = _known_classes()
         if name in classes:
             return classes[name]
@@ -86,17 +87,18 @@ def get_flow_proposal_class(flow_class):
                 return eps[name].load()
         except Exception:  # pragma: no cover
             pass
-        raise ValueError(f"Unknown flow class: {flow_class}")
-    raise TypeError(f"Invalid flow class: {flow_class}")
+        raise ValueError(f"Unknown flow class: {proposal_class}")
+    raise TypeError(f"Invalid flow class: {proposal_class}")
 
 
-def check_proposal_kwargs(cls, kwargs, strict: bool = False) -> dict:
-    """Keep only kwargs accepted by ``cls`` (walking its MRO); warn about
-    or reject the rest. Reference: ``nessai/proposal/utils.py:15``.
+def check_proposal_kwargs(ProposalClass, kwargs, strict: bool = False) -> dict:
+    """Keep only kwargs accepted by ``ProposalClass`` (walking its MRO);
+    warn about or reject the rest.
+    Reference: ``nessai/proposal/utils.py:15``.
     """
     kwargs = dict(kwargs)
     accepted = set()
-    for klass in inspect.getmro(cls):
+    for klass in inspect.getmro(ProposalClass):
         init = getattr(klass, "__init__", None)
         if init is None:
             continue
@@ -129,7 +131,7 @@ def check_proposal_kwargs(cls, kwargs, strict: bool = False) -> dict:
             # ``nessai/proposal/utils.py:59-75``)
             allowed_extra = set()
             for other in _known_proposal_classes():
-                if other is cls:
+                if other is ProposalClass:
                     continue
                 for klass in inspect.getmro(other):
                     init = getattr(klass, "__init__", None)
@@ -144,14 +146,14 @@ def check_proposal_kwargs(cls, kwargs, strict: bool = False) -> dict:
             invalid = set(real) - allowed_extra
             if invalid:
                 raise RuntimeError(
-                    f"Unknown kwargs for {cls.__name__}: {invalid}."
+                    f"Unknown kwargs for {ProposalClass.__name__}: {invalid}."
                 )
             logger.warning(
                 "Removing unused keyword arguments (%s) from kwargs for "
                 "%s. These are valid keyword arguments but correspond to "
                 "other proposal classes.",
                 set(real),
-                cls.__name__,
+                ProposalClass.__name__,
             )
     return out
 

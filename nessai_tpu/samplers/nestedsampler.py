@@ -174,25 +174,12 @@ class NestedSampler(BaseNestedSampler):
         self.uninformed_sampling = True
         self.training_time = datetime.timedelta()
 
-        # uninformed proposal configuration
-        if maximum_uninformed is None:
-            self.maximum_uninformed = 10 * self.nlive
-        elif maximum_uninformed is False:
-            self.maximum_uninformed = 0
-        else:
-            self.maximum_uninformed = float(maximum_uninformed)
-        if uninformed_acceptance_threshold is None:
-            self.uninformed_acceptance_threshold = max(
-                0.5, 10 * self.acceptance_threshold
-            )
-        else:
-            self.uninformed_acceptance_threshold = (
-                uninformed_acceptance_threshold
-            )
         self.configure_uninformed_proposal(
             uninformed_proposal,
             analytic_priors,
-            uninformed_proposal_kwargs,
+            maximum_uninformed,
+            uninformed_acceptance_threshold,
+            **(uninformed_proposal_kwargs or {}),
         )
         self.configure_flow_proposal(
             flow_class,
@@ -231,11 +218,38 @@ class NestedSampler(BaseNestedSampler):
             self.reset_permutations = self.reset_flow
 
     def configure_uninformed_proposal(
-        self, uninformed_proposal, analytic_priors, kwargs
+        self,
+        uninformed_proposal,
+        analytic_priors,
+        maximum_uninformed,
+        uninformed_acceptance_threshold,
+        **kwargs,
     ) -> None:
-        """Reference: ``nessai/samplers/nestedsampler.py:380-445``."""
-        if kwargs is None:
-            kwargs = {}
+        """Set up the uninformed (untrained) proposal.
+
+        Reference: ``nessai/samplers/nestedsampler.py:380-445``. NB the
+        default ``maximum_uninformed`` here is 10x nlive (vs the
+        reference's 2x): populating with exact prior rejection is cheap
+        in this architecture, and a longer uninformed phase gives the
+        flow a better-distributed first training set.
+        """
+        # NB uninformed_sampling stays True here even for
+        # maximum_uninformed=False: the cap of 0 forces the switch (and
+        # the proposal rebind) at iteration 0 via check_proposal_switch
+        if maximum_uninformed is None:
+            self.maximum_uninformed = 10 * self.nlive
+        elif maximum_uninformed is False:
+            self.maximum_uninformed = 0
+        else:
+            self.maximum_uninformed = float(maximum_uninformed)
+        if uninformed_acceptance_threshold is None:
+            self.uninformed_acceptance_threshold = max(
+                0.5, 10 * self.acceptance_threshold
+            )
+        else:
+            self.uninformed_acceptance_threshold = (
+                uninformed_acceptance_threshold
+            )
         kwargs.setdefault("poolsize", self.nlive)
         if uninformed_proposal is None:
             uninformed_proposal = (
@@ -246,10 +260,15 @@ class NestedSampler(BaseNestedSampler):
         )
 
     def configure_flow_proposal(
-        self, flow_class, flow_config, training_config, proposal_plots, **kwargs
+        self,
+        flow_proposal_class,
+        flow_config,
+        training_config,
+        proposal_plots,
+        **kwargs,
     ) -> None:
         """Reference: ``nessai/samplers/nestedsampler.py:447-486``."""
-        proposal_class = get_flow_proposal_class(flow_class)
+        proposal_class = get_flow_proposal_class(flow_proposal_class)
         kwargs = check_proposal_kwargs(proposal_class, kwargs)
         kwargs.setdefault("poolsize", self.nlive)
         self._flow_proposal = proposal_class(

@@ -255,3 +255,73 @@ def test_configure_applies_expansion_fraction():
     scheme = trunc.TruncationScheme([rule])
     scheme.configure(_P())
     assert rule.fuzz == pytest.approx(4.0**0.5)
+
+
+def test_configure_truncation_latent_radius_kwargs(model, rng, tmp_path):
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        rng=rng,
+        plot=False,
+        poolsize=100,
+        latent_radius_kwargs={
+            "radius_mode": "constant_volume",
+            "volume_fraction": 0.9,
+        },
+    )
+    rule = fp.truncation.get_rule("latent_radius")
+    assert rule.mode == "constant_volume"
+    assert rule.q == 0.9
+
+
+def test_configure_truncation_default_latent_radius(model, rng, tmp_path):
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        rng=rng,
+        plot=False,
+        poolsize=100,
+        constant_volume_mode=False,
+        default_latent_radius=True,
+    )
+    rule = fp.truncation.get_rule("latent_radius")
+    assert rule.mode == "constant_volume"
+    assert rule.q == 0.95
+
+
+def test_reference_parameter_names():
+    """Parameter names flagged by the API audit match the reference."""
+    from nessai_tpu.proposal.utils import (
+        check_proposal_kwargs,
+        get_flow_proposal_class,
+    )
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    assert "ProposalClass" in inspect.signature(
+        check_proposal_kwargs
+    ).parameters
+    assert "proposal_class" in inspect.signature(
+        get_flow_proposal_class
+    ).parameters
+    assert "flow_proposal_class" in inspect.signature(
+        NestedSampler.configure_flow_proposal
+    ).parameters
+    params = inspect.signature(
+        NestedSampler.configure_uninformed_proposal
+    ).parameters
+    assert "maximum_uninformed" in params
+    assert "uninformed_acceptance_threshold" in params
+
+
+def test_get_cluster_labels_with_clusterer(tmp_path, rng):
+    fm = ClusteringFlowModel(
+        flow_config=dict(n_inputs=2, n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=1, batch_size=64),
+        output=str(tmp_path),
+        rng=rng,
+        max_clusters=4,
+    )
+    centres = np.array([[-3.0, -3.0], [3.0, 3.0]])
+    x = np.array([[-2.9, -3.1], [3.2, 2.8]])
+    labels = fm.get_cluster_labels(x, clusterer=centres)
+    assert labels.ravel().tolist() == [0, 1]
