@@ -571,3 +571,11 @@ class TruncationScheme:
     def reset(self) -> None:
         for r in self.rules:
             r.reset()
+
+
+#: Reference class-name alias (``nessai/proposal/flowproposal/
+#: truncation.py:155`` calls the rule base ``BaseTruncationRule``;
+#: custom rules subclass it before registering)
+BaseTruncationRule = TruncationRule
+
+__all__.append("BaseTruncationRule")

@@ -7,7 +7,7 @@ from .angle import Angle, AnglePair, ToCartesian
 from .base import Reparameterisation
 from .combined import CombinedReparameterisation
 from .discrete import Dequantise
-from .null import NullReparameterisation
+from .null import IdentityReparameterisation, NullReparameterisation
 from .rescale import Rescale, RescaleToBounds, ScaleAndShift
 from .rescale import PrePostRescalingMixin  # noqa: F401
 from .utils import (
@@ -29,6 +29,7 @@ __all__ = [
     "Reparameterisation",
     "CombinedReparameterisation",
     "Dequantise",
+    "IdentityReparameterisation",
     "NullReparameterisation",
     "Rescale",
     "RescaleToBounds",

@@ -190,3 +190,28 @@ class DeltaLogLikelihood(StoppingCriterion):
     name = "dlogL"
     default_tolerance = 0.0
     comparison_basis = "<="
+
+
+# ----------------------------------------------------------------------
+# Reference class-name aliases (``nessai/stopping_criteria.py:176-245``
+# names its criterion classes after the canonical criterion names;
+# plugins import and subclass them directly)
+# ----------------------------------------------------------------------
+DifferenceLogEvidence = DeltaLogZ
+LogEvidenceRatio = Ratio
+LogEvidenceRatioNestedSamples = RatioNS
+EvidenceError = ZErr
+
+__all__ += [
+    "DifferenceLogEvidence",
+    "LogEvidenceRatio",
+    "LogEvidenceRatioNestedSamples",
+    "EvidenceError",
+    "DeltaLogZ",
+    "Ratio",
+    "RatioNS",
+    "ESS",
+    "ZErr",
+    "FractionalError",
+    "DeltaLogLikelihood",
+]

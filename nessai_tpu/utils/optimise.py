@@ -15,29 +15,52 @@ __all__ = ["optimise_meta_proposal_weights"]
 
 
 def optimise_meta_proposal_weights(
-    samples_log_likelihood: np.ndarray,
+    samples: np.ndarray,
     log_q: np.ndarray,
-    initial_weights: np.ndarray,
-    method: str = "SLSQP",
+    method="SLSQP",
     options: dict = None,
+    initial_weights: np.ndarray = None,
     **kwargs,
 ):
     """Optimise the mixture weights of the INS meta-proposal by minimising
     the KL divergence between the posterior and the meta-proposal, subject
     to a simplex constraint.
 
+    Signature matches the reference (``nessai/utils/optimise.py:16``):
+    ``samples`` is either the structured samples array (fields ``logL``
+    and, for the default initial weights, ``it``) or a plain array of
+    log-likelihoods; ``initial_weights`` defaults to the per-iteration
+    draw counts for structured input and uniform otherwise. Positional
+    back-compat: an array in the ``method`` slot is treated as
+    ``initial_weights``.
+
     Parameters
     ----------
-    samples_log_likelihood : [n] log-likelihood of each sample
+    samples : structured samples or [n] log-likelihoods
     log_q : [n, n_proposals] per-proposal log densities
     initial_weights : [n_proposals] starting weights (normalised)
 
     Returns the optimised, normalised weights.
     """
+    if not isinstance(method, str):
+        # legacy positional order: (logL, log_q, initial_weights)
+        initial_weights = method
+        method = "SLSQP"
+    log_q = np.asarray(log_q, dtype=float)
+    if (
+        isinstance(samples, np.ndarray)
+        and samples.dtype.names is not None
+    ):
+        logL = np.asarray(samples["logL"], dtype=float)
+        if initial_weights is None and "it" in samples.dtype.names:
+            counts = np.unique(samples["it"], return_counts=True)[1]
+            initial_weights = counts / counts.sum()
+    else:
+        logL = np.asarray(samples, dtype=float)
+    if initial_weights is None:
+        initial_weights = np.full(log_q.shape[-1], 1.0 / log_q.shape[-1])
     initial_weights = np.asarray(initial_weights, dtype=float)
     initial_weights = initial_weights / initial_weights.sum()
-    log_q = np.asarray(log_q, dtype=float)
-    logL = np.asarray(samples_log_likelihood, dtype=float)
 
     def loss(w):
         w = np.clip(w, 1e-300, None)

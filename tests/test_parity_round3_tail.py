@@ -325,3 +325,88 @@ def test_get_cluster_labels_with_clusterer(tmp_path, rng):
     x = np.array([[-2.9, -3.1], [3.2, 2.8]])
     labels = fm.get_cluster_labels(x, clusterer=centres)
     assert labels.ravel().tolist() == [0, 1]
+
+
+# ----------------------------------------------------------------------
+# Reference class-name surfaces (audit batch: class aliases)
+# ----------------------------------------------------------------------
+def test_stopping_criterion_reference_class_names():
+    """Reference ``stopping_criteria.py:161-245`` exposes criterion
+    classes under their canonical names; plugins subclass them."""
+    import nessai_tpu.stopping_criteria as sc
+
+    assert sc.LogEvidenceRatio is sc.Ratio
+    assert sc.LogEvidenceRatioNestedSamples is sc.RatioNS
+    assert sc.EvidenceError is sc.ZErr
+    assert sc.DifferenceLogEvidence is sc.DeltaLogZ
+    # subclassable like the reference classes
+    class MyCriterion(sc.LogEvidenceRatio):
+        pass
+
+    assert MyCriterion.name == "log_evidence_ratio"
+
+
+def test_base_truncation_rule_alias():
+    """Reference ``truncation.py:155`` names the rule base
+    ``BaseTruncationRule``."""
+    from nessai_tpu.proposal.flowproposal.truncation import (
+        BaseTruncationRule,
+        LatentRadiusTruncation,
+        TruncationRule,
+    )
+
+    assert BaseTruncationRule is TruncationRule
+    assert issubclass(LatentRadiusTruncation, BaseTruncationRule)
+
+
+def test_identity_reparameterisation_reference_surface():
+    """Reference ``null.py:13`` names the class
+    ``IdentityReparameterisation`` with ``NullReparameterisation`` as an
+    alias, and accepts the multi-space kwargs."""
+    import numpy as np
+
+    from nessai_tpu.livepoint import numpy_array_to_live_points
+    from nessai_tpu.reparameterisations import (
+        IdentityReparameterisation,
+        NullReparameterisation,
+    )
+
+    assert NullReparameterisation is IdentityReparameterisation
+    r = IdentityReparameterisation(
+        input_parameters=["x"], prior_bounds={"x": [0, 1]}
+    )
+    assert r.parameters == ["x"]
+    x = numpy_array_to_live_points(np.array([[0.3]]), ["x"])
+    xp = x.copy()
+    _, xp, lj = r.reparameterise(x, xp, np.zeros(1))
+    assert xp["x"][0] == x["x"][0]
+
+
+def test_optimise_meta_proposal_weights_reference_signature():
+    """Reference ``utils/optimise.py:16``: first argument is the
+    structured samples array; initial weights default to per-iteration
+    draw counts."""
+    import numpy as np
+
+    from nessai_tpu.utils.optimise import optimise_meta_proposal_weights
+
+    rng = np.random.default_rng(42)
+    n = 300
+    samples = np.zeros(
+        n, dtype=[("logL", "f8"), ("logQ", "f8"), ("it", "i4")]
+    )
+    samples["logL"] = rng.standard_normal(n)
+    samples["logQ"] = 0.0
+    samples["it"] = np.repeat([0, 1, 2], n // 3)
+    log_q = rng.standard_normal((n, 3))
+    # keyword call exactly as the reference signature allows
+    w = optimise_meta_proposal_weights(
+        samples=samples, log_q=log_q, method="SLSQP"
+    )
+    assert w.shape == (3,)
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)
+    # legacy positional order still works (plain logL + weights 3rd)
+    w2 = optimise_meta_proposal_weights(
+        samples["logL"], log_q, np.ones(3) / 3
+    )
+    np.testing.assert_allclose(w2.sum(), 1.0, atol=1e-6)
