@@ -24,7 +24,7 @@ import numpy as np
 from scipy import stats
 
 
-def run_injection(seed: int, nlive: int):
+def run_injection(seed: int, nlive: int, dims: int = 2):
     import jax.numpy as jnp
 
     from nessai_tpu.flowsampler import FlowSampler
@@ -35,15 +35,15 @@ def run_injection(seed: int, nlive: int):
     # (both would otherwise start from the same integer seed - the
     # seed-sharing trap documented in VALIDATION.md round 2)
     rng = np.random.default_rng(10_000_019 * seed + 7)
-    truth = rng.uniform(-5, 5, 2)
+    truth = rng.uniform(-5, 5, dims)
     # observed data: truth + unit-normal observation noise — the
     # posterior centres on the data, so the truth's credible level is
     # uniform iff the recovered posterior is calibrated
-    observed = truth + rng.standard_normal(2)
+    observed = truth + rng.standard_normal(dims)
 
     class InjectionModel(Model):
-        names = ["x_0", "x_1"]
-        bounds = {"x_0": [-10.0, 10.0], "x_1": [-10.0, 10.0]}
+        names = [f"x_{i}" for i in range(dims)]
+        bounds = {n: [-10.0, 10.0] for n in names}
 
         def __init__(self):
             self.data = observed.copy()
@@ -53,7 +53,7 @@ def run_injection(seed: int, nlive: int):
 
         def new_point(self, N=1):
             return numpy_array_to_live_points(
-                self.rng.uniform(-10, 10, (N, 2)), self.names
+                self.rng.uniform(-10, 10, (N, dims)), self.names
             )
 
         def new_point_log_prob(self, x):
@@ -61,18 +61,18 @@ def run_injection(seed: int, nlive: int):
 
         def log_prior(self, x):
             log_p = np.log(self.in_bounds(x), dtype=float)
-            return log_p - 2 * np.log(20.0)
+            return log_p - dims * np.log(20.0)
 
         def log_likelihood(self, x):
             out = np.zeros(x.size)
             for i, n in enumerate(self.names):
                 out += -0.5 * (x[n] - self.data[i]) ** 2
-            return out - np.log(2 * np.pi)
+            return out - 0.5 * dims * np.log(2 * np.pi)
 
         def jax_log_likelihood(self, x, data):
             return -0.5 * jnp.sum(
                 (x - data["mu"]) ** 2, axis=-1
-            ) - jnp.log(2 * jnp.pi)
+            ) - 0.5 * dims * jnp.log(2 * jnp.pi)
 
     output = tempfile.mkdtemp(prefix=f"pp_{seed}_")
     t0 = time.perf_counter()
@@ -108,13 +108,14 @@ def main():
     p.add_argument("--start", type=int, default=1000)
     p.add_argument("--count", type=int, default=24)
     p.add_argument("--nlive", type=int, default=500)
+    p.add_argument("--dims", type=int, default=2)
     p.add_argument("--out", default="/tmp/pp_test.jsonl")
     args = p.parse_args()
 
     levels = []
     with open(args.out, "a") as f:
         for seed in range(args.start, args.start + args.count):
-            row = run_injection(seed, args.nlive)
+            row = run_injection(seed, args.nlive, dims=args.dims)
             levels.extend(row["levels"])
             f.write(json.dumps(row) + "\n")
             f.flush()
@@ -123,6 +124,7 @@ def main():
     ks = stats.kstest(levels, "uniform")
     summary = {
         "n_injections": args.count,
+        "dims": args.dims,
         "n_levels": len(levels),
         "ks_p": round(float(ks.pvalue), 4),
         "ks_D": round(float(ks.statistic), 4),

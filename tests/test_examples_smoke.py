@@ -256,3 +256,32 @@ def test_nsf_unit_hypercube_example_capped(tmp_path, monkeypatch):
     fs.run(plot=False, save=False)
     assert fs.ns.proposal.reparameterisation is None
     assert np.isfinite(fs.logZ)
+
+
+@pytest.mark.integration_test
+def test_basic_ins_example_capped(tmp_path, monkeypatch):
+    m = _load(
+        "importance_nested_sampler/basic_ins_example.py",
+        tmp_path,
+        monkeypatch,
+    )
+    from nessai_tpu.flowsampler import FlowSampler
+
+    fs = FlowSampler(
+        m.RosenbrockModel(2),
+        output=str(tmp_path / "run"),
+        resume=False,
+        seed=1234,
+        nlive=100,
+        min_samples=10,
+        plot=False,
+        checkpointing=False,
+        importance_nested_sampler=True,
+        draw_constant=True,
+        min_iteration=1,
+        max_iteration=3,
+        flow_config=dict(n_blocks=2, n_neurons=4),
+        training_config=dict(max_epochs=3, patience=2, batch_size=50),
+    )
+    fs.run(plot=False, save=False)
+    assert np.isfinite(fs.logZ)
