@@ -93,10 +93,19 @@ def run_injection(seed: int, nlive: int, dims: int = 2):
         float(np.mean(post[n] < truth[i]))
         for i, n in enumerate(InjectionModel.names)
     ]
+    # exact posterior levels: the posterior is N(observed, 1) per
+    # coordinate (box edges are irrelevant for |truth| <= 5), so
+    # Phi(truth - observed) is the level a PERFECT sampler would give;
+    # sampler-minus-exact isolates sampler error from noise-draw luck
+    from scipy.stats import norm as _norm
+
+    exact_levels = _norm.cdf(truth - observed).tolist()
     return {
         "seed": seed,
         "truth": truth.tolist(),
+        "observed": observed.tolist(),
         "levels": levels,
+        "exact_levels": exact_levels,
         "n_posterior": int(len(post)),
         "logZ": float(fs.logZ),
         "wall_s": round(wall, 2),
@@ -113,21 +122,30 @@ def main():
     args = p.parse_args()
 
     levels = []
+    exact = []
     with open(args.out, "a") as f:
         for seed in range(args.start, args.start + args.count):
             row = run_injection(seed, args.nlive, dims=args.dims)
             levels.extend(row["levels"])
+            exact.extend(row["exact_levels"])
             f.write(json.dumps(row) + "\n")
             f.flush()
             print(json.dumps(row), file=sys.stderr)
 
     ks = stats.kstest(levels, "uniform")
+    d = np.asarray(levels) - np.asarray(exact)
     summary = {
         "n_injections": args.count,
         "dims": args.dims,
         "n_levels": len(levels),
         "ks_p": round(float(ks.pvalue), 4),
         "ks_D": round(float(ks.statistic), 4),
+        # raw KS includes noise-draw luck; sampler-vs-exact does not
+        "exact_ks_p": round(
+            float(stats.kstest(exact, "uniform").pvalue), 4
+        ),
+        "vs_exact_rms": round(float(np.sqrt(np.mean(d**2))), 4),
+        "vs_exact_max": round(float(np.abs(d).max()), 4),
     }
     print(json.dumps({"summary": summary}))
 
