@@ -87,24 +87,29 @@ def _reference_transform(x, raw_scale, shift, inverse, clamp):
     return x * jnp.exp(s) + shift, jnp.sum(s, axis=-1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def affine_coupling_pallas_vjp(x, raw_scale, shift, inverse=False, clamp=5.0):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def affine_coupling_pallas_vjp(
+    x, raw_scale, shift, inverse=False, clamp=5.0, interpret=False
+):
     """Affine coupling with the Pallas forward and an autodiff backward
     (via the jnp reference), so the kernel can sit on the training
-    path — same pattern as ``rqs_pallas_vjp``."""
+    path — same pattern as ``rqs_pallas_vjp``. ``interpret`` runs the
+    kernel in Pallas interpret mode (CPU tests)."""
     return affine_coupling_transform(
-        x, raw_scale, shift, inverse=inverse, clamp=clamp
+        x, raw_scale, shift, inverse=inverse, clamp=clamp,
+        interpret=interpret,
     )
 
 
-def _ac_fwd(x, raw_scale, shift, inverse, clamp):
+def _ac_fwd(x, raw_scale, shift, inverse, clamp, interpret):
     out = affine_coupling_transform(
-        x, raw_scale, shift, inverse=inverse, clamp=clamp
+        x, raw_scale, shift, inverse=inverse, clamp=clamp,
+        interpret=interpret,
     )
     return out, (x, raw_scale, shift)
 
 
-def _ac_bwd(inverse, clamp, residuals, cotangents):
+def _ac_bwd(inverse, clamp, interpret, residuals, cotangents):
     x, raw_scale, shift = residuals
     _, vjp = jax.vjp(
         lambda xx, ss, tt: _reference_transform(xx, ss, tt, inverse, clamp),

@@ -203,20 +203,29 @@ def rqs_pallas(
     return out, ld
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def rqs_pallas_vjp(inputs, w, h, d, inverse=False, tail_bound=5.0):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def rqs_pallas_vjp(
+    inputs, w, h, d, inverse=False, tail_bound=5.0, interpret=False
+):
     """RQS with the Pallas forward and an autodiff backward (via the jnp
     reference implementation), so the kernel can sit on the training
-    path."""
-    return rqs_pallas(inputs, w, h, d, inverse=inverse, tail_bound=tail_bound)
+    path. ``interpret`` runs the kernel in Pallas interpret mode (CPU
+    tests)."""
+    return rqs_pallas(
+        inputs, w, h, d, inverse=inverse, tail_bound=tail_bound,
+        interpret=interpret,
+    )
 
 
-def _rqs_fwd(inputs, w, h, d, inverse, tail_bound):
-    out = rqs_pallas(inputs, w, h, d, inverse=inverse, tail_bound=tail_bound)
+def _rqs_fwd(inputs, w, h, d, inverse, tail_bound, interpret):
+    out = rqs_pallas(
+        inputs, w, h, d, inverse=inverse, tail_bound=tail_bound,
+        interpret=interpret,
+    )
     return out, (inputs, w, h, d)
 
 
-def _rqs_bwd(inverse, tail_bound, residuals, cotangents):
+def _rqs_bwd(inverse, tail_bound, interpret, residuals, cotangents):
     from ..flows.rqs import rational_quadratic_spline
 
     inputs, w, h, d = residuals

@@ -101,3 +101,80 @@ def test_affine_coupling_vjp_reference_matches_bijector(rng):
     )
     ga = g(x, raw, t)
     assert bool(jnp.all(jnp.isfinite(ga)))
+
+
+def test_affine_coupling_pallas_padding_branch(rng):
+    """Batch not a multiple of the block size exercises the pad path."""
+    from nessai_tpu.ops import affine_coupling_transform
+
+    n, d = 13, 3
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    s = rng.standard_normal((n, d)).astype(np.float32)
+    t = rng.standard_normal((n, d)).astype(np.float32)
+    y, ld = affine_coupling_transform(x, s, t, interpret=True)
+    assert y.shape == (n, d) and ld.shape == (n,)
+    from nessai_tpu.ops.coupling_pallas import _reference_transform
+
+    y_ref, ld_ref = _reference_transform(x, s, t, False, 5.0)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ld, ld_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_affine_coupling_pallas_vjp_grads(rng):
+    """The custom-VJP wrapper's gradients match autodiff through the
+    jnp reference transform."""
+    import jax
+    import jax.numpy as jnp
+
+    from nessai_tpu.ops.coupling_pallas import (
+        _reference_transform,
+        affine_coupling_pallas_vjp,
+    )
+
+    n, d = 8, 2
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+
+    def loss_vjp(x, s, t):
+        y, ld = affine_coupling_pallas_vjp(x, s, t, False, 5.0, True)
+        return jnp.sum(y**2) + jnp.sum(ld)
+
+    def loss_ref(x, s, t):
+        y, ld = _reference_transform(x, s, t, False, 5.0)
+        return jnp.sum(y**2) + jnp.sum(ld)
+
+    g_vjp = jax.grad(loss_vjp, argnums=(0, 1, 2))(x, s, t)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, s, t)
+    for a, b in zip(g_vjp, g_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_rqs_pallas_vjp_grads(rng):
+    """rqs_pallas_vjp gradients match autodiff through the jnp spline."""
+    import jax
+    import jax.numpy as jnp
+
+    from nessai_tpu.flows.rqs import rational_quadratic_spline
+    from nessai_tpu.ops.rqs_pallas import rqs_pallas_vjp
+
+    n, d, K = 8, 2, 4
+    x = jnp.asarray(rng.uniform(-3, 3, (n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n, d, K)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((n, d, K)), jnp.float32)
+    dd = jnp.asarray(rng.standard_normal((n, d, K - 1)), jnp.float32)
+
+    def loss_vjp(x, w, h, dd):
+        y, ld = rqs_pallas_vjp(x, w, h, dd, False, 5.0, True)
+        return jnp.sum(y**2) + jnp.sum(ld)
+
+    def loss_ref(x, w, h, dd):
+        y, ld = rational_quadratic_spline(
+            x, w, h, dd, inverse=False, tail_bound=5.0
+        )
+        return jnp.sum(y**2) + jnp.sum(ld)
+
+    g_vjp = jax.grad(loss_vjp, argnums=(0, 1, 2, 3))(x, w, h, dd)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, h, dd)
+    for a, b in zip(g_vjp, g_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
