@@ -410,3 +410,38 @@ def test_optimise_meta_proposal_weights_reference_signature():
         samples["logL"], log_q, np.ones(3) / 3
     )
     np.testing.assert_allclose(w2.sum(), 1.0, atol=1e-6)
+
+
+def test_external_proposal_entry_points(monkeypatch):
+    """Entry-point plugin proposals resolve by name and load on demand
+    (reference ``proposal/utils.py:97-130``)."""
+    from nessai_tpu.proposal import utils as putils
+    from nessai_tpu.proposal.flowproposal.base import BaseFlowProposal
+
+    class FakeProposal(BaseFlowProposal):
+        pass
+
+    class FakeEP:
+        name = "myplugin"
+
+        def load(self):
+            return FakeProposal
+
+    monkeypatch.setattr(
+        "nessai_tpu.utils.entry_points.get_entry_points",
+        lambda group: {"myplugin": FakeEP()} if "proposals" in group else {},
+    )
+    ext = putils.available_external_flow_proposal_classes()
+    assert list(ext) == ["myplugin"]
+    loaded = putils.available_external_flow_proposal_classes(load=True)
+    assert loaded["myplugin"] is FakeProposal
+    assert putils.get_flow_proposal_class("myplugin") is FakeProposal
+
+
+def test_get_flow_proposal_class_invalid_type():
+    from nessai_tpu.proposal.utils import get_flow_proposal_class
+
+    with pytest.raises(TypeError, match="Invalid flow class"):
+        get_flow_proposal_class(12345)
+    with pytest.raises(ValueError, match="Unknown flow class"):
+        get_flow_proposal_class("definitely-not-a-proposal")
