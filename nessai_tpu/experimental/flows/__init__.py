@@ -66,3 +66,24 @@ class ExternalBijector(Bijector):
     def inverse(self, params, z, context=None, rng=None):
         x, log_det = self._inverse_fn(params, z, context)
         return x, jnp.asarray(log_det)
+
+
+def get_glasflow_class(name: str):
+    """Resolve a ``glasflow-``-prefixed flow name to its builder.
+
+    Name-level parity with the reference resolver
+    (``nessai/experimental/flows/glasflow.py:72-84``): the name must
+    contain ``glasflow`` and the short name must be known; here the
+    glasflow architectures map to the native JAX builders registered
+    under the same prefixed names.
+    """
+    name = name.lower()
+    if "glasflow" not in name:
+        raise ValueError("'glasflow' missing from name")
+    try:
+        return get_native_flow_class(name)
+    except ValueError:
+        raise ValueError(f"{name} is not a known glasflow flow")
+
+
+__all__.append("get_glasflow_class")

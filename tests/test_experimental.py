@@ -116,3 +116,57 @@ def test_clustering_flow_proposal(model, rng, tmp_path, flow_config, training_co
     assert fp.populated
     assert len(fp.samples) > 0
     assert model.in_bounds(fp.samples).all()
+
+
+# ----------------------------------------------------------------------
+# MCMC autocorrelation utilities (reference mcmc/utils.py)
+# ----------------------------------------------------------------------
+def test_next_pow_two():
+    from nessai_tpu.experimental.proposal.mcmc.utils import next_pow_two
+
+    assert [next_pow_two(n) for n in (1, 2, 3, 5, 8, 1000)] == [
+        1, 2, 4, 8, 8, 1024,
+    ]
+
+
+def test_function_1d_white_noise(rng):
+    from nessai_tpu.experimental.proposal.mcmc.utils import function_1d
+
+    x = rng.standard_normal(4096)
+    acf = function_1d(x)
+    assert acf[0] == 1.0
+    assert np.abs(acf[10:100]).max() < 0.1
+    with pytest.raises(ValueError):
+        function_1d(np.zeros((4, 4)))
+
+
+def test_integrated_time_ar1(rng):
+    """AR(1) with coefficient rho has tau = (1 + rho) / (1 - rho)."""
+    from nessai_tpu.experimental.proposal.mcmc.utils import integrated_time
+
+    rho = 0.9
+    n_t, n_w = 20000, 8
+    x = np.zeros((n_t, n_w, 2))
+    eps = rng.standard_normal((n_t, n_w, 2))
+    for t in range(1, n_t):
+        x[t] = rho * x[t - 1] + eps[t]
+    tau = integrated_time(x)
+    expected = (1 + rho) / (1 - rho)  # = 19
+    assert tau.shape == (2,)
+    np.testing.assert_allclose(tau, expected, rtol=0.25)
+    with pytest.raises(ValueError):
+        integrated_time(np.zeros((10, 2)))
+
+
+def test_get_glasflow_class():
+    from nessai_tpu.experimental.flows import get_glasflow_class
+    from nessai_tpu.flows.utils import get_native_flow_class
+
+    assert (
+        get_glasflow_class("glasflow-realnvp")
+        is get_native_flow_class("glasflow-realnvp")
+    )
+    with pytest.raises(ValueError, match="missing from name"):
+        get_glasflow_class("realnvp")
+    with pytest.raises(ValueError, match="not a known glasflow flow"):
+        get_glasflow_class("glasflow-doesnotexist")
