@@ -204,3 +204,10 @@ KNOWN_STEPS = {
     "differential_evolution": DifferentialEvolutionStep,
     "stretch": StretchStep,
 }
+
+
+#: Reference class-name alias (``nessai/experimental/proposal/mcmc/
+#: steps.py`` calls the base class ``Step``)
+Step = MCMCStep
+
+__all__.append("Step")

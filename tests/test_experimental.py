@@ -170,3 +170,9 @@ def test_get_glasflow_class():
         get_glasflow_class("realnvp")
     with pytest.raises(ValueError, match="not a known glasflow flow"):
         get_glasflow_class("glasflow-doesnotexist")
+
+
+def test_step_class_alias():
+    from nessai_tpu.experimental.proposal.mcmc.steps import MCMCStep, Step
+
+    assert Step is MCMCStep
