@@ -1246,6 +1246,25 @@ class ImportanceNestedSampler(BaseNestedSampler):
             self.state.log_evidence_error,
             self.state.effective_n_posterior_samples,
         )
+        # Heavy-tailed importance weights (meta-proposal under-fitting
+        # the posterior, e.g. curved degeneracies) bias logZ low while
+        # the reported error underestimates; a collapsed final ESS is
+        # the observable symptom (measured study: VALIDATION.md, "INS
+        # on a curved degenerate target"; guidance in
+        # docs/importance-nested-sampling.md).
+        ess = float(self.state.effective_n_posterior_samples)
+        n_total = len(self.samples_unit) if self.samples_unit is not None else 0
+        if n_total and (ess < 100 or ess < 0.01 * n_total):
+            logger.warning(
+                "Final effective sample size is very low (ESS %.1f from "
+                "%d samples): the meta-proposal likely under-fits the "
+                "posterior, so the evidence may be biased low and its "
+                "error underestimated. Increase the flow capacity "
+                "(flow_config: n_blocks/n_neurons/n_layers) and re-run; "
+                "see docs/importance-nested-sampling.md.",
+                ess,
+                n_total,
+            )
         self.finalised = True
         if self.checkpointing:
             self.checkpoint(periodic=True, force=True)

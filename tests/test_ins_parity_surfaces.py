@@ -658,3 +658,80 @@ def test_log_posterior_weights_normalisation(ins):
     s = ins.samples_unit
     expected = (s["logL"] + s["logW"]) - state.log_evidence
     np.testing.assert_allclose(w, expected)
+
+
+def test_finalise_low_ess_warning(caplog):
+    """A collapsed final ESS triggers the under-fitting warning
+    (VALIDATION.md: INS on a curved degenerate target)."""
+    from unittest.mock import MagicMock, patch
+
+    import numpy as np
+
+    from nessai_tpu.samplers.importancesampler import (
+        ImportanceNestedSampler,
+    )
+
+    ins = ImportanceNestedSampler.__new__(ImportanceNestedSampler)
+    ins.finalised = False
+    ins._train_final_flow = False
+    ins.draw_iid_live = False
+    ins.bootstrap = False
+    ins.checkpointing = False
+    ins.training_samples = MagicMock()
+    state = MagicMock()
+    state.log_evidence = -1.0
+    state.log_evidence_error = 0.1
+    state.effective_n_posterior_samples = 12.0
+    with patch.object(
+        ImportanceNestedSampler, "state", property(lambda self: state)
+    ), patch.object(
+        ImportanceNestedSampler,
+        "samples_unit",
+        property(lambda self: np.zeros(5000)),
+    ), patch.object(
+        ImportanceNestedSampler, "kl_divergence", lambda self: 4.0
+    ):
+        with caplog.at_level("WARNING"):
+            ins.finalise()
+    assert any(
+        "effective sample size is very low" in r.message
+        for r in caplog.records
+    )
+    assert ins.finalised
+
+
+def test_finalise_healthy_ess_no_warning(caplog):
+    from unittest.mock import MagicMock, patch
+
+    import numpy as np
+
+    from nessai_tpu.samplers.importancesampler import (
+        ImportanceNestedSampler,
+    )
+
+    ins = ImportanceNestedSampler.__new__(ImportanceNestedSampler)
+    ins.finalised = False
+    ins._train_final_flow = False
+    ins.draw_iid_live = False
+    ins.bootstrap = False
+    ins.checkpointing = False
+    ins.training_samples = MagicMock()
+    state = MagicMock()
+    state.log_evidence = -1.0
+    state.log_evidence_error = 0.1
+    state.effective_n_posterior_samples = 3000.0
+    with patch.object(
+        ImportanceNestedSampler, "state", property(lambda self: state)
+    ), patch.object(
+        ImportanceNestedSampler,
+        "samples_unit",
+        property(lambda self: np.zeros(5000)),
+    ), patch.object(
+        ImportanceNestedSampler, "kl_divergence", lambda self: 0.2
+    ):
+        with caplog.at_level("WARNING"):
+            ins.finalise()
+    assert not any(
+        "effective sample size is very low" in r.message
+        for r in caplog.records
+    )
