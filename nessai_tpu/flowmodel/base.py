@@ -875,8 +875,13 @@ class FlowModel:
         val_size=None,
         plot: bool = True,
         sync: bool = True,
+        output=None,
     ):
         """Train the flow on samples. Returns the training history dict.
+
+        ``output`` overrides the model's output directory for this
+        call's weights/plot artefacts (reference
+        ``flowmodel/base.py:530`` signature).
 
         With ``sync=False`` (used by the flow proposal's hot path) the
         loss-history fetch is deferred: the jitted training program is
@@ -899,6 +904,7 @@ class FlowModel:
             patience = self.training_config.patience
         if val_size is None:
             val_size = self.training_config.val_size
+        out_dir = output if output is not None else self.output
 
         self._maybe_init_actnorm(samples, conditional=conditional)
         data = self.prep_data(
@@ -993,9 +999,9 @@ class FlowModel:
                 self._pending_history.append(
                     (loss_hist, val_hist, n_epochs)
                 )
-                if self.output is not None:
+                if out_dir is not None:
                     self.save_weights(
-                        os.path.join(self.output, "model.pkl"),
+                        os.path.join(out_dir, "model.pkl"),
                         blocking=False,
                     )
                 return None
@@ -1015,11 +1021,11 @@ class FlowModel:
             )
         self.history["loss"].extend(history["loss"])
         self.history["val_loss"].extend(history["val_loss"])
-        if self.output is not None:
+        if out_dir is not None:
             # async: overlaps the ~50 ms transfer+pickle with the
             # sampling that follows this training block
             self.save_weights(
-                os.path.join(self.output, "model.pkl"), blocking=False
+                os.path.join(out_dir, "model.pkl"), blocking=False
             )
             if plot and history["loss"]:
                 try:
@@ -1029,7 +1035,7 @@ class FlowModel:
                     plot_loss(
                         best,
                         history,
-                        filename=os.path.join(self.output, "loss.png"),
+                        filename=os.path.join(out_dir, "loss.png"),
                     )
                 except Exception as e:  # pragma: no cover
                     logger.warning("Could not plot loss: %s", e)

@@ -233,9 +233,14 @@ class ImportanceFlowModel(FlowModel):
         self._stacked = None
         logger.info("Reloaded %d flow levels", self.n_models)
 
-    def update_weights_path(self, output: str) -> None:
-        """Reference: ``nessai/flowmodel/importance.py:166``."""
-        self.output = output
+    def update_weights_path(self, weights_path: str, n=None) -> None:
+        """Update the directory level weights are saved under.
+
+        Reference signature ``nessai/flowmodel/importance.py:166``
+        (``n`` is accepted for parity; the stacked-params store derives
+        the level count from the saved pytree, so it is unused here).
+        """
+        self.output = weights_path
 
     # ------------------------------------------------------------------
     def __getstate__(self):

@@ -221,16 +221,16 @@ class ImportanceFlowProposal(Proposal):
     # ------------------------------------------------------------------
     # Unit-hypercube <-> prime (logit) space
     # ------------------------------------------------------------------
-    def to_prime(self, x_hypercube: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def to_prime(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """[n, d] hypercube -> logit space with log|dx'/dx|.
 
         Reference: ``nessai/proposal/importance.py:203``.
         """
         if self.reparameterisation == "logit":
-            x_prime, log_j = logit(x_hypercube, eps=global_config.general.eps)
+            x_prime, log_j = logit(x, eps=global_config.general.eps)
             return x_prime, log_j.sum(axis=-1)
         if self.reparameterisation is None or self.reparameterisation == "none":
-            return x_hypercube.copy(), np.zeros(len(x_hypercube))
+            return x.copy(), np.zeros(len(x))
         raise ValueError(
             f"Unknown reparameterisation: '{self.reparameterisation}'"
         )
@@ -249,9 +249,9 @@ class ImportanceFlowProposal(Proposal):
             f"Unknown reparameterisation: '{self.reparameterisation}'"
         )
 
-    def rescale(self, samples) -> Tuple[np.ndarray, np.ndarray]:
+    def rescale(self, x) -> Tuple[np.ndarray, np.ndarray]:
         """Structured hypercube samples -> prime array + log_j."""
-        arr = live_points_to_array(samples, self.model.names)
+        arr = live_points_to_array(x, self.model.names)
         return self.to_prime(arr)
 
     def inverse_rescale(self, x_prime: np.ndarray):
@@ -521,12 +521,17 @@ class ImportanceFlowProposal(Proposal):
         return samples, log_q
 
     # ------------------------------------------------------------------
-    def resume(self, model, flow_config=None, weights_path=None) -> None:
+    def resume(
+        self, model, flow_config=None, training_config=None,
+        weights_path=None,
+    ) -> None:
         """Reference: ``nessai/proposal/importance.py`` resume logic."""
         super().resume(model)
         if flow_config is not None:
             self.flow_config = dict(flow_config)
             self.flow_config["n_inputs"] = model.dims
+        if training_config is not None:
+            self.training_config = dict(training_config)
         self.flow = ImportanceFlowModel(
             flow_config=self.flow_config,
             training_config=self.training_config,

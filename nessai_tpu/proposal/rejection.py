@@ -36,12 +36,15 @@ class RejectionProposal(AnalyticProposal):
         Reference: ``nessai/proposal/rejection.py:47-62``."""
         return self.model.new_point_log_prob(x)
 
-    def compute_weights(self, x):
+    def compute_weights(self, x, return_log_prior=False):
         """logW = logP - logQ where logQ is the proposal density of
         ``new_point``. Reference: ``nessai/proposal/rejection.py:64``."""
         x["logP"] = self.model.batch_evaluate_log_prior(x)
         log_q = self.log_proposal(x)
-        return x["logP"] - log_q
+        log_w = x["logP"] - log_q
+        if return_log_prior:
+            return log_w, x["logP"]
+        return log_w
 
     def populate(self, N=None) -> None:
         """Vectorised rejection sampling. Reference:

@@ -211,7 +211,7 @@ class ScaleAndShift(Reparameterisation, PrePostMixin):
             f"dict, got: {type(value).__name__}"
         )
 
-    def update(self, x) -> None:
+    def update(self, x, x_prime=None) -> None:
         if not self.estimate:
             return
         for p in self.parameters:

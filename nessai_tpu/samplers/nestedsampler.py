@@ -557,7 +557,7 @@ class NestedSampler(BaseNestedSampler):
     # ------------------------------------------------------------------
     # Core loop
     # ------------------------------------------------------------------
-    def yield_sample(self, old_sample):
+    def yield_sample(self, oldparam):
         """Generator of (count, proposal) pairs.
 
         Reference: ``nessai/samplers/nestedsampler.py:643``.
@@ -566,7 +566,7 @@ class NestedSampler(BaseNestedSampler):
             count = 0
             while True:
                 count += 1
-                new_sample = self.proposal.draw(old_sample.copy())
+                new_sample = self.proposal.draw(oldparam.copy())
                 if not np.isfinite(new_sample["logL"]):
                     new_sample["logL"] = (
                         self.model.evaluate_log_likelihood(new_sample)

@@ -445,3 +445,53 @@ def test_get_flow_proposal_class_invalid_type():
         get_flow_proposal_class(12345)
     with pytest.raises(ValueError, match="Unknown flow class"):
         get_flow_proposal_class("definitely-not-a-proposal")
+
+
+def test_method_signature_parity_batch():
+    """Public-method kwarg names match the reference where classes share
+    names (final audit batch: train output, update_weights_path,
+    IFP rescale/to_prime/resume, yield_sample, rejection
+    compute_weights, ScaleAndShift.update)."""
+    import inspect
+
+    from nessai_tpu.flowmodel.base import FlowModel
+    from nessai_tpu.flowmodel.importance import ImportanceFlowModel
+    from nessai_tpu.proposal.importance import ImportanceFlowProposal
+    from nessai_tpu.proposal.rejection import RejectionProposal
+    from nessai_tpu.reparameterisations.rescale import ScaleAndShift
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    assert "output" in inspect.signature(FlowModel.train).parameters
+    p = inspect.signature(ImportanceFlowModel.update_weights_path).parameters
+    assert list(p)[1:3] == ["weights_path", "n"]
+    assert "x" in inspect.signature(ImportanceFlowProposal.rescale).parameters
+    assert "x" in inspect.signature(ImportanceFlowProposal.to_prime).parameters
+    assert (
+        "training_config"
+        in inspect.signature(ImportanceFlowProposal.resume).parameters
+    )
+    assert (
+        "oldparam" in inspect.signature(NestedSampler.yield_sample).parameters
+    )
+    assert (
+        "return_log_prior"
+        in inspect.signature(RejectionProposal.compute_weights).parameters
+    )
+    assert "x_prime" in inspect.signature(ScaleAndShift.update).parameters
+
+
+def test_rejection_compute_weights_return_log_prior(rng):
+    import numpy as np
+
+    from nessai_tpu.proposal.rejection import RejectionProposal
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    rp = RejectionProposal(model, poolsize=50, rng=rng)
+    x = model.new_point(20)
+    log_w, log_p = rp.compute_weights(x, return_log_prior=True)
+    np.testing.assert_allclose(log_p, model.batch_evaluate_log_prior(x))
+    np.testing.assert_allclose(
+        log_w, rp.compute_weights(x), atol=1e-12
+    )
