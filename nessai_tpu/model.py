@@ -690,6 +690,68 @@ class Model(ABC):
     def has_jax_prior(self) -> bool:
         return callable(self.jax_log_prior)
 
+    @property
+    def has_uniform_box_prior(self) -> bool:
+        """Whether ``log_prior`` is the uniform-box density over
+        ``bounds`` — either declared (``uniform_prior_box = True``, set
+        automatically by ``UniformPriorMixin``) or detected by probing.
+
+        The probe evaluates ``log_prior`` at 256 points drawn uniformly
+        inside the bounds and accepts only if EVERY value equals the
+        analytic box constant ``-sum(log(width))`` to 1e-9 — the same
+        auto-detection spirit as the vectorised-likelihood probe
+        (reference ``model.py:276-316``). Detection lets plain
+        user-defined uniform priors take the single-dispatch device-loop
+        populate without declaring the flag. Set
+        ``uniform_prior_box = False`` AND define ``jax_log_prior`` to
+        opt a genuinely non-uniform prior out (a non-uniform prior that
+        matches the box constant at 256 random points to 1e-9 is not a
+        realistic failure mode).
+        """
+        if self.uniform_prior_box:
+            return True
+        if self.has_jax_prior:
+            return False
+        cached = getattr(self, "_uniform_box_detected", None)
+        if cached is not None:
+            return cached
+        detected = False
+        try:
+            from .livepoint import numpy_array_to_live_points
+
+            rng = np.random.default_rng(818118)
+            lower = np.asarray(self.lower_bounds, float)
+            upper = np.asarray(self.upper_bounds, float)
+            if np.all(np.isfinite(lower)) and np.all(np.isfinite(upper)):
+                pts = rng.uniform(lower, upper, (256, self.dims))
+                x = numpy_array_to_live_points(pts, self.names)
+                log_p = np.asarray(
+                    batch_evaluate_function(
+                        self.log_prior,
+                        x,
+                        self.vectorised_prior,
+                        func_wrapper=log_prior_wrapper,
+                    ),
+                    float,
+                )
+                const = -np.sum(np.log(upper - lower))
+                detected = bool(
+                    np.all(np.isfinite(log_p))
+                    and np.allclose(log_p, const, rtol=0, atol=1e-9)
+                )
+                if detected:
+                    logger.info(
+                        "Detected a uniform box prior (constant %.6f over "
+                        "the bounds): enabling device-side prior "
+                        "evaluation. Set uniform_prior_box = False and "
+                        "define jax_log_prior to override.",
+                        const,
+                    )
+        except Exception as e:  # pragma: no cover - defensive
+            logger.debug("Uniform-box prior probe failed: %s", e)
+        self._uniform_box_detected = detected
+        return detected
+
     def batch_evaluate_log_prior(
         self, x: np.ndarray, unit_hypercube: bool = False
     ) -> np.ndarray:

@@ -613,7 +613,10 @@ class FlowProposal(BaseFlowProposal):
         if any(r.name != "latent_radius" for r in scheme.rules):
             return False
         m = self.model
-        if not (m.has_jax_prior or getattr(m, "uniform_prior_box", False)):
+        if not (
+            m.has_jax_prior
+            or getattr(m, "has_uniform_box_prior", False)
+        ):
             return False
         if self._reparameterisation.jax_log_prior_fn() is None:
             return False

@@ -201,3 +201,130 @@ def test_device_loop_shortfall_respects_max_samples(
     fp.populate(x[0], n_samples=100)
     assert fp.populated
     assert len(fp.samples) <= 100
+
+
+# ----------------------------------------------------------------------
+# Uniform-box prior auto-detection (enables the device loop for plain
+# user-defined uniform priors, e.g. the eggbox/rosenbrock examples)
+# ----------------------------------------------------------------------
+def test_uniform_box_prior_detected():
+    import numpy as np
+
+    from nessai_tpu.model import Model
+
+    class PlainUniform(Model):
+        names = ["x_0", "x_1"]
+        bounds = {"x_0": [0.0, 2.0], "x_1": [-3.0, 5.0]}
+
+        def log_prior(self, x):
+            log_p = np.log(self.in_bounds(x), dtype="float")
+            for b in self.bounds.values():
+                log_p -= np.log(b[1] - b[0])
+            return log_p
+
+        def log_likelihood(self, x):
+            return np.zeros(x.size)
+
+    m = PlainUniform()
+    assert m.uniform_prior_box is False
+    assert m.has_uniform_box_prior is True
+    # cached
+    assert m._uniform_box_detected is True
+
+
+def test_non_uniform_prior_not_detected():
+    import numpy as np
+
+    from nessai_tpu.model import Model
+
+    class GaussPrior(Model):
+        names = ["x_0"]
+        bounds = {"x_0": [-5.0, 5.0]}
+
+        def log_prior(self, x):
+            return np.where(
+                self.in_bounds(x), -0.5 * np.asarray(x["x_0"]) ** 2, -np.inf
+            )
+
+        def log_likelihood(self, x):
+            return np.zeros(x.size)
+
+    m = GaussPrior()
+    assert m.has_uniform_box_prior is False
+
+
+def test_jax_prior_skips_detection():
+    import numpy as np
+
+    from nessai_tpu.model import Model
+
+    class WithJax(Model):
+        names = ["x_0"]
+        bounds = {"x_0": [-5.0, 5.0]}
+
+        def log_prior(self, x):
+            return np.log(self.in_bounds(x), dtype="float") - np.log(10.0)
+
+        def jax_log_likelihood(self, x):
+            return -0.5 * x[..., 0] ** 2
+
+        def log_likelihood(self, x):
+            return -0.5 * np.asarray(x["x_0"]) ** 2
+
+        def jax_log_prior(self, x):
+            import jax.numpy as jnp
+
+            return jnp.full(x.shape[:-1], -jnp.log(10.0))
+
+    m = WithJax()
+    # declared jax prior wins; detection not consulted
+    assert m.has_jax_prior
+    assert m.has_uniform_box_prior is False
+
+
+def test_device_loop_enabled_for_detected_uniform_box(rng, tmp_path):
+    """The eggbox-example shape (manual uniform log_prior + jax
+    likelihood, no flags) now takes the single-dispatch device loop."""
+    import numpy as np
+
+    from nessai_tpu.model import Model
+    from nessai_tpu.proposal import FlowProposal
+
+    class EggboxLike(Model):
+        names = ["x_0", "x_1"]
+        bounds = {"x_0": [0.0, 10.0], "x_1": [0.0, 10.0]}
+
+        def log_prior(self, x):
+            log_p = np.log(self.in_bounds(x), dtype="float")
+            for b in self.bounds.values():
+                log_p -= np.log(b[1] - b[0])
+            return log_p
+
+        def log_likelihood(self, x):
+            v = self.unstructured_view(x)
+            return (2.0 + np.prod(np.cos(v / 2.0), axis=-1)) ** 2.0
+
+        def jax_log_likelihood(self, x):
+            import jax.numpy as jnp
+
+            return (2.0 + jnp.prod(jnp.cos(x / 2.0), axis=-1)) ** 2.0
+
+    model = EggboxLike()
+    model.set_rng(rng)
+    fp = FlowProposal(
+        model,
+        output=str(tmp_path),
+        poolsize=100,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=2, batch_size=64),
+        rng=rng,
+        plot=False,
+    )
+    fp.initialise()
+    x = model.new_point(256)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    assert fp._can_device_loop
+    fp.populate(x[0], n_samples=50)
+    assert fp.populated
+    assert model.in_bounds(fp.x).all()
