@@ -41,6 +41,15 @@ class FlowProposal(BaseFlowProposal):
         performed per batch with ``logW - max(logW)`` normalisation.
     latent_temperature : scale applied to the base-distribution variance
         when sampling (1.0 = exact).
+    max_samples : cap on the total number of proposed samples per
+        populate (reference ``flowproposal.py:397``). Default None: the
+        host-loop paths use the reference's 1,000,000, while the
+        device-loop populate treats that as a *soft* budget and keeps
+        proposing (scaled by the measured 1/acceptance, bounded by int32
+        indexing) until the pool fills — device draws are nearly free
+        and a full pool avoids a retrain per handful of accepted points
+        in the terminal low-acceptance regime. Pass an explicit value to
+        enforce the exact cap on every path.
     fuse_likelihood : whether the fused populate program also evaluates
         the likelihood for EVERY draw (True: one device round trip per
         batch, but the likelihood runs on rejected draws too), or the
@@ -58,7 +67,7 @@ class FlowProposal(BaseFlowProposal):
         expansion_fraction: float = 4.0,
         fuzz: float = 1.0,
         accumulate_weights: bool = False,
-        max_samples: int = 1_000_000,
+        max_samples: Optional[int] = None,
         latent_temperature: float = 1.0,
         constant_volume_mode: bool = True,
         volume_fraction: float = 0.95,
@@ -81,7 +90,15 @@ class FlowProposal(BaseFlowProposal):
     ):
         super().__init__(model, **kwargs)
         self.accumulate_weights = accumulate_weights
-        self.max_samples = max_samples
+        #: When ``max_samples`` is not set explicitly, the device-loop
+        #: populate treats it as a *soft* budget and scales the total
+        #: proposal cap with 1/acceptance (device draws are nearly free;
+        #: the reference cap bounds HOST cost — flowproposal.py:397).
+        #: An explicit value is always honoured exactly on every path.
+        self._max_samples_explicit = max_samples is not None
+        self.max_samples = (
+            1_000_000 if max_samples is None else int(max_samples)
+        )
         self.configure_population(
             drawsize,
             latent_prior=latent_prior,
@@ -686,8 +703,26 @@ class FlowProposal(BaseFlowProposal):
             int(self.drawsize) if self.drawsize else 4 * self._poolsize
         )
         cap = int(n_samples)
-        max_proposed = int(min(self.max_samples, 2**31 - B - 1))
-        max_rounds = max(max_proposed // B, 1)
+        # Total-proposal budget. Explicit max_samples is honoured exactly
+        # (reference semantics, flowproposal.py:397). Otherwise the cap
+        # is soft: extra while_loop rounds are device-side and nearly
+        # free (the loop exits the moment the buffer fills), so in the
+        # terminal low-acceptance regime we keep proposing — bounded by
+        # int32 indexing — instead of returning a ~15-sample pool that
+        # forces a retrain per handful of points (e.g. eggbox: 18 min →
+        # dominated by retrains under the hard 1e6 cap).
+        int32_cap = 2**31 - B - 1
+        # getattr: resumed pre-0.4.3 pickles lack the flag; treat their
+        # cap as exact (the old behaviour).
+        explicit = getattr(self, "_max_samples_explicit", True)
+        if explicit:
+            hard_cap = int(min(self.max_samples, int32_cap))
+        else:
+            hard_cap = int32_cap
+        # Re-assess acceptance on the host at least every ~soft-budget
+        # proposals so a zero-acceptance flow cannot spin to int32_cap.
+        per_call_cap = int(min(max(self.max_samples, 256 * B), hard_cap))
+        margin = 3.0
         sqrt_t = float(np.sqrt(self.latent_temperature))
 
         rule = self._truncation_scheme.get_rule("latent_radius")
@@ -696,7 +731,10 @@ class FlowProposal(BaseFlowProposal):
         else:
             r_max = np.float32(np.inf)
 
-        def fn(params, key, consts, r_max, lower, upper, log_p0, ll_data):
+        def fn(
+            params, key, consts, r_max, lower, upper, log_p0, ll_data,
+            max_rounds,
+        ):
             def body(state):
                 key, buf_x, buf_logq, count, n_prop = state
                 key, k1, k2 = jax.random.split(key, 3)
@@ -774,7 +812,6 @@ class FlowProposal(BaseFlowProposal):
             prior_kind,
             B,
             cap,
-            max_rounds,
             sqrt_t,
             with_ll,
         )
@@ -786,7 +823,21 @@ class FlowProposal(BaseFlowProposal):
         filled = 0
         total_acc = 0
         total_prop = 0
-        while filled < cap:
+        # Seed the acceptance estimate from the previous populate (an
+        # over-estimate of the budget is free: the while_loop exits the
+        # moment the buffer fills).
+        acc_est = getattr(self, "population_acceptance", None)
+        if acc_est is not None and not (
+            np.isfinite(acc_est) and acc_est > 0
+        ):
+            acc_est = None
+        while filled < cap and total_prop < hard_cap:
+            if acc_est:
+                want = int(margin * (cap - filled) / acc_est) + B
+            else:
+                want = int(self.max_samples)
+            budget_call = min(want, per_call_cap, hard_cap - total_prop)
+            rounds = max(budget_call // B, 1)
             seed = int(self.rng.integers(2**31 - 1))
             consts = self._reparameterisation.jax_inverse_consts()
             out = jit_fn(
@@ -798,6 +849,7 @@ class FlowProposal(BaseFlowProposal):
                 upper,
                 log_p_box,
                 ll_data,
+                np.int32(rounds),
             )
             out = arrays_to_host(*out)
             if with_ll:
@@ -817,11 +869,24 @@ class FlowProposal(BaseFlowProposal):
             total_prop += n_prop
             if with_ll:
                 model.likelihood_evaluations += cap
-            if total_prop >= self.max_samples and filled < cap:
-                logger.warning(
-                    "Reached max samples (%s)", self.max_samples
-                )
-                break
+            acc_est = total_acc / total_prop if total_prop else None
+            if filled < cap and total_prop >= self.max_samples:
+                if explicit:
+                    logger.warning(
+                        "Reached max samples (%s)", self.max_samples
+                    )
+                    break
+                if not acc_est:
+                    # Zero accepted after the full soft budget: the flow
+                    # is not producing valid samples; do not spin to the
+                    # int32 cap.
+                    logger.warning(
+                        "Reached max samples (%s) with 0 accepted",
+                        self.max_samples,
+                    )
+                    break
+        if filled < cap and total_prop >= hard_cap:
+            logger.warning("Reached max samples (%s)", hard_cap)
 
         if not filled:
             raise RuntimeError(
@@ -865,13 +930,16 @@ class FlowProposal(BaseFlowProposal):
             )
         if max_samples is not None and max_samples != self.max_samples:
             prev_max = self.max_samples
+            prev_explicit = getattr(self, "_max_samples_explicit", True)
             self.max_samples = max_samples
+            self._max_samples_explicit = True
             try:
                 return self.populate(
                     worst_point, n_samples=n_samples, plot=plot, r=r
                 )
             finally:
                 self.max_samples = prev_max
+                self._max_samples_explicit = prev_explicit
         self._truncation_scheme.prepare(self, worst_point, radius=r)
         self.indices = []
 

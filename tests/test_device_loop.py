@@ -176,6 +176,83 @@ def test_end_to_end_device_loop_logz(rng, tmp_path):
     assert abs(fs.logZ - model.analytic_log_evidence) < 4 * err
 
 
+def test_device_loop_adaptive_budget_fills_pool(
+    rng, tmp_path, flow_config, training_config
+):
+    """With no explicit max_samples the device loop treats the budget as
+    soft and keeps proposing (scaled by 1/acceptance) until the pool
+    fills — the terminal-regime fix: no retrain-per-handful pools."""
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    fp = _make(
+        model,
+        tmp_path,
+        rng,
+        "device_loop",
+        flow_config=flow_config,
+        training_config=training_config,
+    )
+    assert fp._max_samples_explicit is False
+    x = model.new_point(256)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    # Shrink the soft budget so filling 2000 samples necessarily
+    # overshoots it; the adaptive loop must push past.
+    fp.max_samples = 512
+    fp.populate(x[np.argmin(x["logL"])], n_samples=2000)
+    assert fp.populated
+    assert len(fp.samples) == 2000
+
+
+def test_device_loop_explicit_cap_is_exact(
+    rng, tmp_path, flow_config, training_config
+):
+    """An explicit max_samples is honoured exactly: the loop stops with a
+    shortfall instead of adapting past the cap."""
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    fp = _make(
+        model,
+        tmp_path,
+        rng,
+        "device_loop",
+        flow_config=flow_config,
+        training_config=training_config,
+        max_samples=512,
+    )
+    assert fp._max_samples_explicit is True
+    x = model.new_point(256)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    fp.populate(x[np.argmin(x["logL"])], n_samples=2000)
+    assert fp.populated
+    assert len(fp.samples) < 2000
+
+
+def test_populate_max_samples_kwarg_is_exact_on_device_loop(
+    rng, tmp_path, flow_config, training_config
+):
+    """populate(max_samples=...) enforces the exact reference cap for
+    that call even in otherwise-adaptive mode, then restores it."""
+    model = IntegrationTestModel(2)
+    model.set_rng(rng)
+    fp = _make(
+        model,
+        tmp_path,
+        rng,
+        "device_loop",
+        flow_config=flow_config,
+        training_config=training_config,
+    )
+    x = model.new_point(256)
+    x["logL"] = model.batch_evaluate_log_likelihood(x)
+    fp.train(x, plot=False)
+    fp.populate(x[np.argmin(x["logL"])], n_samples=2000, max_samples=512)
+    assert len(fp.samples) < 2000
+    assert fp._max_samples_explicit is False
+    assert fp.max_samples == 1_000_000
+
+
 def test_device_loop_shortfall_respects_max_samples(
     rng, tmp_path, flow_config, training_config
 ):
