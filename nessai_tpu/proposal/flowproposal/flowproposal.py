@@ -399,12 +399,12 @@ class FlowProposal(BaseFlowProposal):
             return False
         if self.model.has_jax_likelihood:
             return True
-        # pure_callback likelihoods fuse too, but only single-device:
-        # host callbacks inside sharded programs are not supported
-        return (
-            self.model.get_device_log_likelihood() is not None
-            and self.flow.mesh is None
-        )
+        # pure_callback likelihoods fuse too. Single-device the callback
+        # runs inside the program; on a mesh the likelihood is forced to
+        # split out (see _resolve_fuse_likelihood) so the sharded program
+        # contains flow inverse + reparams + bounds only and the callback
+        # runs host-side on the surviving draws.
+        return self.model.get_device_log_likelihood() is not None
 
     #: per-batch device likelihood time above which the likelihood is
     #: split out of the fused program (≈ a few tunnel round trips)
@@ -418,7 +418,18 @@ class FlowProposal(BaseFlowProposal):
         extra round trip the split costs."""
         if self._fuse_likelihood_resolved is not None:
             return self._fuse_likelihood_resolved
-        if self._truncation_scheme.requires_log_likelihood:
+        if (
+            not self.model.has_jax_likelihood
+            and self.flow is not None
+            and self.flow.mesh is not None
+        ):
+            # host callbacks cannot run inside sharded device programs:
+            # keep flow inverse + reparams + bounds sharded over the mesh
+            # and dispatch the callback likelihood on the host for draws
+            # that survive the bounds check (sharded host-dispatch path;
+            # pool contract of reference utils/multiprocessing.py:134-196)
+            self._fuse_likelihood_resolved = False
+        elif self._truncation_scheme.requires_log_likelihood:
             self._fuse_likelihood_resolved = True
         elif self.fuse_likelihood is not None:
             self._fuse_likelihood_resolved = bool(self.fuse_likelihood)
@@ -972,23 +983,21 @@ class FlowProposal(BaseFlowProposal):
         fused = self._can_fuse_populate
         fused_ll = fused and self._resolve_fuse_likelihood()
         if (
-            not fused
-            and getattr(self, "_device_inverse", None) is not None
+            fused
+            and not fused_ll
             and not self.model.has_jax_likelihood
-            and self.model.get_device_log_likelihood() is not None
             and self.flow.mesh is not None
             and not getattr(self, "_warned_callback_mesh", False)
         ):
-            # host callbacks cannot run inside sharded device programs:
-            # make the silent loss of the mesh + fused path loud
-            logger.warning(
-                "Model uses a host-callback likelihood "
-                "(likelihood_callback=True) but the proposal is on a "
-                "%d-device mesh: pure_callback cannot run inside sharded "
-                "programs, so populate falls back to the unfused "
-                "single-device path. Provide jax_log_likelihood to keep "
-                "the mesh, or drop the mesh to keep the fused callback "
-                "path.",
+            # sharded host-dispatch: the callback cannot run inside the
+            # sharded program, so it splits out to the host — say so once
+            # (incl. when an explicit fuse_likelihood=True was overridden)
+            logger.info(
+                "Host-callback likelihood on a %d-device mesh: flow "
+                "inverse + reparameterisations + bounds run sharded; the "
+                "callback likelihood is dispatched on the host for "
+                "surviving draws only (pure_callback cannot run inside "
+                "sharded programs).",
                 int(self.flow.mesh.devices.size),
             )
             self._warned_callback_mesh = True

@@ -260,12 +260,14 @@ def test_end_to_end_default_reparam_fused(rng, tmp_path):
     assert abs(fs.logZ - model.analytic_log_evidence) < 1.0
 
 
-def test_callback_likelihood_mesh_warns_and_falls_back(
+def test_callback_likelihood_mesh_sharded_host_dispatch(
     rng, tmp_path, flow_config, training_config, caplog
 ):
-    """mesh + pure_callback likelihood cannot fuse: populate must warn
-    loudly (once) and fall back to the unfused path (VERDICT round-2
-    weak #7; reference pool contract utils/multiprocessing.py:134-196)."""
+    """mesh + pure_callback likelihood: flow inverse + reparams + bounds
+    stay sharded over the mesh and the callback likelihood splits out to
+    the host (sharded host-dispatch; reference pool contract
+    utils/multiprocessing.py:134-196). Populate announces the split
+    once and the pool carries host-evaluated likelihoods."""
     import jax
 
     from nessai_tpu.parallel import get_mesh
@@ -294,20 +296,77 @@ def test_callback_likelihood_mesh_warns_and_falls_back(
     )
     _train_proposal(fp, m, n=128)
     assert fp._device_inverse is not None
-    assert not fp._can_fuse_populate
+    # the mesh no longer kills the fused path: the program without the
+    # likelihood shards, the callback runs on the host
+    assert fp._can_fuse_populate
+    assert fp._resolve_fuse_likelihood() is False
     x = m.new_point(10)
     x["logL"] = m.batch_evaluate_log_likelihood(x)
     import logging as _logging
 
-    with caplog.at_level(_logging.WARNING):
+    with caplog.at_level(_logging.INFO):
         fp.populate(x[0], n_samples=30)
-    assert "pure_callback cannot run inside sharded" in caplog.text
+    assert "dispatched on the host" in caplog.text
     assert fp.populated
-    # only warns once
+    assert np.all(np.isfinite(fp.samples["logL"]))
+    # only announces once
     caplog.clear()
-    with caplog.at_level(_logging.WARNING):
+    with caplog.at_level(_logging.INFO):
         fp.populate(x[0], n_samples=30)
-    assert "pure_callback" not in caplog.text
+    assert "dispatched on the host" not in caplog.text
+
+
+def test_callback_mesh_matches_single_device(
+    rng, tmp_path, flow_config, training_config
+):
+    """The likelihood-free fused program for a callback model produces
+    identical draws batch-sharded over the mesh as single-device."""
+    import jax
+
+    from nessai_tpu.parallel import get_mesh, replicated_sharding
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual cpu devices")
+
+    class CallbackModel(IntegrationTestModel):
+        jax_log_likelihood = None
+        likelihood_callback = True
+
+    m = CallbackModel(2)
+    m.set_rng(rng)
+    fp = FlowProposal(
+        m,
+        output=str(tmp_path),
+        poolsize=50,
+        flow_config=flow_config,
+        training_config=training_config,
+        rng=rng,
+        plot=False,
+    )
+    _train_proposal(fp, m, n=128)
+    assert fp._can_fuse_populate
+    z = fp.flow.sample_latent_distribution(37)
+    single = fp._fused_backward(z, with_likelihood=False)
+
+    mesh = get_mesh(devices=cpus, n_devices=8)
+    fp.flow.mesh = mesh
+    fp.flow._scope = None
+    fp.flow.params = jax.device_put(
+        fp.flow.params, replicated_sharding(mesh)
+    )
+    sharded = fp._fused_backward(z, with_likelihood=False)
+    for a, b in zip(single, sharded):
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64),
+            np.asarray(b, np.float64),
+            rtol=1e-5,
+            atol=1e-5,
+        )
 
 
 class DataArgModel(Model):
