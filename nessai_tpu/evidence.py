@@ -81,6 +81,9 @@ class _NSIntegralState:
         self.logLs: List[float] = [-np.inf]
         self.log_vols: List[float] = [0.0]
         self.gradients = [0]
+        #: per-iteration nlive (the finalise tail decrements it); needed
+        #: to simulate the volume-contraction distribution exactly
+        self.nlives: List[int] = []
 
     def increment(self, logL, nlive: Optional[int] = None) -> None:
         """Update the evidence with the next dead point's logL.
@@ -142,6 +145,10 @@ class _NSIntegralState:
         self.logw += logt
         self.logLs.append(logL)
         self.log_vols.append(self.logw)
+        try:
+            self.nlives.append(int(nlive))
+        except AttributeError:  # resumed pre-0.4.3 pickle
+            self.nlives = [int(nlive)]
         if self.track_gradients:
             self.gradients.append(
                 (self.logLs[-1] - self.logLs[-2])
@@ -179,6 +186,71 @@ class _NSIntegralState:
         )
         self.logZ = float(finalised)
         return self.logZ
+
+    def _nlive_schedule(self) -> np.ndarray:
+        """Per-iteration nlive as an array aligned with
+        ``logLs[1:]``. Runs resumed from pre-0.4.3 pickles are missing
+        the head of the schedule; pad it with ``base_nlive`` (exact —
+        only the finalise tail ever deviates)."""
+        n_iter = len(self.logLs) - 1
+        nlives = list(getattr(self, "nlives", []) or [])
+        if len(nlives) < n_iter:
+            nlives = [self.base_nlive] * (n_iter - len(nlives)) + nlives
+        return np.asarray(nlives[:n_iter], dtype=float)
+
+    def simulate_log_evidence(
+        self, n_simulations: int = 500, rng=None
+    ) -> np.ndarray:
+        """Monte-Carlo draws of logZ under simulated prior-volume
+        contractions.
+
+        Each nested-sampling iteration contracts the prior volume by
+        ``t_i = max of nlive_i uniforms``, i.e. ``log t_i =
+        -Exp(1)/nlive_i``. Re-drawing the contractions and
+        re-integrating (same trapezoid rule as :meth:`finalise`) gives
+        the full, non-Gaussian statistical distribution of the
+        evidence — the simulated-weights method of Skilling (2006) /
+        Higson et al. (2018), beyond the first-order
+        ``sqrt(H / nlive)`` estimate the sampler reports during the
+        run. This captures stochastic volume uncertainty only; flow
+        proposal systematics (curved degenerate posteriors, see
+        ``docs/further-details.md``) are invisible to every
+        single-run estimate.
+
+        Vectorised over simulations: one [S, n_iter] exponential
+        draw + cumsum + a batched log-trapezoid, no Python loop.
+
+        Returns the array of logZ draws (``std`` of which is the
+        simulated error). The deterministic state is not modified.
+        """
+        if rng is None:
+            rng = np.random.default_rng()
+        log_L = np.asarray(self.logLs + [self.logLs[-1]])
+        n_iter = len(self.logLs) - 1
+        if n_iter < 1:
+            return np.full(int(n_simulations), -np.inf)
+        nlives = self._nlive_schedule()
+        e = rng.standard_exponential((int(n_simulations), n_iter))
+        log_vols = np.concatenate(
+            [
+                np.zeros((int(n_simulations), 1)),
+                np.cumsum(-e / nlives, axis=1),
+                np.full((int(n_simulations), 1), -np.inf),
+            ],
+            axis=1,
+        )
+        # batched log-trapezoid (log_integrate_log_trap over rows)
+        log_f_sum = np.logaddexp(log_L[:-1], log_L[1:]) - np.log(2)
+        log_dxs = logsubexp(log_vols[:, :-1], log_vols[:, 1:])
+        return logsumexp(log_f_sum[None, :] + log_dxs, axis=1)
+
+    def log_evidence_error_simulated(
+        self, n_simulations: int = 500, rng=None
+    ) -> float:
+        """Standard deviation of :meth:`simulate_log_evidence` draws."""
+        return float(
+            np.std(self.simulate_log_evidence(n_simulations, rng=rng))
+        )
 
     def log_posterior_weights(self):
         """Posterior weight of every dead point.

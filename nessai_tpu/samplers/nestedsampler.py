@@ -347,6 +347,20 @@ class NestedSampler(BaseNestedSampler):
     def log_evidence_error(self) -> float:
         return self.state.log_evidence_error
 
+    def simulate_evidence_uncertainty(
+        self, n_simulations: int = 500, rng=None
+    ) -> np.ndarray:
+        """Monte-Carlo draws of logZ under simulated prior-volume
+        contractions (``std`` of the result is the simulated error;
+        see :meth:`_NSIntegralState.simulate_log_evidence`). Uses the
+        sampler's own rng stream unless one is given. Captures the
+        exact statistical volume uncertainty — NOT flow-proposal
+        systematics; on curved degenerate posteriors still quote
+        multi-seed errors (docs/further-details.md)."""
+        return self.state.simulate_log_evidence(
+            n_simulations, rng=rng if rng is not None else self.rng
+        )
+
     @property
     def information(self) -> float:
         return self.state.info[-1]

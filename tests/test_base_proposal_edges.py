@@ -91,7 +91,9 @@ def test_update_poolsize_scale(fp):
     assert fp.poolsize == fp._poolsize
 
 
-def test_precompile_async_runs(rng, tmp_path):
+def test_precompile_async_runs(rng, tmp_path, caplog):
+    import logging
+
     model = IntegrationTestModel(2)
     model.set_rng(rng)
     fp = FlowProposal(
@@ -99,14 +101,23 @@ def test_precompile_async_runs(rng, tmp_path):
         output=str(tmp_path),
         poolsize=100,
         flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
-        training_config=dict(max_epochs=2, batch_size=64),
+        training_config=dict(
+            max_epochs=2, batch_size=64, val_size=0.1,
+            noise_type="constant", noise_scale=0.1,
+        ),
         rng=rng,
         plot=False,
         precompile=True,
     )
     fp.initialise()
-    fp.precompile_async(128)
-    fp._join_precompile()
+    with caplog.at_level(logging.DEBUG, logger="nessai_tpu"):
+        fp.precompile_async(128)
+        fp._join_precompile()
+    # the warm-up body swallows exceptions by design — the success log
+    # is the proof it actually compiled (incl. val + noise-sigma
+    # branches enabled above) rather than silently bailing
+    assert "precompilation complete" in caplog.text
+    assert "Precompilation failed" not in caplog.text
     # training still works after the warm-up thread completed
     x = model.new_point(128)
     x["logL"] = model.batch_evaluate_log_likelihood(x)

@@ -160,3 +160,105 @@ def test_sampler_threads_shrinkage_expectation(model, tmp_path):
         shrinkage_expectation="t",
     )
     assert ns2.state.expectation == "t"
+
+
+def test_simulate_log_evidence_analytic():
+    """Simulated-volume logZ draws: mean matches the deterministic
+    integral and the spread matches sqrt(H/nlive) on a well-behaved
+    (exponential-shell) likelihood."""
+    nlive = 100
+    sigma2 = 0.01
+    state = _NSIntegralState(nlive)
+    # logL(X) = -X / (2 sigma^2): Z = 2 sigma^2 (1 - exp(-1/(2 sigma^2)))
+    for k in range(1, 1401):
+        x_k = np.exp(-k / nlive)
+        state.increment(-x_k / (2 * sigma2))
+    state.finalise()
+    truth = np.log(2 * sigma2 * (1 - np.exp(-1 / (2 * sigma2))))
+    assert abs(state.logZ - truth) < 3 * state.log_evidence_error
+
+    rng = np.random.default_rng(42)
+    draws = state.simulate_log_evidence(500, rng=rng)
+    assert draws.shape == (500,)
+    assert np.all(np.isfinite(draws))
+    # unbiased vs the deterministic value
+    assert abs(np.mean(draws) - state.logZ) < 5 * np.std(draws) / np.sqrt(500)
+    # spread consistent with the first-order Skilling estimate
+    det_err = state.log_evidence_error
+    sim_err = np.std(draws)
+    assert 0.6 * det_err < sim_err < 1.7 * det_err
+    # the deterministic state is untouched
+    assert state.log_evidence_error_simulated(200, rng=rng) > 0
+    assert np.isclose(state.logZ, truth, atol=3 * det_err)
+
+
+def test_simulate_log_evidence_rng_deterministic():
+    state = _NSIntegralState(50)
+    for k in range(1, 200):
+        state.increment(-np.exp(-k / 50) * 10)
+    a = state.simulate_log_evidence(64, rng=np.random.default_rng(7))
+    b = state.simulate_log_evidence(64, rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_simulate_log_evidence_empty_state():
+    state = _NSIntegralState(100)
+    draws = state.simulate_log_evidence(10, rng=np.random.default_rng(0))
+    assert draws.shape == (10,)
+    assert np.all(draws == -np.inf)
+
+
+def test_nlive_schedule_tracks_finalise_tail():
+    """The schedule records the decreasing finalise nlive and the
+    simulation consumes it."""
+    state = _NSIntegralState(10)
+    for k in range(1, 30):
+        state.increment(-np.exp(-k / 10) * 5)
+    # finalise-style tail with decreasing nlive
+    for i in range(10):
+        state.increment(-np.exp(-3.0) * 5 + 0.01 * i, nlive=10 - i)
+    sched = state._nlive_schedule()
+    assert len(sched) == len(state.logLs) - 1
+    assert sched[-1] == 1 and sched[-10] == 10 and sched[0] == 10
+    draws = state.simulate_log_evidence(32, rng=np.random.default_rng(1))
+    assert np.all(np.isfinite(draws))
+
+
+def test_nlive_schedule_pre043_pickle_padding():
+    """States resumed from pickles that predate the nlives attribute
+    pad the head of the schedule with base_nlive (exact: only the
+    finalise tail deviates) and keep incrementing."""
+    state = _NSIntegralState(20)
+    for k in range(1, 11):
+        state.increment(-float(np.exp(-k / 20)))
+    del state.nlives  # simulate the old pickle layout
+    state.increment(-0.1)  # re-creates the list
+    assert state.nlives == [20]
+    sched = state._nlive_schedule()
+    assert len(sched) == 11
+    assert np.all(sched == 20)
+    draws = state.simulate_log_evidence(16, rng=np.random.default_rng(3))
+    assert np.all(np.isfinite(draws))
+
+
+def test_sampler_simulate_evidence_uncertainty(model, tmp_path):
+    """NestedSampler.simulate_evidence_uncertainty delegates to the
+    state with the sampler rng and returns sane draws on a real state."""
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    ns = NestedSampler(
+        model, nlive=50, output=str(tmp_path), seed=1, plot=False
+    )
+    for k in range(1, 150):
+        ns.state.increment(-float(np.exp(-k / 50)) * 8)
+    draws = ns.simulate_evidence_uncertainty(n_simulations=64)
+    assert draws.shape == (64,)
+    assert np.all(np.isfinite(draws))
+    assert np.std(draws) > 0
+    explicit = ns.simulate_evidence_uncertainty(
+        n_simulations=64, rng=np.random.default_rng(5)
+    )
+    again = ns.state.simulate_log_evidence(
+        64, rng=np.random.default_rng(5)
+    )
+    np.testing.assert_array_equal(explicit, again)
