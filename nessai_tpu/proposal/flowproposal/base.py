@@ -459,7 +459,10 @@ class BaseFlowProposal(RejectionProposal):
 
         Reference: ``flowproposal/base.py:527,578``.
         """
-        self.configure_reparameterisations(self.reparameterisations)
+        if self._reparameterisation is None:
+            # on resume the fitted stack is restored from the pickle and
+            # must not be rebuilt (it would lose zscore/edge state)
+            self.configure_reparameterisations(self.reparameterisations)
         self.parameters = list(self.model.names) + [
             a
             for a in self._reparameterisation.auxiliary_parameters
@@ -946,8 +949,10 @@ class BaseFlowProposal(RejectionProposal):
         state["model"] = None
         state["mesh"] = None
         state["_precompile_thread"] = None
-        state["_reparameterisation"] = None
-        state["training_data"] = None
+        # the fitted reparameterisation and its training data ARE pickled
+        # (reference ``flowproposal/base.py:1286-1309`` keeps both), so a
+        # resumed proposal rescales through the same fitted state (zscore
+        # estimates, detected inversion edges) without retraining
         state["training_latent"] = None
         state["training_log_q"] = None
         state["x"] = None
@@ -976,6 +981,4 @@ class BaseFlowProposal(RejectionProposal):
             weights_file = getattr(self, "_weights_file", None)
         if weights_file is not None and os.path.exists(weights_file):
             self.flow.load_weights(weights_file)
-            if self.training_data is not None:
-                self._reparameterisation.update(self.training_data)
         self.populated = False

@@ -238,7 +238,11 @@ def test_backward_pass_hypercube_model_space(fp_hypercube):
         z, return_unit_hypercube=False, return_z=True
     )
     assert len(x_model) == len(log_q) == len(z_out)
-    assert np.any(np.abs(x_model[fp.model.names[0]]) > 1.0)
+    # exact semantics: the model-space output equals from_unit_hypercube
+    # of the hypercube-space output for the same latent draws
+    expected = fp.model.from_unit_hypercube(x_hc)
+    for n in fp.model.names:
+        np.testing.assert_allclose(x_model[n], expected[n], atol=1e-10)
 
 
 def test_log_prior_hypercube_and_compute_weights(fp_hypercube):
@@ -261,8 +265,11 @@ def test_convert_to_samples_hypercube(fp_hypercube):
     u["logL"] = 1.0
     out = fp.convert_to_samples(u)
     assert set(out.dtype.names) >= set(fp.model.names)
-    # mapped back to the model space and logP re-evaluated there
-    assert np.any(np.abs(out[fp.model.names[0]]) > 1.0)
+    # mapped back to the model space exactly (from_unit_hypercube of the
+    # same hypercube points) and logP re-evaluated there
+    expected = fp.model.from_unit_hypercube(u)
+    for n in fp.model.names:
+        np.testing.assert_allclose(out[n], expected[n], atol=1e-10)
     np.testing.assert_allclose(
         out["logP"], fp.model.batch_evaluate_log_prior(out)
     )
@@ -323,8 +330,25 @@ def test_getstate_resume_roundtrip(model, rng, tmp_path):
     fp2.resume(model, weights_file=weights_file)
     assert fp2.initialised
     assert fp2.populated is False
+    # full proposal parity after resume: the fitted reparameterisation
+    # state (zscore estimates etc.) survives the pickle, so rescaling the
+    # SAME model-space points through both proposals must agree exactly
+    assert fp2.training_data is not None
+    probe = fp._convert_to_x(model.new_point(16))
+    x_prime, log_j = fp.rescale(probe.copy())
+    x_prime2, log_j2 = fp2.rescale(probe.copy())
+    for n in x_prime.dtype.names:
+        np.testing.assert_allclose(
+            x_prime[n], x_prime2[n], atol=1e-12, equal_nan=True
+        )
+    np.testing.assert_allclose(log_j, log_j2, atol=1e-12)
+    # and the inverse direction (backward_pass rescaling leg)
+    x_back, lj_inv = fp.inverse_rescale(x_prime.copy())
+    x_back2, lj_inv2 = fp2.inverse_rescale(x_prime2.copy())
+    for n in model.names:
+        np.testing.assert_allclose(x_back[n], x_back2[n], atol=1e-12)
+    np.testing.assert_allclose(lj_inv, lj_inv2, atol=1e-12)
     # the restored flow reproduces the trained flow's log-prob
-    x_prime, _ = fp.rescale(fp._convert_to_x(model.new_point(16)))
     from nessai_tpu.livepoint import live_points_to_array
 
     arr = live_points_to_array(x_prime, fp.prime_parameters)
