@@ -230,19 +230,30 @@ class _NSIntegralState:
         if n_iter < 1:
             return np.full(int(n_simulations), -np.inf)
         nlives = self._nlive_schedule()
-        e = rng.standard_exponential((int(n_simulations), n_iter))
-        log_vols = np.concatenate(
-            [
-                np.zeros((int(n_simulations), 1)),
-                np.cumsum(-e / nlives, axis=1),
-                np.full((int(n_simulations), 1), -np.inf),
-            ],
-            axis=1,
-        )
-        # batched log-trapezoid (log_integrate_log_trap over rows)
         log_f_sum = np.logaddexp(log_L[:-1], log_L[1:]) - np.log(2)
-        log_dxs = logsubexp(log_vols[:, :-1], log_vols[:, 1:])
-        return logsumexp(log_f_sum[None, :] + log_dxs, axis=1)
+        # chunk over simulations so the [S, n_iter] scratch stays
+        # bounded (~80 MB) for long runs
+        n_simulations = int(n_simulations)
+        max_elems = int(getattr(self, "_sim_chunk_elems", 1e7))
+        chunk = max(1, min(n_simulations, max_elems // max(n_iter, 1)))
+        out = np.empty(n_simulations)
+        for s0 in range(0, n_simulations, chunk):
+            s = min(chunk, n_simulations - s0)
+            e = rng.standard_exponential((s, n_iter))
+            log_vols = np.concatenate(
+                [
+                    np.zeros((s, 1)),
+                    np.cumsum(-e / nlives, axis=1),
+                    np.full((s, 1), -np.inf),
+                ],
+                axis=1,
+            )
+            # batched log-trapezoid (log_integrate_log_trap over rows)
+            log_dxs = logsubexp(log_vols[:, :-1], log_vols[:, 1:])
+            out[s0 : s0 + s] = logsumexp(
+                log_f_sum[None, :] + log_dxs, axis=1
+            )
+        return out
 
     def log_evidence_error_simulated(
         self, n_simulations: int = 500, rng=None

@@ -81,6 +81,7 @@ class NestedSampler(BaseNestedSampler):
         proposal_plots: bool = False,
         shrinkage_expectation: str = "logt",
         batched_bookkeeping: bool = True,
+        simulated_evidence_error=True,
         n_pool: Optional[int] = None,
         pool=None,
         close_pool: bool = False,
@@ -108,6 +109,13 @@ class NestedSampler(BaseNestedSampler):
         )
         self.prior_sampling = prior_sampling
         self.batched_bookkeeping = batched_bookkeeping
+        #: Draw the simulated-volumes logZ error at finalisation
+        #: (True -> 500 draws, int -> that many, False/0 -> skip).
+        #: Improves on the reference's first-order ``sqrt(H/nlive)``
+        #: model (``nessai/evidence.py:147-149``), which is a lower
+        #: bound at high dimension (VALIDATION.md 16-D study).
+        self.simulated_evidence_error = simulated_evidence_error
+        self.log_evidence_error_simulated = None
         #: Parameters shown in the trace plot (reference
         #: ``nestedsampler.py:199,236-238``; default: all model names)
         self.trace_parameters = (
@@ -360,6 +368,42 @@ class NestedSampler(BaseNestedSampler):
         return self.state.simulate_log_evidence(
             n_simulations, rng=rng if rng is not None else self.rng
         )
+
+    def compute_simulated_evidence_error(self) -> None:
+        """Populate :attr:`log_evidence_error_simulated` from the
+        simulated-volumes draws (no-op when disabled). Warns — and
+        recommends quoting the simulated number — when it exceeds the
+        first-order estimate and the run shows the conditions under
+        which ``sqrt(H/nlive)`` is known to be optimistic (final
+        insertion-index KS p < 0.05, or dims >= 8; VALIDATION.md 16-D
+        study: +3.6σ outliers under the first-order model)."""
+        if not self.simulated_evidence_error:
+            return
+        n_sims = (
+            int(self.simulated_evidence_error)
+            if not isinstance(self.simulated_evidence_error, bool)
+            else 500
+        )
+        self.log_evidence_error_simulated = float(
+            np.std(self.simulate_evidence_uncertainty(n_sims))
+        )
+        first_order = self.state.log_evidence_error
+        suspect = (
+            self.final_p_value is not None and self.final_p_value < 0.05
+        ) or self.model.dims >= 8
+        if (
+            suspect
+            and self.log_evidence_error_simulated > 1.2 * first_order
+        ):
+            logger.warning(
+                "Simulated-volumes logZ error (%.4f) exceeds the "
+                "first-order sqrt(H/nlive) estimate (%.4f); quote the "
+                "simulated value (result key "
+                "'log_evidence_error_simulated') — the first-order "
+                "model is a lower bound in this regime.",
+                self.log_evidence_error_simulated,
+                first_order,
+            )
 
     @property
     def information(self) -> float:
@@ -1061,14 +1105,26 @@ class NestedSampler(BaseNestedSampler):
 
         self.finalise()
         self.check_insertion_indices(rolling=False)
-        logger.info(
-            "Final logZ: %.4f +/- %.4f (%d iterations, %d likelihood "
-            "evaluations)",
-            self.state.logZ,
-            self.state.log_evidence_error,
-            self.iteration,
-            self.total_likelihood_evaluations,
-        )
+        self.compute_simulated_evidence_error()
+        if self.log_evidence_error_simulated is not None:
+            logger.info(
+                "Final logZ: %.4f +/- %.4f (simulated-volumes error: "
+                "%.4f; %d iterations, %d likelihood evaluations)",
+                self.state.logZ,
+                self.state.log_evidence_error,
+                self.log_evidence_error_simulated,
+                self.iteration,
+                self.total_likelihood_evaluations,
+            )
+        else:
+            logger.info(
+                "Final logZ: %.4f +/- %.4f (%d iterations, %d likelihood "
+                "evaluations)",
+                self.state.logZ,
+                self.state.log_evidence_error,
+                self.iteration,
+                self.total_likelihood_evaluations,
+            )
         self.sampling_time += (
             datetime.datetime.now() - self.sampling_start_time
         )
@@ -1122,6 +1178,9 @@ class NestedSampler(BaseNestedSampler):
             dict(
                 log_evidence=self.state.logZ,
                 log_evidence_error=self.state.log_evidence_error,
+                log_evidence_error_simulated=(
+                    self.log_evidence_error_simulated
+                ),
                 information=self.information,
                 nested_samples=ns,
                 log_posterior_weights=self.state.log_posterior_weights(),
@@ -1145,6 +1204,12 @@ class NestedSampler(BaseNestedSampler):
         state = super().__getstate__()
         state.pop("_yield_iter", None)
         return state
+
+    def __setstate__(self, state):
+        # pre-0.5 pickles lack the simulated-error attributes
+        state.setdefault("simulated_evidence_error", True)
+        state.setdefault("log_evidence_error_simulated", None)
+        self.__dict__.update(state)
 
     @classmethod
     def resume_from_pickled_sampler(

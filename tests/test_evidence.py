@@ -262,3 +262,71 @@ def test_sampler_simulate_evidence_uncertainty(model, tmp_path):
         64, rng=np.random.default_rng(5)
     )
     np.testing.assert_array_equal(explicit, again)
+
+
+def test_simulated_evidence_error_in_result(model, tmp_path):
+    """The simulated-volumes logZ error is computed at finalisation by
+    default, reported in the result dict, and chunked draws match the
+    unchunked formula for the same rng."""
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+
+    ns = NestedSampler(
+        model, nlive=50, output=str(tmp_path), seed=1, plot=False
+    )
+    for k in range(1, 150):
+        ns.state.increment(-float(np.exp(-k / 50)) * 8)
+    ns.final_p_value = None
+    ns.compute_simulated_evidence_error()
+    assert ns.log_evidence_error_simulated is not None
+    assert ns.log_evidence_error_simulated > 0
+    d_key = "log_evidence_error_simulated"
+    ns.nested_samples = list(
+        np.zeros(3, dtype=[("x", float), ("logL", float), ("it", int)])
+    )
+    res = ns.get_result_dictionary()
+    assert res[d_key] == ns.log_evidence_error_simulated
+
+    # disabled -> stays None
+    ns2 = NestedSampler(
+        model,
+        nlive=50,
+        output=str(tmp_path),
+        seed=1,
+        plot=False,
+        simulated_evidence_error=False,
+    )
+    for k in range(1, 150):
+        ns2.state.increment(-float(np.exp(-k / 50)) * 8)
+    ns2.compute_simulated_evidence_error()
+    assert ns2.log_evidence_error_simulated is None
+
+    # integer knob sets the number of draws
+    ns3 = NestedSampler(
+        model,
+        nlive=50,
+        output=str(tmp_path),
+        seed=1,
+        plot=False,
+        simulated_evidence_error=64,
+    )
+    for k in range(1, 150):
+        ns3.state.increment(-float(np.exp(-k / 50)) * 8)
+    ns3.compute_simulated_evidence_error()
+    assert ns3.log_evidence_error_simulated is not None
+
+
+def test_simulate_log_evidence_chunking_deterministic():
+    """Chunked and single-block paths give identical draws for the same
+    rng stream (chunk boundaries must not change the exponential
+    draw order)."""
+    state = _NSIntegralState(10)
+    for k in range(1, 60):
+        state.increment(-float(np.exp(-k / 10)) * 4)
+    a = state.simulate_log_evidence(32, rng=np.random.default_rng(9))
+    # force tiny chunks: the rng stream fills row-major, so chunked
+    # draws must be bit-identical to the single-block path
+    state._sim_chunk_elems = 5 * (len(state.logLs) - 1)
+    b = state.simulate_log_evidence(32, rng=np.random.default_rng(9))
+    del state._sim_chunk_elems
+    np.testing.assert_array_equal(a, b)
+    assert np.std(a) > 0
