@@ -48,13 +48,30 @@ def available_base_flow_proposal_classes() -> dict:
     return {k: v for k, v in _known_classes().items() if k is not None}
 
 
-def available_external_flow_proposal_classes(load: bool = False) -> dict:
-    """Entry-point (plugin) proposal classes (group
-    ``nessai_tpu.proposals``). Reference:
-    ``nessai/proposal/utils.py:97``."""
+#: Entry-point groups scanned for plugin proposals. The reference group
+#: name (``nessai.proposals``, ``nessai/proposal/utils.py:98``) is
+#: scanned as well so plugins written against the reference are
+#: discovered unchanged; the native group wins on name clashes.
+PROPOSAL_ENTRY_POINT_GROUPS = (
+    "nessai.proposals",
+    "nessai_tpu.proposals",
+)
+
+
+def _external_proposal_entry_points() -> dict:
     from ..utils.entry_points import get_entry_points
 
-    external = dict(get_entry_points("nessai_tpu.proposals"))
+    external = {}
+    for group in PROPOSAL_ENTRY_POINT_GROUPS:
+        external.update(get_entry_points(group))
+    return external
+
+
+def available_external_flow_proposal_classes(load: bool = False) -> dict:
+    """Entry-point (plugin) proposal classes (groups
+    ``nessai_tpu.proposals`` and the reference-compatible
+    ``nessai.proposals``). Reference: ``nessai/proposal/utils.py:97``."""
+    external = _external_proposal_entry_points()
     logger.debug("Found external proposals: %s", list(external))
     if load:
         for key in external:
@@ -79,10 +96,8 @@ def get_flow_proposal_class(proposal_class):
         classes = _known_classes()
         if name in classes:
             return classes[name]
-        from ..utils.entry_points import get_entry_points
-
         try:
-            eps = get_entry_points("nessai_tpu.proposals")
+            eps = _external_proposal_entry_points()
             if name in eps:
                 return eps[name].load()
         except Exception:  # pragma: no cover

@@ -148,6 +148,12 @@ _add("none", NullReparameterisation)
 _add("null", NullReparameterisation)
 _add(None, NullReparameterisation)
 
+# the reference group name (``nessai/reparameterisations/utils.py:71``)
+# is scanned first so plugins written against the reference are
+# discovered unchanged; the native group wins on name clashes
+default_reparameterisations.add_external_reparameterisations(
+    "nessai.reparameterisations"
+)
 default_reparameterisations.add_external_reparameterisations(
     "nessai_tpu.reparameterisations"
 )

@@ -612,3 +612,44 @@ def test_configure_threads_pytorch_alias():
 
     configure_threads(pytorch_threads=2)
     configure_threads()
+
+
+def test_reference_entry_point_groups_scanned(monkeypatch):
+    """Plugins registered under the REFERENCE group names
+    (``nessai.proposals`` / ``nessai.reparameterisations``,
+    ``nessai/proposal/utils.py:98``) are discovered, and the native
+    group wins on a name clash."""
+    from nessai_tpu.proposal import utils as putils
+    from nessai_tpu.proposal.flowproposal import FlowProposal
+
+    class _EP:
+        def __init__(self, name, obj):
+            self.name = name
+            self._obj = obj
+
+        def load(self):
+            return self._obj
+
+    class RefPluginProposal(FlowProposal):
+        pass
+
+    class NativePluginProposal(FlowProposal):
+        pass
+
+    def fake_get_entry_points(group):
+        if group == "nessai.proposals":
+            return {
+                "refplugin": _EP("refplugin", RefPluginProposal),
+                "clash": _EP("clash", RefPluginProposal),
+            }
+        if group == "nessai_tpu.proposals":
+            return {"clash": _EP("clash", NativePluginProposal)}
+        return {}
+
+    import nessai_tpu.utils.entry_points as ep_mod
+
+    monkeypatch.setattr(ep_mod, "get_entry_points", fake_get_entry_points)
+    found = putils.available_external_flow_proposal_classes(load=True)
+    assert found["refplugin"] is RefPluginProposal
+    assert found["clash"] is NativePluginProposal
+    assert putils.get_flow_proposal_class("refplugin") is RefPluginProposal

@@ -24,6 +24,42 @@ from collections import defaultdict
 REF = "/root/reference/src/nessai"
 REPO = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "nessai_tpu")
 
+#: Known, documented divergences (docs/migrating-from-nessai.md,
+#: "Known API divergences"). Names here are torch-facing surfaces that
+#: deliberately became config keys / pure functions in the JAX build.
+EXPLAINED_NAMES = {
+    "create_net": "torch-module factory hook; use flow config / register_flow",
+    "create_resnet": "torch-module factory hook; use flow config",
+    "spline_constructor": "torch-module factory hook; use flow config",
+    "last_updated": "plain attribute (training bookkeeping), not a property",
+    "optimiser": "optax state lives inside the jitted train step",
+    "set_torch_default_dtype": "dtype set via config.compute.dtype",
+    "to": "torch device move; TPU placement is automatic",
+    "training_config": "plain attribute, not a property",
+}
+EXPLAINED_PARAM_SITES = {
+    # torch-module constructors whose kwargs moved into the flow config
+    "flows/base.py:NFlow.__init__",
+    "flows/realnvp.py:RealNVP.__init__",
+    "flows/maf.py:MaskedAutoregressiveFlow.__init__",
+    "flows/nets.py:MLP.__init__",
+    "flows/nsf.py:NeuralSplineFlow.__init__",
+    "experimental/flows/glasflow.py:GlasflowWrapper.__init__",
+    # pure-function equivalents: array-first argument names differ
+    "flows/nets.py:MLP.forward",
+    "flows/base.py:NFlow.log_prob",
+    "flows/base.py:NFlow.sample",
+    "flowmodel/base.py:FlowModel.loss_fn",
+    "flows/utils.py:reset_permutations",
+    "flows/utils.py:reset_weights",
+    "experimental/flowmodel/clustering.py:ClusteringFlowModel.sample",
+    "experimental/flowmodel/clustering.py:silhouette_score",
+    "flowmodel/utils.py:update_config",
+    "flowmodel/utils.py:update_flow_config",
+    "flowmodel/utils.py:update_training_config",
+    "stopping_criteria.py:StoppingCriterionRegistry.decorator",
+}
+
 
 def collect(root):
     """{name: [(module, qualname, [params...])]} for every def in *root*."""
@@ -97,13 +133,43 @@ def main():
 
     print(f"reference callables: {sum(len(v) for v in ref.values())}")
     print(f"repo callables:      {sum(len(v) for v in repo.values())}")
-    print(f"\n== reference names with NO repo counterpart ({len(missing_names)}) ==")
-    for name, sites in missing_names:
+    unexplained_names = [
+        (n, s) for n, s in missing_names if n not in EXPLAINED_NAMES
+    ]
+    explained_names = [
+        (n, s) for n, s in missing_names if n in EXPLAINED_NAMES
+    ]
+    unexplained_params = [
+        t for t in missing_params if f"{t[1]}:{t[2]}" not in EXPLAINED_PARAM_SITES
+    ]
+    explained_params = [
+        t for t in missing_params if f"{t[1]}:{t[2]}" in EXPLAINED_PARAM_SITES
+    ]
+    print(
+        f"\n== reference names with NO repo counterpart "
+        f"({len(missing_names)}; {len(unexplained_names)} unexplained) =="
+    )
+    for name, sites in unexplained_names:
         locs = ", ".join(f"{m}:{q}" for m, q, _ in sites[:3])
-        print(f"  {name}  [{locs}]")
-    print(f"\n== matched names with missing keyword params ({len(missing_params)}) ==")
-    for name, mod, qual, gone in missing_params:
-        print(f"  {mod}:{qual}  missing {gone}")
+        print(f"  UNEXPLAINED {name}  [{locs}]")
+    for name, sites in explained_names:
+        locs = ", ".join(f"{m}:{q}" for m, q, _ in sites[:3])
+        print(f"  documented: {name}  [{locs}] — {EXPLAINED_NAMES[name]}")
+    print(
+        f"\n== matched names with missing keyword params "
+        f"({len(missing_params)}; {len(unexplained_params)} unexplained) =="
+    )
+    for name, mod, qual, gone in unexplained_params:
+        print(f"  UNEXPLAINED {mod}:{qual}  missing {gone}")
+    for name, mod, qual, gone in explained_params:
+        print(f"  documented: {mod}:{qual}  missing {gone}")
+    n_unexplained = len(unexplained_names) + len(unexplained_params)
+    print(
+        f"\n{n_unexplained} unexplained divergence(s); the documented "
+        "ones are listed in docs/migrating-from-nessai.md "
+        '("Known API divergences").'
+    )
+    return n_unexplained
 
 
 if __name__ == "__main__":
