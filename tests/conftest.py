@@ -69,3 +69,34 @@ def flow_config():
 @pytest.fixture()
 def training_config():
     return dict(max_epochs=5, batch_size=64, patience=3)
+
+
+#: The smoke tier: a <5-minute subset spanning every layer (flows,
+#: flowmodel, reparameterisations, proposals, model/livepoint, both
+#: samplers end-to-end, evidence, posterior, Pallas ops, mesh
+#: parallelism, driver). Run with ``pytest -m smoke`` after wide
+#: changes when the full suite doesn't fit the session (NOTES.md).
+SMOKE_FILES = {
+    "test_flows.py",
+    "test_flowmodel.py",
+    "test_reparameterisations.py",
+    "test_proposal.py",
+    "test_model.py",
+    "test_livepoint.py",
+    "test_evidence.py",
+    "test_stopping_criteria.py",
+    "test_posterior.py",
+    "test_parallel.py",
+    "test_sampling_standard.py",
+    "test_sampling_ins.py",
+    "test_flowsampler_unit.py",
+    "test_ops.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    for item in items:
+        if pathlib.Path(str(item.fspath)).name in SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
