@@ -38,11 +38,23 @@ def enable_compilation_cache(cache_dir=None) -> bool:
 
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Only cache expensive programs: caching the many tiny host-CPU
-        # programs stores server-compiled executables whose CPU features
-        # mismatch the local host (XLA:CPU AOT load failures + fallback
-        # churn). The big TPU programs are the ones worth persisting.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 3.0)
+        # Threshold by backend. On TPU persist (almost) everything: the
+        # flagship cold run compiles ~21 substantive device programs of
+        # 0.2-4 s each (~22 s total) and with the old 3 s threshold only
+        # ONE of them was ever written — a fresh process re-paid the
+        # full compile bill (round-3 warmup regression). 0.2 s still
+        # excludes the ~20 trivial sub-0.1 s programs. On host CPU keep
+        # the high threshold: caching tiny host programs stores
+        # server-compiled executables whose CPU features mismatch the
+        # local host (XLA:CPU AOT load failures + fallback churn).
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:  # pragma: no cover - backend init failure
+            on_tpu = False
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            0.2 if on_tpu else 3.0,
+        )
         _enabled = True
         logger.debug("Persistent compilation cache at %s", cache_dir)
         return True
