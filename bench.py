@@ -73,6 +73,58 @@ def _run_with_retry(tag: str, retries: int = 1):
             )
 
 
+def _flops_report(fs) -> dict:
+    """FLOPs accounting for the populate hot program (flow inverse +
+    base log-prob at the production pool shape) via XLA
+    ``cost_analysis()``, plus its measured steady-state FLOPs/s.
+
+    At reference-default shapes the programs are dispatch-bound — the
+    measured FLOPs/s sits orders of magnitude below the chip roofline
+    because each program is ~0.1 ms of compute behind ~ms of dispatch;
+    see VALIDATION.md ("FLOPs / MFU accounting"). Also reports the
+    process-global compiled-program count (cold-start accounting).
+    """
+    out = {}
+    try:
+        from nessai_tpu.utils import programs
+
+        out["n_cached_device_programs"] = int(programs.n_programs())
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        fm = fs.ns._flow_proposal.flow
+        d = fm.dims
+        n = 1024
+
+        def inv_lp(p, z):
+            x, log_j = fm.flow.inverse(p, z, None)
+            return x, fm.flow.base_log_prob(p, z) - log_j
+
+        z = jnp.zeros((n, d), jnp.float32)
+        compiled = jax.jit(inv_lp).lower(fm.params, z).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        r = compiled(fm.params, z)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        n_rep = 30
+        for _ in range(n_rep):
+            r = compiled(fm.params, z)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / n_rep
+        out["populate_program_flops"] = flops
+        out["populate_program_ms"] = round(dt * 1e3, 3)
+        out["flops_per_s"] = round(flops / dt, 1)
+    except Exception as e:  # pragma: no cover - accounting is best effort
+        logging.getLogger(__name__).warning("FLOPs report failed: %s", e)
+    return out
+
+
 def main():
     logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
 
@@ -115,6 +167,7 @@ def main():
         # compiles; see module docstring).
         "warmup_wall_s": round(float(warmup_wall), 2),
     }
+    result.update(_flops_report(fs))
     print(json.dumps(result))
     if not ok:
         sys.exit(1)

@@ -18,10 +18,102 @@ class RejectionProposal(AnalyticProposal):
     """Draw from ``model.new_point`` and reject against the prior so the
     pool is exactly prior-distributed."""
 
+    #: cap on the adaptive pool growth (the uninformed phase consumes
+    #: ~1/X pool entries per NS iteration; bigger pools amortise the
+    #: per-populate device dispatch without changing the distribution)
+    max_poolsize_scale: float = 4.0
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._checked_population = True
         self.population_acceptance = None
+        #: NS mean block acceptance, pushed by the sampler; drives the
+        #: adaptive pool size (mirrors ``BaseFlowProposal.ns_acceptance``)
+        self.ns_acceptance = None
+
+    # ------------------------------------------------------------------
+    # Fused device populate (uniform box prior + jax likelihood)
+    # ------------------------------------------------------------------
+    @property
+    def _device_populate_ok(self) -> bool:
+        """Whether populate can run as ONE device dispatch: uniform box
+        prior (every draw accepted, logW constant), native jax
+        likelihood, and none of the host hooks overridden. The host path
+        costs ~30 ms per pool through the remote tunnel (new_point +
+        prior + a separate likelihood dispatch); the fused program is
+        one dispatch."""
+        cached = getattr(self, "_device_populate_cached", None)
+        if cached is not None:
+            return cached
+        from ..model import Model
+
+        m = self.model
+        ok = bool(
+            m is not None
+            and getattr(m, "has_jax_likelihood", False)
+            and getattr(m, "has_uniform_box_prior", False)
+            and type(m).new_point is Model.new_point
+            and type(m).new_point_log_prob is Model.new_point_log_prob
+            and type(self).draw_proposal is RejectionProposal.draw_proposal
+            and type(self).log_proposal is RejectionProposal.log_proposal
+            and type(self).compute_weights
+            is RejectionProposal.compute_weights
+            and np.all(np.isfinite(m.lower_bounds))
+            and np.all(np.isfinite(m.upper_bounds))
+        )
+        self._device_populate_cached = ok
+        return ok
+
+    def _device_populate(self, N: int) -> None:
+        """One jitted program: uniform box draws + likelihood. With a
+        uniform box prior the rejection weights are constant so every
+        draw is accepted — the pool is exactly prior-distributed (the
+        draws use the device PRNG keyed from ``self.rng``, so per-seed
+        realisations differ from the host path; the distribution is
+        identical)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..livepoint import empty_structured_array
+        from ..utils.programs import get_program
+        from ..utils.transfer import arrays_to_host
+
+        m = self.model
+        ll_fn, ll_data = m.device_log_likelihood_fn()
+        lower = np.asarray(m.lower_bounds, np.float32)
+        upper = np.asarray(m.upper_bounds, np.float32)
+        d = m.dims
+
+        def build():
+            def fn(key, lower, upper, data):
+                u = jax.random.uniform(key, (N, d), jnp.float32)
+                x = lower + u * (upper - lower)
+                return x, ll_fn(x, data)
+
+            return jax.jit(fn)
+
+        prog = get_program(
+            ("rej_populate", m.program_fingerprint, N, d), build
+        )
+        seed = int(self.rng.integers(2**31 - 1))
+        x_arr, log_l = arrays_to_host(
+            *prog(jax.random.PRNGKey(seed), lower, upper, ll_data)
+        )
+        samples = empty_structured_array(N, names=m.names)
+        x64 = np.asarray(x_arr, np.float64)
+        for i, name in enumerate(m.names):
+            samples[name] = x64[:, i]
+        samples["logP"] = -np.sum(
+            np.log(
+                np.asarray(m.upper_bounds, float)
+                - np.asarray(m.lower_bounds, float)
+            )
+        )
+        samples["logL"] = np.asarray(log_l, np.float64)
+        m.likelihood_evaluations += N
+        self.samples = samples
+        self.population_acceptance = 1.0
+        self.indices = self.rng.permutation(N).tolist()
 
     def draw_proposal(self, N=None):
         """Draw ``N`` (default ``poolsize``) points from the proposal
@@ -51,7 +143,20 @@ class RejectionProposal(AnalyticProposal):
         ``nessai/proposal/rejection.py:91``."""
         if N is None:
             N = self.poolsize
+            # adaptive pool: as the NS acceptance falls, each iteration
+            # consumes ~1/acceptance pool entries; grow the pool so the
+            # per-populate dispatch overhead is amortised (capped — at
+            # the proposal switch any leftover pool is discarded)
+            acc = self.ns_acceptance
+            if acc is not None and np.isfinite(acc) and 0.0 < acc < 1.0:
+                N = int(N * min(self.max_poolsize_scale, 1.0 / acc))
         st = datetime.datetime.now()
+        if self._device_populate_ok:
+            self._device_populate(N)
+            self.population_time += datetime.datetime.now() - st
+            self.populated = True
+            self._checked_population = False
+            return
         x = self.draw_proposal(N=N)
         log_w = self.compute_weights(x)
         log_w = log_w - np.nanmax(log_w)

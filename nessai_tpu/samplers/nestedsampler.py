@@ -932,6 +932,10 @@ class NestedSampler(BaseNestedSampler):
         self._yield_iter = self.yield_sample(self.live_points[0])
         if not self.uninformed_sampling:
             self._flow_proposal.ns_acceptance = self.mean_block_acceptance
+        elif hasattr(self._uninformed_proposal, "ns_acceptance"):
+            self._uninformed_proposal.ns_acceptance = (
+                self.mean_block_acceptance
+            )
         self.checkpoint(periodic=True)
         return True
 
@@ -1022,9 +1026,14 @@ class NestedSampler(BaseNestedSampler):
         Reference: ``nessai/samplers/nestedsampler.py:1228``.
         """
         # keep the proposal's view of the NS acceptance fresh — it drives
-        # the adaptive poolsize (reference ``nestedsampler.py:1228``)
+        # the adaptive poolsize (reference ``nestedsampler.py:1228``);
+        # the uninformed proposal uses it the same way
         if not self.uninformed_sampling:
             self._flow_proposal.ns_acceptance = self.mean_block_acceptance
+        elif hasattr(self._uninformed_proposal, "ns_acceptance"):
+            self._uninformed_proposal.ns_acceptance = (
+                self.mean_block_acceptance
+            )
         if not (self.iteration % max(self.nlive // 10, 1)) or force:
             self.update_history()
         if not (self.iteration % self.nlive) or force:

@@ -55,9 +55,52 @@ def enable_compilation_cache(cache_dir=None) -> bool:
             "jax_persistent_cache_min_compile_time_secs",
             0.2 if on_tpu else 3.0,
         )
+        if on_tpu:
+            _exclude_cpu_programs_from_cache()
         _enabled = True
         logger.debug("Persistent compilation cache at %s", cache_dir)
         return True
     except Exception as e:  # pragma: no cover - best effort
         logger.debug("Could not enable compilation cache: %s", e)
         return False
+
+
+def _exclude_cpu_programs_from_cache() -> None:
+    """Keep host-CPU programs out of the persistent cache on TPU
+    sessions.
+
+    Under the remote-compile backend even ``cpu``-platform programs are
+    compiled server-side, so persisted CPU executables carry the
+    *server's* machine features; loading them on the local host logs
+    XLA:CPU AOT feature-mismatch errors and risks SIGILL. There is no
+    public per-platform cache filter, so wrap the (private) read/write
+    hooks to no-op for ``backend.platform == "cpu"``; TPU programs — the
+    expensive ones — are unaffected. Best effort: if the private API
+    moved, the cache simply behaves as stock JAX.
+    """
+    try:
+        from jax._src import compiler as _jc
+
+        if getattr(_jc, "_nessai_tpu_cpu_cache_filter", False):
+            return
+        orig_read, orig_write = _jc._cache_read, _jc._cache_write
+
+        def read(module_name, cache_key, compile_options, backend, *a, **k):
+            if getattr(backend, "platform", None) == "cpu":
+                return None, None
+            return orig_read(
+                module_name, cache_key, compile_options, backend, *a, **k
+            )
+
+        def write(cache_key, compile_time_secs, module_name, backend, *a, **k):
+            if getattr(backend, "platform", None) == "cpu":
+                return
+            return orig_write(
+                cache_key, compile_time_secs, module_name, backend, *a, **k
+            )
+
+        _jc._cache_read = read
+        _jc._cache_write = write
+        _jc._nessai_tpu_cpu_cache_filter = True
+    except Exception as e:  # pragma: no cover - best effort
+        logger.debug("Could not install CPU cache filter: %s", e)

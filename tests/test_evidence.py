@@ -323,10 +323,12 @@ def test_simulate_log_evidence_chunking_deterministic():
     for k in range(1, 60):
         state.increment(-float(np.exp(-k / 10)) * 4)
     a = state.simulate_log_evidence(32, rng=np.random.default_rng(9))
-    # force tiny chunks: the rng stream fills row-major, so chunked
-    # draws must be bit-identical to the single-block path
+    # force tiny chunks: the rng stream fills row-major so the draws are
+    # identical; results match to BLAS reduction-order noise (the
+    # per-row trapezoid is a matvec whose blocking depends on the
+    # chunk's leading dimension)
     state._sim_chunk_elems = 5 * (len(state.logLs) - 1)
     b = state.simulate_log_evidence(32, rng=np.random.default_rng(9))
     del state._sim_chunk_elems
-    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(a, b, rtol=1e-12)
     assert np.std(a) > 0
