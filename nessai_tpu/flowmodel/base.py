@@ -616,7 +616,9 @@ class FlowModel:
         # snapshot.
         return (jax.jit(train_epoch), jax.jit(val_loss))
 
-    def _fused_train_fn(self, with_context, with_sigma, max_epochs, patience):
+    def _fused_train_fn(
+        self, with_context, with_sigma, max_epochs, patience, embed=False
+    ):
         """The whole training run — epochs, validation, early stopping and
         best-parameter tracking — as ONE jitted device program
         (``lax.while_loop`` over epochs, ``lax.scan`` over batches).
@@ -624,6 +626,12 @@ class FlowModel:
         This removes the per-epoch host↔device roundtrip of the reference's
         torch loop (``nessai/flowmodel/base.py:365-452``); through the TPU
         tunnel those roundtrips dominate training wall-time.
+
+        With ``embed=True`` the program takes one extra ``[n, d]`` input
+        and additionally returns ``forward_and_log_prob`` of it under the
+        best parameters — the flow proposal's post-training latent cache
+        fused into the same dispatch (one device roundtrip per retrain
+        instead of two).
         """
         cache_key = (
             "fm",
@@ -635,16 +643,17 @@ class FlowModel:
             patience,
             self._opt_key,
             self._transform_frozen,
+            bool(embed),
         )
         return get_program(
             cache_key,
             lambda: self._build_fused_train_fn(
-                with_context, with_sigma, max_epochs, patience
+                with_context, with_sigma, max_epochs, patience, embed=embed
             ),
         )
 
     def _build_fused_train_fn(
-        self, with_context, with_sigma, max_epochs, patience
+        self, with_context, with_sigma, max_epochs, patience, embed=False
     ):
         flow = self.flow
         optimiser = self.optimiser
@@ -788,7 +797,18 @@ class FlowModel:
                 val_hist,
             )
 
-        return jax.jit(run)
+        if not embed:
+            return jax.jit(run)
+
+        def run_embed(
+            params, opt_state, train_batches, val_batches, key, embed_x
+        ):
+            out = run(params, opt_state, train_batches, val_batches, key)
+            best_params = out[0]
+            z, log_q = flow.forward_and_log_prob(best_params, embed_x, None)
+            return out + (z, log_q)
+
+        return jax.jit(run_embed)
 
     def _maybe_init_actnorm(self, x: np.ndarray, conditional=None) -> None:
         """Data-dependent actnorm initialisation (Glow-style): walk the
@@ -876,8 +896,15 @@ class FlowModel:
         plot: bool = True,
         sync: bool = True,
         output=None,
+        embed=None,
     ):
         """Train the flow on samples. Returns the training history dict.
+
+        ``embed``: optional ``[n, d]`` array to pass through
+        ``forward_and_log_prob`` under the best parameters INSIDE the
+        same device program (single-device only); the result is stored
+        as device arrays in :attr:`last_embedding` — ``(z, log_q, n)``
+        with padding rows beyond ``n``.
 
         ``output`` overrides the model's output directory for this
         call's weights/plot artefacts (reference
@@ -979,16 +1006,52 @@ class FlowModel:
             self.opt_state = opt_state
         else:
             # Fully fused: one device call for the entire training run.
+            use_embed = embed is not None and self.mesh is None
             run = self._fused_train_fn(
-                with_context, with_sigma, int(max_epochs), int(patience)
+                with_context,
+                with_sigma,
+                int(max_epochs),
+                int(patience),
+                embed=use_embed,
             )
-            params, opt_state, n_epochs, best_it, loss_hist, val_hist = run(
-                self.params,
-                self.opt_state,
-                data["train"],
-                data.get("val"),
-                self.next_key(),
-            )
+            self.last_embedding = None
+            if use_embed:
+                emb = np.asarray(embed, np.float32)
+                n_emb = emb.shape[0]
+                emb = _pad_rows(emb, _bucket_size(n_emb))
+                (
+                    params,
+                    opt_state,
+                    n_epochs,
+                    best_it,
+                    loss_hist,
+                    val_hist,
+                    emb_z,
+                    emb_log_q,
+                ) = run(
+                    self.params,
+                    self.opt_state,
+                    data["train"],
+                    data.get("val"),
+                    self.next_key(),
+                    jnp.asarray(emb),
+                )
+                self.last_embedding = (emb_z, emb_log_q, n_emb)
+            else:
+                (
+                    params,
+                    opt_state,
+                    n_epochs,
+                    best_it,
+                    loss_hist,
+                    val_hist,
+                ) = run(
+                    self.params,
+                    self.opt_state,
+                    data["train"],
+                    data.get("val"),
+                    self.next_key(),
+                )
             self.params = params
             self.opt_state = opt_state
             if not sync and not plot:
@@ -1375,6 +1438,7 @@ class FlowModel:
         state["_pending_history"] = []
         state["_jit_cache"] = {}
         state.pop("_save_thread", None)
+        state.pop("last_embedding", None)
         # device ids in the mesh scope are process-specific
         state["_scope"] = None
         state["params"] = (

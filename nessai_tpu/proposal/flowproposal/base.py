@@ -750,16 +750,29 @@ class BaseFlowProposal(RejectionProposal):
         x_prime_array = live_points_to_array(
             x_prime, self.prime_parameters
         )
-        # sync=False: don't block on the training program — the latent
-        # cache below queues directly behind it on the device
+        # sync=False: don't block on the training program; the latent
+        # cache (latent images + log_q of the training data, used by the
+        # adaptive-radius / min_log_q truncation rules) is fused INTO the
+        # training dispatch via ``embed`` — one device roundtrip per
+        # retrain, materialised lazily at first use.
         self.flow.train(
-            x_prime_array, plot=self._plot_training and plot, sync=False
+            x_prime_array,
+            plot=self._plot_training and plot,
+            sync=False,
+            embed=x_prime_array,
         )
-        # Cache latent images + log_q of the training data for the
-        # truncation rules (adaptive radius, min_log_q).
-        z, log_q_prime = self.flow.forward_and_log_prob(x_prime_array)
-        self.training_latent = z
-        self.training_log_q = log_q_prime
+        emb = getattr(self.flow, "last_embedding", None)
+        if emb is not None:
+            # device-array slices: no host sync here — consumers
+            # (truncation rules) convert at first use, by which time the
+            # training program has long been retired
+            z_dev, log_q_dev, n_emb = emb
+            self.training_latent = z_dev[:n_emb]
+            self.training_log_q = log_q_dev[:n_emb]
+        else:
+            z, log_q_prime = self.flow.forward_and_log_prob(x_prime_array)
+            self.training_latent = z
+            self.training_log_q = log_q_prime
         self.training_count += 1
         self.populated = False
 

@@ -287,3 +287,59 @@ def test_full_ins_sampler_with_mesh(cpu_mesh, tmp_path):
     assert fs.ns.proposal.flow.mesh is cpu_mesh
     assert fs.ns.proposal.level_count >= 0
     assert np.isfinite(fs.logZ)
+
+
+def test_callback_likelihood_mesh_populate_matches_jax(
+    cpu_mesh, tmp_path, flow_config, training_config
+):
+    """Sharded host-dispatch populate (callback likelihood on a mesh)
+    draws the SAME pool as the jax-likelihood path: the sharded program
+    (flow inverse + reparams + bounds) excludes the likelihood, which is
+    dispatched on the host for surviving draws only — the draw and
+    rejection streams are identical, so accepted samples match and logL
+    agrees to float32 evaluation noise. Pool contract:
+    reference ``utils/multiprocessing.py:134-196``."""
+    import jax
+
+    from nessai_tpu.parallel import replicated_sharding
+    from nessai_tpu.proposal import FlowProposal
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    class CallbackModel(IntegrationTestModel):
+        jax_log_likelihood = None
+        likelihood_callback = True
+
+    def build(model_cls, out):
+        model = model_cls(2)
+        model.set_rng(np.random.default_rng(909))
+        fp = FlowProposal(
+            model,
+            output=str(out),
+            poolsize=64,
+            flow_config=flow_config,
+            training_config=training_config,
+            rng=np.random.default_rng(909),
+            plot=False,
+            mesh=cpu_mesh,
+        )
+        fp.initialise()
+        x = model.new_point(128)
+        x["logL"] = model.batch_evaluate_log_likelihood(x)
+        fp.train(x, plot=False)
+        fp.flow.params = jax.device_put(
+            fp.flow.params, replicated_sharding(cpu_mesh)
+        )
+        fp.populate(x[:1], n_samples=32)
+        return fp
+
+    fp_jax = build(IntegrationTestModel, tmp_path / "jax")
+    fp_cb = build(CallbackModel, tmp_path / "cb")
+
+    assert fp_cb._can_fuse_populate
+    assert fp_cb._resolve_fuse_likelihood() is False  # split path
+    assert fp_jax.populated and fp_cb.populated
+    a, b = fp_jax.samples, fp_cb.samples
+    assert len(a) == len(b) == 32
+    for name in fp_jax.model.names:
+        np.testing.assert_allclose(a[name], b[name], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-4, atol=1e-4)
