@@ -30,6 +30,11 @@ class RejectionProposal(AnalyticProposal):
         #: NS mean block acceptance, pushed by the sampler; drives the
         #: adaptive pool size (mirrors ``BaseFlowProposal.ns_acceptance``)
         self.ns_acceptance = None
+        #: geometric pool growth across repopulations: the NS loop
+        #: consumes ~e^{it/nlive} draws per iteration, so demand grows
+        #: geometrically during the uninformed phase; matching it keeps
+        #: the number of populate dispatches O(log) in total draws
+        self._pool_scale = 1.0
 
     # ------------------------------------------------------------------
     # Fused device populate (uniform box prior + jax likelihood)
@@ -78,11 +83,17 @@ class RejectionProposal(AnalyticProposal):
         from ..utils.programs import get_program
         from ..utils.transfer import arrays_to_host
 
+        from ..flowmodel.base import _bucket_size
+
         m = self.model
         ll_fn, ll_data = m.device_log_likelihood_fn()
         lower = np.asarray(m.lower_bounds, np.float32)
         upper = np.asarray(m.upper_bounds, np.float32)
         d = m.dims
+        # bucket the pool size so the adaptive growth reuses O(log n)
+        # compiled programs; the whole bucket becomes the pool (extra
+        # prior draws are free and consumed like any others)
+        N = _bucket_size(int(N))
 
         def build():
             def fn(key, lower, upper, data):
@@ -142,14 +153,20 @@ class RejectionProposal(AnalyticProposal):
         """Vectorised rejection sampling. Reference:
         ``nessai/proposal/rejection.py:91``."""
         if N is None:
-            N = self.poolsize
-            # adaptive pool: as the NS acceptance falls, each iteration
-            # consumes ~1/acceptance pool entries; grow the pool so the
-            # per-populate dispatch overhead is amortised (capped — at
-            # the proposal switch any leftover pool is discarded)
+            # adaptive pool: demand per NS iteration grows ~1/X during
+            # the uninformed phase; grow the pool geometrically (and at
+            # least with the observed 1/acceptance) so the per-populate
+            # dispatch overhead is amortised. Capped — at the proposal
+            # switch any leftover pool is discarded.
+            scale = self._pool_scale
             acc = self.ns_acceptance
             if acc is not None and np.isfinite(acc) and 0.0 < acc < 1.0:
-                N = int(N * min(self.max_poolsize_scale, 1.0 / acc))
+                scale = max(scale, 1.0 / acc)
+            scale = min(self.max_poolsize_scale, scale)
+            N = int(self.poolsize * scale)
+            self._pool_scale = min(
+                self.max_poolsize_scale, self._pool_scale * 1.6
+            )
         st = datetime.datetime.now()
         if self._device_populate_ok:
             self._device_populate(N)
