@@ -635,6 +635,50 @@ class NestedSampler(BaseNestedSampler):
                     break
             yield count, new_sample
 
+    def _pop_pool_vectorised(self):
+        """Vectorised replica of one ``yield_sample`` round over an
+        already-populated pool: scan the pool (in pop order) for the
+        first entry beating ``logLmin`` and pop everything up to and
+        including it in one slice, instead of popping sub-threshold
+        entries one generator round at a time. In the terminal
+        low-acceptance regime a pool can hold thousands of dead entries
+        per accepted point; the per-pop Python cost dominated the
+        eggbox run (~100 s of 318 s). Semantics identical to
+        ``yield_sample`` (``nessai/samplers/nestedsampler.py:643``):
+        returns (count, sample) where the sample either beats the
+        threshold or the pool was exhausted (caller then rejects,
+        trains, repopulates). Returns None to fall back to the
+        generator (unpopulated pool, or non-finite pool logL, which the
+        generator re-evaluates point-wise)."""
+        proposal = self.proposal
+        indices = getattr(proposal, "indices", None)
+        samples = getattr(proposal, "samples", None)
+        if (
+            not getattr(proposal, "populated", False)
+            or not indices
+            or samples is None
+        ):
+            return None
+        order = indices[::-1]  # pop order: draw() pops from the end
+        pool_logL = samples["logL"][order]
+        if not np.all(np.isfinite(pool_logL)):
+            return None
+        hits = np.nonzero(pool_logL > self.logLmin)[0]
+        if hits.size:
+            m = int(hits[0])
+            proposed = samples[order[m]]
+            del indices[-(m + 1) :]
+            if not indices:
+                proposal.populated = False
+            return m + 1, proposed
+        # pool exhausted without a success: mirror yield_sample, which
+        # returns the last drawn (sub-threshold) sample
+        count = len(order)
+        proposed = samples[order[-1]]
+        del indices[:]
+        proposal.populated = False
+        return count, proposed
+
     def insert_live_point(self, live_point) -> int:
         """Insert into the sorted live points (worst already removed from
         slot 0). Returns the insertion index for the KS diagnostic.
@@ -666,7 +710,11 @@ class NestedSampler(BaseNestedSampler):
 
         count_total = 0
         while True:
-            count, proposed = next(self._yield_iter)
+            fast = self._pop_pool_vectorised()
+            if fast is not None:
+                count, proposed = fast
+            else:
+                count, proposed = next(self._yield_iter)
             count_total += count
             if proposed["logL"] > self.logLmin:
                 self.accepted += 1

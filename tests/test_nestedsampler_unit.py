@@ -299,3 +299,76 @@ class TestRound3Branches:
         ns.iteration = 40
         ns.last_updated = 20
         assert ns.check_training() == (True, False)
+
+
+class _PoolProposal:
+    """Minimal pool-bearing proposal for the vectorised-pop fast path."""
+
+    def __init__(self, logLs):
+        from nessai_tpu.livepoint import empty_structured_array
+
+        n = len(logLs)
+        self.samples = empty_structured_array(n, names=["x"])
+        self.samples["x"] = np.arange(n, dtype=float)
+        self.samples["logL"] = np.asarray(logLs, dtype=float)
+        self.indices = list(range(n))
+        self.populated = True
+
+    def draw(self, old):
+        index = self.indices.pop()
+        new_sample = self.samples[index]
+        if not self.indices:
+            self.populated = False
+        return new_sample
+
+
+class TestPopPoolVectorised:
+    """_pop_pool_vectorised must replicate one yield_sample round."""
+
+    @pytest.mark.parametrize(
+        "logLs, logLmin",
+        [
+            # hit after several sub-threshold pops (pop order is reversed)
+            ([5.0, -1.0, -2.0, 3.0, -4.0, -5.0], 0.0),
+            # first pop is the hit
+            ([0.1, 0.2, 9.0], 0.0),
+            # pool exhausted without a hit
+            ([-3.0, -2.0, -1.0], 0.0),
+            # last popped entry is the hit (pool empties on success)
+            ([7.0, -1.0, -2.0], 0.0),
+        ],
+    )
+    def test_matches_yield_sample(self, sampler, logLs, logLmin):
+        ref = _PoolProposal(logLs)
+        fast = _PoolProposal(logLs)
+
+        sampler.logLmin = logLmin
+        sampler.proposal = ref
+        gen = sampler.yield_sample(ref.samples[0].copy())
+        count_ref, sample_ref = next(gen)
+
+        sampler.proposal = fast
+        out = sampler._pop_pool_vectorised()
+        assert out is not None
+        count_fast, sample_fast = out
+
+        assert count_fast == count_ref
+        assert sample_fast["logL"] == sample_ref["logL"]
+        assert sample_fast["x"] == sample_ref["x"]
+        assert fast.indices == ref.indices
+        assert fast.populated == ref.populated
+
+    def test_falls_back_when_unpopulated(self, sampler):
+        prop = _PoolProposal([1.0, 2.0])
+        prop.populated = False
+        sampler.proposal = prop
+        assert sampler._pop_pool_vectorised() is None
+
+    def test_falls_back_on_nonfinite_logl(self, sampler):
+        # yield_sample re-evaluates non-finite logL point-wise; the fast
+        # path must defer to it rather than treat NaN as sub-threshold.
+        prop = _PoolProposal([1.0, np.nan, 2.0])
+        sampler.proposal = prop
+        sampler.logLmin = 0.0
+        assert sampler._pop_pool_vectorised() is None
+        assert len(prop.indices) == 3
