@@ -89,6 +89,7 @@ def _flops_report(fs) -> dict:
         from nessai_tpu.utils import programs
 
         out["n_cached_device_programs"] = int(programs.n_programs())
+        out["n_program_dispatches"] = int(programs.n_dispatches())
     except Exception:  # pragma: no cover
         pass
     try:

@@ -876,6 +876,14 @@ class FlowModel:
         if not pending:
             return
         self._pending_history = []
+        # Overlap the device->host copies: one roundtrip for the whole
+        # backlog instead of one per deferred train.
+        for entry in pending:
+            for leaf in entry:
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
         for loss_hist, val_hist, n_epochs in pending:
             n = int(n_epochs)
             loss = np.asarray(loss_hist)[:n].tolist()
@@ -921,7 +929,17 @@ class FlowModel:
         """
         if not self.initialised:
             self.initialise()
-        self._flush_pending_history()
+        if sync or plot:
+            # The sync path appends to self.history directly below, so
+            # deferred histories must land first to keep epoch order.
+            # The async hot path skips this: fetching the PREVIOUS
+            # train's loss history here costs one blocking device
+            # roundtrip per retrain (~15-40 ms through the remote
+            # tunnel — measured as the dominant per-train fixed cost at
+            # 16-D, 63 retrains). Pending entries are tiny device
+            # buffers; they accumulate until a checkpoint, plot, or
+            # finalisation flushes them.
+            self._flush_pending_history()
         samples = np.asarray(samples, dtype=np.float32)
         if samples.ndim != 2:
             raise ValueError("Samples must be a 2D array")

@@ -371,12 +371,27 @@ class NestedSampler(BaseNestedSampler):
 
     def compute_simulated_evidence_error(self) -> None:
         """Populate :attr:`log_evidence_error_simulated` from the
-        simulated-volumes draws (no-op when disabled). Warns — and
-        recommends quoting the simulated number — when it exceeds the
-        first-order estimate and the run shows the conditions under
-        which ``sqrt(H/nlive)`` is known to be optimistic (final
-        insertion-index KS p < 0.05, or dims >= 8; VALIDATION.md 16-D
-        study: +3.6σ outliers under the first-order model)."""
+        simulated-volumes draws (no-op when disabled).
+
+        Two distinct warnings, both grounded in measurement
+        (VALIDATION.md, 16-D error-bar studies):
+
+        - when the simulated error exceeds the first-order
+          ``sqrt(H/nlive)`` estimate by >20 %, recommend quoting the
+          simulated number — the first-order Gaussian model is a poor
+          fit (small nlive, skewed integral distribution);
+        - when the run is in the regime where *both* estimates are
+          known lower bounds — a failed final insertion-index KS test,
+          or dims >= 16 — say so. The 8-seed 16-D study measured
+          simulated/first-order ratios of ~0.94–1.05 (they estimate
+          the SAME prior-volume statistics, so the simulated draw
+          cannot widen the bar) while the across-seed logZ scatter
+          exceeded both: the excess comes from flow-proposal
+          correlations invisible to any single-run volume statistic.
+          The honest remedies are the importance sampler
+          (``importance_nested_sampler=True``), a higher ``nlive``,
+          or multi-seed scatter.
+        """
         if not self.simulated_evidence_error:
             return
         n_sims = (
@@ -388,21 +403,36 @@ class NestedSampler(BaseNestedSampler):
             np.std(self.simulate_evidence_uncertainty(n_sims))
         )
         first_order = self.state.log_evidence_error
-        suspect = (
-            self.final_p_value is not None and self.final_p_value < 0.05
-        ) or self.model.dims >= 8
-        if (
-            suspect
-            and self.log_evidence_error_simulated > 1.2 * first_order
-        ):
+        if self.log_evidence_error_simulated > 1.2 * first_order:
             logger.warning(
                 "Simulated-volumes logZ error (%.4f) exceeds the "
                 "first-order sqrt(H/nlive) estimate (%.4f); quote the "
                 "simulated value (result key "
                 "'log_evidence_error_simulated') — the first-order "
-                "model is a lower bound in this regime.",
+                "Gaussian model underestimates the volume uncertainty "
+                "on this run.",
                 self.log_evidence_error_simulated,
                 first_order,
+            )
+        ks_failed = (
+            self.final_p_value is not None and self.final_p_value < 0.05
+        )
+        if ks_failed or self.model.dims >= 16:
+            logger.warning(
+                "%s: the reported logZ errors (first-order %.4f, "
+                "simulated-volumes %.4f) only capture prior-volume "
+                "statistics and are known lower bounds in this regime "
+                "(flow-proposal correlations add scatter no single-run "
+                "volume statistic can see; VALIDATION.md 16-D study). "
+                "Consider importance_nested_sampler=True, a larger "
+                "nlive, or multi-seed runs.",
+                (
+                    "Final insertion-index KS test failed"
+                    if ks_failed
+                    else f"dims={self.model.dims} >= 16"
+                ),
+                first_order,
+                self.log_evidence_error_simulated,
             )
 
     @property

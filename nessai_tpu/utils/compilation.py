@@ -36,6 +36,18 @@ def enable_compilation_cache(cache_dir=None) -> bool:
     try:
         import jax
 
+        # Key the cache directory by backend: XLA's cache key does NOT
+        # include host machine features, so executables compiled for
+        # one platform must never be visible to another session type.
+        # Observed failure: a CPU-only session loaded XLA:CPU AOT
+        # results written (pre-filter) by a remote-compile TPU session
+        # — feature-mismatch errors with SIGILL risk. Backend subdirs
+        # also strand any stale poisoned entries at the old root path.
+        try:
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover - backend init failure
+            backend = "unknown"
+        cache_dir = os.path.join(cache_dir, backend)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Threshold by backend. On TPU persist (almost) everything: the
@@ -47,10 +59,7 @@ def enable_compilation_cache(cache_dir=None) -> bool:
         # the high threshold: caching tiny host programs stores
         # server-compiled executables whose CPU features mismatch the
         # local host (XLA:CPU AOT load failures + fallback churn).
-        try:
-            on_tpu = jax.default_backend() not in ("cpu",)
-        except Exception:  # pragma: no cover - backend init failure
-            on_tpu = False
+        on_tpu = backend not in ("cpu", "unknown")
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
             0.2 if on_tpu else 3.0,

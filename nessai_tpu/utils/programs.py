@@ -19,15 +19,49 @@ for including every piece of captured state in the key (see
 ``FlowModel._scope_key`` and ``Model.program_fingerprint``).
 """
 
+import functools
 import logging
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["get_program", "clear_programs", "canonical", "n_programs"]
+__all__ = [
+    "get_program",
+    "clear_programs",
+    "canonical",
+    "n_programs",
+    "n_dispatches",
+    "reset_dispatch_count",
+]
 
 _CACHE = {}
+_DISPATCH_COUNT = 0
+
+
+def _counting(fn):
+    """Count calls of a cached program (each call is one device
+    dispatch — through the remote tunnel a dispatch costs ~15 ms RTT,
+    so the census, not FLOPs, is the flagship-scale cost model)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        global _DISPATCH_COUNT
+        _DISPATCH_COUNT += 1
+        return fn(*args, **kwargs)
+
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
+def n_dispatches() -> int:
+    """Total calls of cached device programs in this process."""
+    return _DISPATCH_COUNT
+
+
+def reset_dispatch_count() -> None:
+    global _DISPATCH_COUNT
+    _DISPATCH_COUNT = 0
 
 
 def get_program(key, builder):
@@ -35,6 +69,13 @@ def get_program(key, builder):
     fn = _CACHE.get(key)
     if fn is None:
         fn = builder()
+        if callable(fn):
+            fn = _counting(fn)
+        elif isinstance(fn, tuple):
+            # some builders cache a tuple of programs
+            fn = tuple(
+                _counting(f) if callable(f) else f for f in fn
+            )
         _CACHE[key] = fn
         logger.debug("program cache miss: %s (now %d)", key, len(_CACHE))
     return fn

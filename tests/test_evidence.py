@@ -315,6 +315,59 @@ def test_simulated_evidence_error_in_result(model, tmp_path):
     assert ns3.log_evidence_error_simulated is not None
 
 
+def test_simulated_error_lower_bound_warnings(tmp_path, caplog, rng):
+    """At dims >= 16 (or failed final KS) the sampler states that BOTH
+    error estimates only capture prior-volume statistics — the 8-seed
+    16-D study measured simulated/first-order ratios ~0.94-1.05 while
+    across-seed scatter exceeded both (VALIDATION.md)."""
+    import logging
+
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    model16 = IntegrationTestModel(16)
+    model16.set_rng(rng)
+    ns = NestedSampler(
+        model16, nlive=50, output=str(tmp_path), seed=1, plot=False
+    )
+    for k in range(1, 150):
+        ns.state.increment(-float(np.exp(-k / 50)) * 8)
+    ns.final_p_value = None
+    with caplog.at_level(logging.WARNING, logger="nessai_tpu"):
+        ns.compute_simulated_evidence_error()
+    assert any("lower bounds" in r.message for r in caplog.records)
+    assert any("dims=16" in r.message for r in caplog.records)
+
+    # low-D run with a failed final KS test also triggers it
+    caplog.clear()
+    model2 = IntegrationTestModel(2)
+    model2.set_rng(rng)
+    ns2 = NestedSampler(
+        model2, nlive=50, output=str(tmp_path), seed=1, plot=False
+    )
+    for k in range(1, 150):
+        ns2.state.increment(-float(np.exp(-k / 50)) * 8)
+    ns2.final_p_value = 0.01
+    with caplog.at_level(logging.WARNING, logger="nessai_tpu"):
+        ns2.compute_simulated_evidence_error()
+    assert any(
+        "insertion-index KS test failed" in r.message
+        for r in caplog.records
+    )
+
+    # low-D, healthy KS: no lower-bound warning
+    caplog.clear()
+    ns3 = NestedSampler(
+        model2, nlive=50, output=str(tmp_path), seed=2, plot=False
+    )
+    for k in range(1, 150):
+        ns3.state.increment(-float(np.exp(-k / 50)) * 8)
+    ns3.final_p_value = 0.5
+    with caplog.at_level(logging.WARNING, logger="nessai_tpu"):
+        ns3.compute_simulated_evidence_error()
+    assert not any("lower bounds" in r.message for r in caplog.records)
+
+
 def test_simulate_log_evidence_chunking_deterministic():
     """Chunked and single-block paths give identical draws for the same
     rng stream (chunk boundaries must not change the exponential

@@ -254,3 +254,53 @@ def test_svd_linear_trains_in_flowmodel(tmp_path, rng):
     )
     history = fm.train(rng.normal(size=(64, 2)).astype(np.float32))
     assert np.isfinite(history["loss"]).all()
+
+
+def test_dispatch_counter_counts_calls():
+    """get_program wraps cached programs with a dispatch counter (the
+    flagship cost model is dispatch count x tunnel RTT, VALIDATION.md
+    round-4 census)."""
+    from nessai_tpu.utils import programs
+
+    calls = []
+
+    def builder():
+        return lambda x: calls.append(x) or x
+
+    fn = programs.get_program(("test-dispatch-counter",), builder)
+    before = programs.n_dispatches()
+    fn(1)
+    fn(2)
+    assert programs.n_dispatches() - before == 2
+    assert calls == [1, 2]
+    # cached: same wrapper back, still counting
+    fn2 = programs.get_program(("test-dispatch-counter",), builder)
+    fn2(3)
+    assert programs.n_dispatches() - before == 3
+
+
+def test_get_program_tuple_builder_stays_unpackable():
+    """Builders that cache a tuple of programs (e.g. the LARS per-epoch
+    path) must still unpack after the counting wrapper."""
+    from nessai_tpu.utils import programs
+
+    pair = programs.get_program(
+        ("test-tuple-builder",), lambda: (lambda: "a", lambda: "b")
+    )
+    f, g = pair
+    assert (f(), g()) == ("a", "b")
+
+
+def test_compilation_cache_dir_keyed_by_backend(tmp_path, monkeypatch):
+    """The persistent-cache directory gains a backend subdir so CPU
+    sessions never load executables compiled for/by another platform
+    (observed XLA:CPU AOT feature-mismatch / SIGILL risk)."""
+    import jax
+
+    from nessai_tpu.utils import compilation
+
+    monkeypatch.setattr(compilation, "_enabled", False)
+    monkeypatch.delenv("NESSAI_TPU_NO_COMPILE_CACHE", raising=False)
+    assert compilation.enable_compilation_cache(str(tmp_path))
+    configured = jax.config.jax_compilation_cache_dir
+    assert configured == str(tmp_path / jax.default_backend())
