@@ -273,3 +273,22 @@ def test_train_sync_false_defers_history(fm, rng):
     fm2 = pickle.loads(blob)
     assert fm2.__dict__.get("_pending_history", []) == []
     assert len(fm2.history["loss"]) > n_after_first
+
+
+def test_async_trains_accumulate_sync_train_flushes_in_order(fm, rng):
+    """Back-to-back async trains do NOT flush at the next train's entry
+    (the round-4 hot path: the flush costs one blocking device RTT per
+    retrain through the tunnel); a SYNC train flushes the backlog first
+    so self.history stays in epoch order."""
+    x = _bimodal(rng)
+    fm.train(x, plot=False, sync=False)
+    fm.train(x, plot=False, sync=False)
+    assert len(fm._pending_history) == 2
+    assert fm.history["loss"] == []
+
+    hist = fm.train(x, plot=False, sync=True)
+    assert fm._pending_history == []
+    # backlog (2 async trains) + the sync train's own epochs, in order:
+    # the sync train's history is the TAIL of self.history
+    assert len(fm.history["loss"]) > len(hist["loss"])
+    assert fm.history["loss"][-len(hist["loss"]) :] == hist["loss"]
