@@ -81,6 +81,7 @@ class NestedSampler(BaseNestedSampler):
         proposal_plots: bool = False,
         shrinkage_expectation: str = "logt",
         batched_bookkeeping: bool = True,
+        device_bookkeeping: bool = True,
         simulated_evidence_error=True,
         n_pool: Optional[int] = None,
         pool=None,
@@ -109,6 +110,10 @@ class NestedSampler(BaseNestedSampler):
         )
         self.prior_sampling = prior_sampling
         self.batched_bookkeeping = batched_bookkeeping
+        #: Replay populated pools with the device ``lax.scan`` stepping
+        #: program (see :mod:`nessai_tpu.samplers.ns_device`); falls back
+        #: to the host batched pass when ineligible.
+        self.device_bookkeeping = device_bookkeeping
         #: Draw the simulated-volumes logZ error at finalisation
         #: (True -> 500 draws, int -> that many, False/0 -> skip).
         #: Improves on the reference's first-order ``sqrt(H/nlive)``
@@ -1017,6 +1022,292 @@ class NestedSampler(BaseNestedSampler):
         self.checkpoint(periodic=True)
         return True
 
+    # ------------------------------------------------------------------
+    # Device-side NS stepping (SURVEY.md §7 axis 2)
+    # ------------------------------------------------------------------
+    def _device_step_eligible(self):
+        """Inputs for the device stepping pass, or None when the host
+        paths must run instead.
+
+        Eligibility: flow phase (the uninformed phase's switch condition
+        depends on float-accumulated acceptance; the host pass covers
+        it), a populated finite-logL pool, the plain integrator, plotting
+        off (boundary state plots need the mid-pool live set, which only
+        the host pass reconstructs), and every logL value exactly
+        float32-representable so the device's f32 comparisons reproduce
+        the host's f64 ordering bit-for-bit (automatic for
+        device-evaluated likelihoods; host callback models in full f64
+        fall back).
+        """
+        if not getattr(self, "device_bookkeeping", False):
+            return None
+        proposal = self.proposal
+        indices = getattr(proposal, "indices", None)
+        samples = getattr(proposal, "samples", None)
+        if (
+            self.uninformed_sampling
+            or self.plot
+            or not self.completed_training
+            or not getattr(proposal, "populated", False)
+            or not indices
+            or samples is None
+        ):
+            return None
+        if type(self.state) is not _NSIntegralState:
+            return None
+        order = np.asarray(indices[::-1], dtype=np.int64)
+        if order.size < 16:
+            return None
+        pool_logL = np.ascontiguousarray(
+            samples["logL"][order], dtype=np.float64
+        )
+        live_logL = np.ascontiguousarray(
+            self.live_points["logL"], dtype=np.float64
+        )
+        if not (
+            np.all(np.isfinite(pool_logL))
+            and np.all(np.isfinite(live_logL))
+        ):
+            return None
+        pool32 = pool_logL.astype(np.float32)
+        live32 = live_logL.astype(np.float32)
+        if not (
+            np.array_equal(pool32.astype(np.float64), pool_logL)
+            and np.array_equal(live32.astype(np.float64), live_logL)
+            and np.all(np.isfinite(pool32))
+            and np.all(np.isfinite(live32))
+        ):
+            return None
+        return order, pool_logL, live32, pool32
+
+    def _consume_from_pool_device(self) -> bool:
+        """Replay the consume/insert/evidence loop over the populated
+        pool with ONE device dispatch plus a vectorised host commit.
+
+        The ordering-dependent part — skip/accept decisions, sorted
+        insertion, insertion indices, consumed-point identity — runs as
+        a ``lax.scan`` on device (:func:`~nessai_tpu.samplers.ns_device.
+        run_ns_scan`), replacing the reference's per-iteration host loop
+        (``nessai/samplers/nestedsampler.py:643-695,669``). The float64
+        evidence recursion is then replayed on the host over the
+        returned trajectory using the same sequential-semantics numpy
+        kernels (``np.logaddexp.accumulate`` / ``np.add.accumulate``)
+        and a minimal scalar loop for the information recurrence, so
+        the committed state is bit-identical to ``consume_sample``
+        (tests/test_device_ns_loop.py). The run's stopping decision
+        (``dlogZ <= tol``) is found on the host trace; when it lands
+        mid-pool the scan is re-dispatched once with the exact accept
+        cap to recover the final live set.
+
+        Returns True if at least one iteration was consumed.
+        """
+        elig = self._device_step_eligible()
+        if elig is None:
+            return False
+        order, pool_logL, live32, pool32 = elig
+        proposal = self.proposal
+        samples = proposal.samples
+        indices = proposal.indices
+        state = self.state
+        n = self.nlive
+        it0 = self.iteration
+
+        if self.max_iteration and np.isfinite(self.max_iteration):
+            max_acc = int(self.max_iteration) - it0
+            if max_acc <= 0:
+                return False
+        else:
+            max_acc = 2**31 - 1
+        try:
+            from .ns_device import run_ns_scan
+
+            mask, consumed_all, ins_all, final_ids, n_acc = run_ns_scan(
+                live32, pool32, max_acc
+            )
+        except Exception:
+            logger.debug(
+                "Device NS stepping unavailable; using host pass",
+                exc_info=True,
+            )
+            return False
+        if n_acc == 0:
+            return False
+
+        pos = np.nonzero(mask)[0][:n_acc]
+        R = np.concatenate([self.live_points, samples[order]])
+        w = np.ascontiguousarray(
+            R["logL"][consumed_all[pos]], dtype=np.float64
+        )
+        p_acc = pool_logL[pos]
+        ins = ins_all[pos]
+
+        # ---- float64 evidence replay over the device trajectory, with
+        # the sequential integrator's exact op order and kernels
+        # (``_NSIntegralState.increment``; ufunc ``accumulate`` is a
+        # strict left fold, unlike pairwise ``np.sum``)
+        if state.expectation == "logt":
+            logt = -1.0 / n
+        else:
+            logt = -math.log1p(1.0 / n)
+        c_shrink = math.log(-math.expm1(logt))
+        lw = np.add.accumulate(
+            np.concatenate(([state.logw], np.full(n_acc, logt)))
+        )
+        logw_pre, logw_post = lw[:-1], lw[1:]
+        Wt = (logw_pre + w) + c_shrink
+        logZ_tr = np.logaddexp.accumulate(
+            np.concatenate(([state.logZ], Wt))
+        )[1:]
+        oldZ_tr = np.concatenate(([state.oldZ], logZ_tr[:-1]))
+        # logLmax as seen by the dlogZ condition: updated only when a
+        # candidate lands in the top slot, and read *before* this
+        # iteration's insertion
+        cand = np.where(ins == n - 1, p_acc, -np.inf)
+        run_max = np.maximum.accumulate(cand)
+        logLmax0 = float(self.logLmax)
+        logLmax_pre = np.maximum(
+            logLmax0, np.concatenate(([-np.inf], run_max[:-1]))
+        )
+        logLmax_post = np.maximum(logLmax0, run_max)
+        cond_tr = np.logaddexp(logZ_tr, logLmax_pre + logw_post) - logZ_tr
+
+        # ---- stopping decision (checked after each replacement, as the
+        # sequential loop's top-of-iteration test does)
+        tol = self.tolerance
+        below = np.nonzero(cond_tr <= tol)[0]
+        n_commit = int(below[0]) + 1 if below.size else int(n_acc)
+        if n_commit < n_acc:
+            # recover the live set at the stopping point (once per run)
+            _, _, _, final_ids, n_chk = run_ns_scan(
+                live32, pool32, n_commit
+            )
+            if n_chk != n_commit:  # pragma: no cover - defensive
+                return False
+            pos = pos[:n_commit]
+            w = w[:n_commit]
+            p_acc = p_acc[:n_commit]
+            ins = ins[:n_commit]
+            logw_post = logw_post[:n_commit]
+            Wt = Wt[:n_commit]
+            logZ_tr = logZ_tr[:n_commit]
+            oldZ_tr = oldZ_tr[:n_commit]
+            logLmax_post = logLmax_post[:n_commit]
+            cond_tr = cond_tr[:n_commit]
+        j_commit = int(pos[-1]) + 1
+        consumed_ids = consumed_all[pos]
+
+        # information recurrence (H): scalar ``math`` loop with the
+        # increment's exact expression order; everything else above is
+        # already vectorised
+        info_vals = [0.0] * n_commit
+        info_last = float(state.info[-1])
+        wl = w.tolist()
+        wtl = Wt.tolist()
+        zl = logZ_tr.tolist()
+        ozl = oldZ_tr.tolist()
+        exp = math.exp
+        isnan = math.isnan
+        inf_ = math.inf
+        for i in range(n_commit):
+            oz = ozl[i]
+            if oz == -inf_ or isnan(oz):
+                v = 0.0
+                if not isnan(oz):
+                    info_last = 0.0
+            else:
+                z = zl[i]
+                v = (
+                    exp(wtl[i] - z) * wl[i]
+                    + exp(oz - z) * (info_last + oz)
+                    - z
+                )
+                if isnan(v):
+                    v = 0.0
+                info_last = v
+            info_vals[i] = v
+
+        # non-monotonic screen (rate-limited like the integrator's)
+        lastL_tr = np.concatenate(([state.logLs[-1]], w[:-1]))
+        nm = np.nonzero(w <= lastL_tr)[0]
+        for i in nm[: max(0, 5 - state.nonmonotonic_count)]:
+            logger.warning(
+                "NS integrator received non-monotonic logL: "
+                "%.5f -> %.5f",
+                lastL_tr[i],
+                w[i],
+            )
+        state.nonmonotonic_count += int(nm.size)
+
+        # acceptance bookkeeping: per-replacement pop counts from the
+        # accept positions; strict left-fold accumulation
+        cnt = np.diff(np.concatenate(([-1], pos)))
+        ba_tr = np.add.accumulate(
+            np.concatenate(([self.block_acceptance], 1.0 / cnt))
+        )[1:]
+        block_it_tr = self.block_iteration + 1 + np.arange(n_commit)
+        mean_acc_tr = ba_tr / np.maximum(block_it_tr - 1, 1)
+
+        grads = None
+        if state.track_gradients:
+            grads = (w - lastL_tr) / (logw_post - logw_pre[:n_commit])
+
+        # ---- commit: stamp + rebuild rows, then window-wise state sync
+        # so the boundary diagnostics (history, rolling KS) fire exactly
+        # as in ``consume_sample`` / the host batched pass
+        it_tr = it0 + np.arange(n_commit)
+        R["it"][n + pos] = it_tr
+        new_nested = R[consumed_ids]
+        accepted0 = self.accepted
+        hist_interval = max(n // 10, 1)
+        self.live_points = R[final_ids]
+
+        ins_list = ins.tolist()
+        w_list = wl
+        vols_list = logw_post.tolist()
+
+        def _sync_to(i):
+            """Sync scalars + extend sequence state through accept i."""
+            hi = i + 1
+            self.iteration = it0 + hi
+            self.condition = float(cond_tr[i])
+            self.logLmin = w_list[i]
+            self.logLmax = float(logLmax_post[i])
+            self.accepted = accepted0 + hi
+            self.block_acceptance = float(ba_tr[i])
+            self.block_iteration = int(block_it_tr[i])
+            self.mean_block_acceptance = float(mean_acc_tr[i])
+            state.logZ = float(logZ_tr[i])
+            state.oldZ = float(logZ_tr[i])
+            state.logw = float(logw_post[i])
+            lo = _sync_to.done
+            state.logLs.extend(w_list[lo:hi])
+            state.log_vols.extend(vols_list[lo:hi])
+            state.info.extend(info_vals[lo:hi])
+            if grads is not None:
+                state.gradients.extend(grads[lo:hi].tolist())
+            self.insertion_indices.extend(ins_list[lo:hi])
+            self.nested_samples.extend(new_nested[lo:hi])
+            _sync_to.done = hi
+
+        _sync_to.done = 0
+        for v in range(it0 + 1, it0 + n_commit + 1):
+            if v % hist_interval == 0 or v % n == 0:
+                _sync_to(v - it0 - 1)
+                self.update_state()
+                self.periodically_log_state()
+        _sync_to(n_commit - 1)
+
+        del indices[-j_commit:]
+        if not indices:
+            proposal.populated = False
+        self._yield_iter = self.yield_sample(self.live_points[0])
+        self._flow_proposal.ns_acceptance = self.mean_block_acceptance
+        self._n_device_steps = (
+            getattr(self, "_n_device_steps", 0) + n_commit
+        )
+        self.checkpoint(periodic=True)
+        return True
+
     def check_state(self, force: bool = False) -> None:
         """Training/switching checks before each replacement.
 
@@ -1177,7 +1468,10 @@ class NestedSampler(BaseNestedSampler):
             self.check_state()
             if not (
                 self.batched_bookkeeping
-                and self._consume_from_pool_batched()
+                and (
+                    self._consume_from_pool_device()
+                    or self._consume_from_pool_batched()
+                )
             ):
                 self.consume_sample()
                 self.iteration += 1
@@ -1296,6 +1590,8 @@ class NestedSampler(BaseNestedSampler):
         # pre-0.5 pickles lack the simulated-error attributes
         state.setdefault("simulated_evidence_error", True)
         state.setdefault("log_evidence_error_simulated", None)
+        # pre-0.6 pickles lack the device-stepping flag
+        state.setdefault("device_bookkeeping", True)
         self.__dict__.update(state)
 
     @classmethod
