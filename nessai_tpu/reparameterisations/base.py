@@ -69,74 +69,10 @@ class Reparameterisation:
         parameters=None,
     ):
         self.rng = rng if rng is not None else np.random.default_rng()
-        if parameters is not None and input_parameters is not None:
-            if self._format_parameters(parameters) != self._format_parameters(
-                input_parameters
-            ):
-                raise RuntimeError(
-                    "Received conflicting values for `parameters` and "
-                    "`input_parameters`."
-                )
-        if input_parameters is None:
-            input_parameters = parameters
-        if input_parameters is None:
-            raise RuntimeError("Must specify parameters")
-        if not isinstance(input_parameters, (str, list)):
-            raise TypeError("Parameters must be a str or list.")
-        self.input_parameters = self._format_parameters(input_parameters)
-        if not all(isinstance(p, str) for p in self.input_parameters):
-            raise TypeError("Parameters must be a str or list of str")
-
-        if isinstance(prior_bounds, (list, tuple, np.ndarray)):
-            if len(prior_bounds) == 2:
-                prior_bounds = {
-                    self.input_parameters[0]: np.asarray(prior_bounds)
-                }
-            else:
-                raise RuntimeError("Prior bounds got a list of len > 2")
-        elif prior_bounds is None:
-            if self.requires_bounded_prior:
-                raise RuntimeError(
-                    f"Reparameterisation {self.name} requires prior bounds!"
-                )
-            self.prior_bounds = None
-        elif not isinstance(prior_bounds, dict):
-            raise TypeError(
-                "Prior bounds must be a dict, tuple, list or numpy array"
-                " of len 2 or None."
-            )
-
-        if prior_bounds is not None:
-            missing_bounds = set(self.input_parameters) - set(
-                prior_bounds.keys()
-            )
-            if missing_bounds and self.requires_bounded_prior:
-                raise RuntimeError(
-                    "Mismatch between parameters and prior bounds: "
-                    f"{set(self.input_parameters)}, "
-                    f"{set(prior_bounds.keys())}"
-                )
-            self.prior_bounds = {
-                p: np.asarray(b, dtype=float) for p, b in prior_bounds.items()
-            }
-            if missing_bounds:
-                logger.debug(
-                    "Missing prior bounds for parameters %s in %s",
-                    sorted(missing_bounds),
-                    self.name,
-                )
-        else:
-            logger.debug("No prior bounds for %s", self.name)
-
-        if self.requires_bounded_prior:
-            is_finite = np.isfinite(
-                [pb for pb in self.prior_bounds.values()]
-            ).all()
-            if not is_finite:
-                raise RuntimeError(
-                    f"Reparameterisation {self.name} requires finite prior "
-                    f"bounds. Received: {self.prior_bounds}"
-                )
+        self.input_parameters = self._reconcile_parameter_kwargs(
+            parameters, input_parameters
+        )
+        self.prior_bounds = self._normalise_prior_bounds(prior_bounds)
 
         self.output_parameters = self._format_parameters(
             output_parameters
@@ -144,9 +80,8 @@ class Reparameterisation:
         self.persistent_parameters = self._format_parameters(
             persistent_parameters
         )
-        if not set(self.persistent_parameters).issubset(
-            self.input_parameters
-        ):
+        stray = set(self.persistent_parameters) - set(self.input_parameters)
+        if stray:
             raise RuntimeError(
                 "Persistent parameters must be a subset of the input "
                 f"parameters. Received {self.persistent_parameters} for "
@@ -158,32 +93,146 @@ class Reparameterisation:
         self.inverse_input_parameters = self._format_parameters(
             inverse_input_parameters
         )
-        self._x_input_parameters = []
-        self._x_prime_input_parameters = []
-        self._x_persistent_parameters = []
-        self._x_prime_persistent_parameters = []
-        self._x_inverse_input_parameters = []
-        self._x_prime_inverse_input_parameters = []
-        self._resolved_forward_inputs = False
-        self._resolved_inverse_inputs = False
+        # Namespace assignments filled in by the resolve_* methods once
+        # the combined reparameterisation knows which names each stage
+        # of the chain produces; None = not yet resolved.
+        self._fwd_split = None
+        self._inv_split = None
 
     @staticmethod
     def _format_parameters(parameters):
-        """Format the parameters to be a list of strings."""
+        """Normalise a name spec (None | str | list of str) to a fresh
+        list."""
+        if parameters is None:
+            return []
         if isinstance(parameters, str):
             return [parameters]
-        elif isinstance(parameters, list):
-            return parameters.copy()
-        elif parameters is None:
-            return []
-        else:
+        if isinstance(parameters, list):
+            return list(parameters)
+        raise TypeError(
+            "Parameters must be a string or a list of strings."
+        )
+
+    def _reconcile_parameter_kwargs(self, parameters, input_parameters):
+        """Merge the legacy ``parameters`` kwarg with
+        ``input_parameters`` and validate the result."""
+        if None not in (parameters, input_parameters):
+            if self._format_parameters(parameters) != self._format_parameters(
+                input_parameters
+            ):
+                raise RuntimeError(
+                    "Received conflicting values for `parameters` and "
+                    "`input_parameters`."
+                )
+        names = input_parameters if input_parameters is not None else parameters
+        if names is None:
+            raise RuntimeError("Must specify parameters")
+        if not isinstance(names, (str, list)):
+            raise TypeError("Parameters must be a str or list.")
+        names = self._format_parameters(names)
+        if any(not isinstance(p, str) for p in names):
+            raise TypeError("Parameters must be a str or list of str")
+        return names
+
+    def _normalise_prior_bounds(self, prior_bounds):
+        """Coerce ``prior_bounds`` to a ``{name: float array}`` dict
+        (or None) and enforce this class's bounded/finite-prior
+        requirements. ``self.input_parameters`` must already be set."""
+        if prior_bounds is None:
+            if self.requires_bounded_prior:
+                raise RuntimeError(
+                    f"Reparameterisation {self.name} requires prior bounds!"
+                )
+            logger.debug("No prior bounds for %s", self.name)
+            return None
+        if isinstance(prior_bounds, (list, tuple, np.ndarray)):
+            # A bare pair applies to the (single) first parameter.
+            if len(prior_bounds) != 2:
+                raise RuntimeError("Prior bounds got a list of len > 2")
+            prior_bounds = {self.input_parameters[0]: prior_bounds}
+        if not isinstance(prior_bounds, dict):
             raise TypeError(
-                "Parameters must be a string or a list of strings."
+                "Prior bounds must be a dict, tuple, list or numpy array"
+                " of len 2 or None."
             )
+        unbounded = set(self.input_parameters) - set(prior_bounds)
+        if unbounded:
+            if self.requires_bounded_prior:
+                raise RuntimeError(
+                    "Mismatch between parameters and prior bounds: "
+                    f"{set(self.input_parameters)}, "
+                    f"{set(prior_bounds.keys())}"
+                )
+            logger.debug(
+                "Missing prior bounds for parameters %s in %s",
+                sorted(unbounded),
+                self.name,
+            )
+        bounds = {
+            p: np.asarray(b, dtype=float) for p, b in prior_bounds.items()
+        }
+        if self.requires_bounded_prior and not all(
+            np.isfinite(b).all() for b in bounds.values()
+        ):
+            raise RuntimeError(
+                f"Reparameterisation {self.name} requires finite prior "
+                f"bounds. Received: {bounds}"
+            )
+        return bounds
 
     # ------------------------------------------------------------------
-    # Parameter-space plumbing (reference ``base.py:174-294``)
+    # Parameter-namespace plumbing.
+    #
+    # A chained reparameterisation may consume names that an earlier
+    # stage already moved into the prime space, so each stage records —
+    # per direction — which of its declared inputs live in x and which
+    # in x'. The API contract (method/property names, fallbacks before
+    # resolution) matches the reference (``nessai/reparameterisations/
+    # base.py:174-332``); the representation here is a per-direction
+    # space map rather than parallel lists.
     # ------------------------------------------------------------------
+    @staticmethod
+    def _partition_by_space(wanted, x_names, prime_names):
+        """Assign each requested name to the namespace that defines it
+        (x takes precedence over x'). Returns the ``{"x": [...],
+        "prime": [...]}`` map plus the names found in neither space."""
+        x_names = frozenset(x_names)
+        prime_names = frozenset(prime_names)
+        split = {"x": [], "prime": []}
+        unknown = []
+        for name in wanted:
+            if name in x_names:
+                split["x"].append(name)
+            elif name in prime_names:
+                split["prime"].append(name)
+            else:
+                unknown.append(name)
+        return split, unknown
+
+    def resolve_forward_input_spaces(
+        self, available_parameters, available_prime_parameters
+    ):
+        """Record which namespace each forward input lives in; returns
+        the inputs found in neither."""
+        self._fwd_split, unknown = self._partition_by_space(
+            self.input_parameters,
+            available_parameters,
+            available_prime_parameters,
+        )
+        return unknown
+
+    def resolve_inverse_input_spaces(
+        self, available_parameters, available_prime_parameters
+    ):
+        """Record which namespace each inverse input lives in; returns
+        the inverse inputs found in neither."""
+        self._inv_split, unknown = self._partition_by_space(
+            self.inverse_input_parameters,
+            available_parameters,
+            available_prime_parameters,
+        )
+        return unknown
+
     @property
     def input_parameters(self):
         return self._input_parameters
@@ -191,8 +240,9 @@ class Reparameterisation:
     @input_parameters.setter
     def input_parameters(self, value):
         self._input_parameters = self._format_parameters(value)
-        self._resolved_forward_inputs = False
-        self._resolved_inverse_inputs = False
+        # a new input set invalidates any previous namespace assignment
+        self._fwd_split = None
+        self._inv_split = None
 
     @property
     def parameters(self):
@@ -214,15 +264,18 @@ class Reparameterisation:
 
     @property
     def x_input_parameters(self):
-        """Resolved x-space forward inputs."""
-        if self._resolved_forward_inputs:
-            return self._x_input_parameters.copy()
-        return self.input_parameters.copy()
+        """Forward inputs living in the sampling (x) space; until
+        resolution runs, every input is assumed to."""
+        if self._fwd_split is None:
+            return list(self.input_parameters)
+        return list(self._fwd_split["x"])
 
     @property
     def x_prime_input_parameters(self):
-        """Resolved x'-space forward inputs."""
-        return self._x_prime_input_parameters.copy()
+        """Forward inputs an earlier stage already moved into x'."""
+        if self._fwd_split is None:
+            return []
+        return list(self._fwd_split["prime"])
 
     @property
     def prime_input_parameters(self):
@@ -231,128 +284,106 @@ class Reparameterisation:
 
     @property
     def x_output_parameters(self):
-        """All x-space parameters available after this
-        reparameterisation."""
-        return list(
-            dict.fromkeys(
-                self.x_input_parameters + self.auxiliary_parameters
-            )
-        )
+        """x-space names available downstream of this stage: its
+        x-space inputs plus any auxiliary fields it creates (first
+        occurrence wins)."""
+        out = []
+        for name in self.x_input_parameters + self.auxiliary_parameters:
+            if name not in out:
+                out.append(name)
+        return out
+
+    def _persistent_in(self, space):
+        if self._fwd_split is None:
+            return []
+        keep = self._fwd_split[space]
+        return [p for p in self.persistent_parameters if p in keep]
 
     @property
     def x_persistent_parameters(self):
-        """Resolved persistent x-space inputs."""
-        return self._x_persistent_parameters.copy()
+        """Persistent inputs that resolved to the x space."""
+        return self._persistent_in("x")
 
     @property
     def x_prime_persistent_parameters(self):
-        """Resolved persistent x'-space inputs."""
-        return self._x_prime_persistent_parameters.copy()
+        """Persistent inputs that resolved to the x' space."""
+        return self._persistent_in("prime")
 
     @property
     def x_inverse_input_parameters(self):
-        """Resolved x-space inverse inputs."""
-        return self._x_inverse_input_parameters.copy()
+        """Inverse inputs that resolved to the x space."""
+        if self._inv_split is None:
+            return []
+        return list(self._inv_split["x"])
 
     @property
     def x_prime_inverse_input_parameters(self):
-        """Resolved x'-space inverse inputs."""
-        return self._x_prime_inverse_input_parameters.copy()
+        """Inverse inputs that resolved to the x' space."""
+        if self._inv_split is None:
+            return []
+        return list(self._inv_split["prime"])
 
-    def resolve_forward_input_spaces(
-        self, available_parameters, available_prime_parameters
-    ):
-        """Resolve forward inputs against the x and prime namespaces.
-
-        Returns the list of input parameters found in neither space.
-        Reference: ``base.py:242-274``."""
-        x_inputs = []
-        prime_inputs = []
-        missing = []
-        for parameter in self.input_parameters:
-            if parameter in available_parameters:
-                x_inputs.append(parameter)
-            elif parameter in available_prime_parameters:
-                prime_inputs.append(parameter)
-            else:
-                missing.append(parameter)
-
-        self._x_input_parameters = x_inputs
-        self._x_prime_input_parameters = prime_inputs
-        self._x_persistent_parameters = [
-            p for p in self.persistent_parameters if p in x_inputs
-        ]
-        self._x_prime_persistent_parameters = [
-            p for p in self.persistent_parameters if p in prime_inputs
-        ]
-        self._resolved_forward_inputs = True
-        return missing
-
-    def resolve_inverse_input_spaces(
-        self, available_parameters, available_prime_parameters
-    ):
-        """Resolve inverse inputs against the x and prime namespaces.
-
-        Returns the list of inverse input parameters found in neither
-        space. Reference: ``base.py:276-294``."""
-        x_inputs = []
-        x_prime_inputs = []
-        missing = []
-        for parameter in self.inverse_input_parameters:
-            if parameter in available_parameters:
-                x_inputs.append(parameter)
-            elif parameter in available_prime_parameters:
-                x_prime_inputs.append(parameter)
-            else:
-                missing.append(parameter)
-
-        self._x_inverse_input_parameters = x_inputs
-        self._x_prime_inverse_input_parameters = x_prime_inputs
-        self._resolved_inverse_inputs = True
-        return missing
+    def _pick_array(self, parameter, x, x_prime):
+        """The structured array that currently holds ``parameter``:
+        x' for inputs resolved to the prime space, and — for anything
+        unresolved — whichever array's dtype carries the field (x
+        preferred, so auxiliary parameters resolve in either)."""
+        if parameter in self.x_prime_input_parameters:
+            if x_prime is None:
+                raise RuntimeError(
+                    f"Prime-space input `{parameter}` requested for "
+                    f"{self.name} but no x_prime array was provided."
+                )
+            return x_prime
+        if x_prime is None:
+            return x
+        if x.dtype.names is not None and parameter in x.dtype.names:
+            return x
+        return x_prime
 
     def get_parameter_value(self, parameter, x, x_prime=None):
-        """Read a parameter from whichever space defines it.
-
-        Routes to x' for resolved prime-space inputs (reference
-        ``base.py:296-312``); otherwise falls back to dtype membership
-        so auxiliary parameters living in either array resolve."""
-        x_prime_inputs = getattr(self, "_x_prime_input_parameters", [])
-        if not isinstance(x_prime_inputs, (list, tuple, set)):
-            x_prime_inputs = []
-        if parameter in x_prime_inputs:
-            if x_prime is None:
-                raise RuntimeError(
-                    f"Prime-space input `{parameter}` requested for "
-                    f"{self.name} but no x_prime array was provided."
-                )
-            return np.asarray(x_prime[parameter], dtype=float)
-        if (
-            x_prime is not None
-            and (x.dtype.names is None or parameter not in x.dtype.names)
-        ):
-            return np.asarray(x_prime[parameter], dtype=float)
-        return np.asarray(x[parameter], dtype=float)
+        """Read ``parameter`` from whichever space defines it."""
+        return np.asarray(
+            self._pick_array(parameter, x, x_prime)[parameter],
+            dtype=float,
+        )
 
     def set_parameter_value(self, parameter, value, x, x_prime=None):
-        """Write a parameter into whichever space defines it.
-
-        Reference: ``base.py:314-332``."""
-        x_prime_inputs = getattr(self, "_x_prime_input_parameters", [])
-        if not isinstance(x_prime_inputs, (list, tuple, set)):
-            x_prime_inputs = []
-        if parameter in x_prime_inputs:
-            if x_prime is None:
-                raise RuntimeError(
-                    f"Prime-space input `{parameter}` requested for "
-                    f"{self.name} but no x_prime array was provided."
-                )
-            x_prime[parameter] = value
-        elif x.dtype.names and parameter in x.dtype.names:
-            x[parameter] = value
-        else:
-            x_prime[parameter] = value
+        """Write ``parameter`` into whichever space defines it; returns
+        the (x, x_prime) pair."""
+        self._pick_array(parameter, x, x_prime)[parameter] = value
         return x, x_prime
+
+    def __setstate__(self, state):
+        """Migrate pickles from the parallel-list representation used
+        before 0.6."""
+        if "_fwd_split" not in state and "_x_input_parameters" in state:
+            if state.pop("_resolved_forward_inputs", False):
+                state["_fwd_split"] = {
+                    "x": state.get("_x_input_parameters", []),
+                    "prime": state.get("_x_prime_input_parameters", []),
+                }
+            else:
+                state["_fwd_split"] = None
+            if state.pop("_resolved_inverse_inputs", False):
+                state["_inv_split"] = {
+                    "x": state.get("_x_inverse_input_parameters", []),
+                    "prime": state.get(
+                        "_x_prime_inverse_input_parameters", []
+                    ),
+                }
+            else:
+                state["_inv_split"] = None
+            for legacy in (
+                "_x_input_parameters",
+                "_x_prime_input_parameters",
+                "_x_persistent_parameters",
+                "_x_prime_persistent_parameters",
+                "_x_inverse_input_parameters",
+                "_x_prime_inverse_input_parameters",
+            ):
+                state.pop(legacy, None)
+        self.__dict__.update(state)
 
     @property
     def name(self) -> str:

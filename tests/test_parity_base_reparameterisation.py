@@ -213,7 +213,7 @@ def test_get_parameter_value_from_x():
 
 def test_get_parameter_value_from_x_prime():
     reparam = Reparameterisation(parameters=["x"], prior_bounds={"x": [0, 1]})
-    reparam._x_prime_input_parameters = ["x"]
+    reparam.resolve_forward_input_spaces([], ["x"])
     x = empty_structured_array(2, names=["x"])
     x["x"] = np.array([1.0, 2.0])
     x_prime = empty_structured_array(2, names=["x"])
@@ -224,7 +224,7 @@ def test_get_parameter_value_from_x_prime():
 
 def test_get_parameter_value_from_x_prime_missing_array():
     reparam = Reparameterisation(parameters=["x"], prior_bounds={"x": [0, 1]})
-    reparam._x_prime_input_parameters = ["x"]
+    reparam.resolve_forward_input_spaces([], ["x"])
     x = empty_structured_array(2, names=["x"])
     with pytest.raises(RuntimeError, match="no x_prime array was provided"):
         reparam.get_parameter_value("x", x)
@@ -242,7 +242,7 @@ def test_set_parameter_value_in_x():
 
 def test_set_parameter_value_in_x_prime():
     reparam = Reparameterisation(parameters=["x"], prior_bounds={"x": [0, 1]})
-    reparam._x_prime_input_parameters = ["x"]
+    reparam.resolve_forward_input_spaces([], ["x"])
     x = empty_structured_array(2, names=["x"])
     x_prime = empty_structured_array(2, names=["x"])
     x_out, x_prime_out = reparam.set_parameter_value(
@@ -254,7 +254,7 @@ def test_set_parameter_value_in_x_prime():
 
 def test_set_parameter_value_in_x_prime_missing_array():
     reparam = Reparameterisation(parameters=["x"], prior_bounds={"x": [0, 1]})
-    reparam._x_prime_input_parameters = ["x"]
+    reparam.resolve_forward_input_spaces([], ["x"])
     x = empty_structured_array(2, names=["x"])
     with pytest.raises(RuntimeError, match="no x_prime array was provided"):
         reparam.set_parameter_value("x", np.array([1.0, 2.0]), x)
