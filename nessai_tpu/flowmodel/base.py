@@ -984,6 +984,11 @@ class FlowModel:
         is_lars = isinstance(self.flow.base, ResampledGaussian)
         history = {"loss": [], "val_loss": []}
 
+        # Any previous train's latent cache is stale for this data
+        # regardless of which branch runs (the LARS branch ignores
+        # ``embed``), so clear it up front.
+        self.last_embedding = None
+
         if is_lars:
             # LARS needs a host-side MC update of the normalisation
             # constant between epochs — use the per-epoch path.
@@ -1032,7 +1037,6 @@ class FlowModel:
                 int(patience),
                 embed=use_embed,
             )
-            self.last_embedding = None
             if use_embed:
                 emb = np.asarray(embed, np.float32)
                 n_emb = emb.shape[0]

@@ -79,4 +79,8 @@ class Proposal(ABC):
     def __getstate__(self):
         state = self.__dict__.copy()
         state["model"] = None
+        # Device-populate eligibility depends on the bound model's
+        # hooks/bounds; a resumed run may rebind a modified model, so
+        # the verdict must be re-derived, never pickled.
+        state.pop("_device_populate_cached", None)
         return state

@@ -150,7 +150,9 @@ _add(None, NullReparameterisation)
 
 # the reference group name (``nessai/reparameterisations/utils.py:71``)
 # is scanned first so plugins written against the reference are
-# discovered unchanged; the native group wins on name clashes
+# discovered unchanged; the native group is scanned second and
+# overwrites on name clashes (later group wins), and a plugin that
+# fails to load is skipped with a warning rather than breaking import
 default_reparameterisations.add_external_reparameterisations(
     "nessai.reparameterisations"
 )

@@ -66,6 +66,17 @@ class ReparameterisationDict(dict):
         self[name] = KnownReparameterisation(name, class_fn, keyword_arguments)
 
     def add_external_reparameterisations(self, group: str):
+        """Register plugins from an entry-point group.
+
+        A broken plugin must not break ``import nessai_tpu`` (this runs
+        at import time), so each entry loads inside its own try/except.
+        Later groups overwrite earlier ones on a name clash — callers
+        scan the reference group before the native one so native
+        definitions win. Plugins are accepted by shape (``name`` /
+        ``class_fn`` / ``keyword_arguments``) rather than by class, so
+        entries built against the reference's
+        ``KnownReparameterisation`` register unchanged.
+        """
         from ..utils.entry_points import get_entry_points
 
         try:
@@ -73,16 +84,29 @@ class ReparameterisationDict(dict):
         except Exception:  # pragma: no cover
             eps = {}
         for ep in eps.values():
-            known = ep.load()
-            if not isinstance(known, KnownReparameterisation):
+            try:
+                known = ep.load()
+            except Exception:
+                logger.warning(
+                    "Could not load reparameterisation entry point %s",
+                    ep,
+                    exc_info=True,
+                )
+                continue
+            if not all(
+                hasattr(known, attr)
+                for attr in ("name", "class_fn", "keyword_arguments")
+            ):
                 logger.warning(
                     "Skipping entry point %s: not a KnownReparameterisation",
                     ep,
                 )
                 continue
             if known.name in self:
-                raise ValueError(
-                    f"Reparameterisation {known.name} already registered"
+                logger.debug(
+                    "Entry point %s overrides reparameterisation %s",
+                    ep,
+                    known.name,
                 )
             self[known.name] = known
 

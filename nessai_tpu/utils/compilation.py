@@ -60,12 +60,14 @@ def enable_compilation_cache(cache_dir=None) -> bool:
         # server-compiled executables whose CPU features mismatch the
         # local host (XLA:CPU AOT load failures + fallback churn).
         on_tpu = backend not in ("cpu", "unknown")
+        low_threshold = on_tpu and _exclude_cpu_programs_from_cache()
+        # Without the CPU filter, a low threshold would persist cheap
+        # server-compiled CPU programs (the AOT feature-mismatch /
+        # SIGILL hazard above) — keep the conservative 3 s threshold.
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
-            0.2 if on_tpu else 3.0,
+            0.2 if low_threshold else 3.0,
         )
-        if on_tpu:
-            _exclude_cpu_programs_from_cache()
         _enabled = True
         logger.debug("Persistent compilation cache at %s", cache_dir)
         return True
@@ -74,9 +76,9 @@ def enable_compilation_cache(cache_dir=None) -> bool:
         return False
 
 
-def _exclude_cpu_programs_from_cache() -> None:
+def _exclude_cpu_programs_from_cache() -> bool:
     """Keep host-CPU programs out of the persistent cache on TPU
-    sessions.
+    sessions. Returns True when the filter is (already) installed.
 
     Under the remote-compile backend even ``cpu``-platform programs are
     compiled server-side, so persisted CPU executables carry the
@@ -88,11 +90,26 @@ def _exclude_cpu_programs_from_cache() -> None:
     moved, the cache simply behaves as stock JAX.
     """
     try:
+        import inspect
+
         from jax._src import compiler as _jc
 
         if getattr(_jc, "_nessai_tpu_cpu_cache_filter", False):
-            return
+            return True
         orig_read, orig_write = _jc._cache_read, _jc._cache_write
+
+        # The wrappers assume ``backend`` is the 4th positional
+        # parameter of both private hooks. If a JAX upgrade renames or
+        # reorders it, installing them would silently disable (or
+        # mis-apply) the filter — verify the signatures first and fall
+        # back to a write threshold that keeps the cheap CPU programs
+        # out instead.
+        for fn, pos in ((orig_read, 3), (orig_write, 3)):
+            names = list(inspect.signature(fn).parameters)
+            if len(names) <= pos or names[pos] != "backend":
+                raise RuntimeError(
+                    f"unexpected {fn.__name__} signature: {names}"
+                )
 
         def read(module_name, cache_key, compile_options, backend, *a, **k):
             if getattr(backend, "platform", None) == "cpu":
@@ -111,5 +128,7 @@ def _exclude_cpu_programs_from_cache() -> None:
         _jc._cache_read = read
         _jc._cache_write = write
         _jc._nessai_tpu_cpu_cache_filter = True
+        return True
     except Exception as e:  # pragma: no cover - best effort
         logger.debug("Could not install CPU cache filter: %s", e)
+        return False
