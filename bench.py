@@ -13,8 +13,18 @@ Prints ONE JSON line:
 time of this same benchmark measured at round 1 on one TPU v5e chip
 (the reference publishes no numbers and its torch stack is not
 installable here; see BASELINE.md). Values > 1 mean faster than round 1.
-The run is only reported if logZ lands within 5 sigma of the analytic
-value, so speed can't be bought with a broken sampler.
+The run is only reported if logZ lands within 2 sigma of the analytic
+value, so speed can't be bought with a broken sampler. (The 48-seed
+calibration study — VALIDATION.md — is the arbiter if this gate ever
+trips: mean pull +0.02 +/- 0.14 on this config, so a >2 sigma flagship
+result indicates a real regression, not seed luck.)
+
+Warm-up honesty: ``warmup_wall_s`` is tunnel-load dependent (identical
+runs measured 21.5-382 s; a calm window is ~15-45 s). The
+load-independent fields are ``n_compiles_cold`` / ``compile_time_s_cold``
+(true XLA backend compiles during the warm-up pass; persistent-cache
+hits don't count) and ``n_compiles_timed`` (expected 0 — the timed run
+must be compile-free).
 """
 
 import json
@@ -129,6 +139,10 @@ def _flops_report(fs) -> dict:
 def main():
     logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
 
+    from nessai_tpu.utils import programs
+
+    programs.install_compile_census()
+
     # Warm-up pass: compiles every device program (XLA compiles are
     # remote on this environment, 5-40 s each with large service-load
     # variance) into the process-global program cache + persistent
@@ -136,13 +150,15 @@ def main():
     # sampler performance with zero compiles — the regime any production
     # run reaches after its first iteration block.
     _, warmup_wall, _ = _run_with_retry("warmup")
+    cold = programs.compile_census()
 
     fs, wall, analytic = _run_with_retry("timed")
+    warm = programs.compile_census()
 
     logZ = float(fs.logZ)
     err = float(fs.log_evidence_error)
     n_sigma = float(abs(logZ - analytic) / max(err, 1e-6))
-    ok = bool(n_sigma < 5.0)
+    ok = bool(n_sigma < 2.0)
     train_s = fs.ns.training_time.total_seconds()
     pop_s = fs.ns._flow_proposal.population_time.total_seconds()
     lik_s = fs.ns.likelihood_evaluation_time.total_seconds()
@@ -164,9 +180,16 @@ def main():
         "training_time_s": round(float(train_s), 2),
         "population_time_s": round(float(pop_s), 2),
         "likelihood_time_s": round(float(lik_s), 2),
-        # Wall time of the untimed warm-up pass (dominated by remote XLA
-        # compiles; see module docstring).
+        # Wall time of the untimed warm-up pass. Tunnel-load dependent
+        # (21.5-382 s observed for identical builds); the fields below
+        # are the load-independent warm-up accounting — see docstring.
         "warmup_wall_s": round(float(warmup_wall), 2),
+        "n_compiles_cold": cold["n_compiles"],
+        "compile_time_s_cold": cold["compile_time_s"],
+        "n_compiles_timed": warm["n_compiles"] - cold["n_compiles"],
+        "compile_time_s_timed": round(
+            warm["compile_time_s"] - cold["compile_time_s"], 2
+        ),
     }
     result.update(_flops_report(fs))
     print(json.dumps(result))

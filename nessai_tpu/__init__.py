@@ -24,6 +24,14 @@ _LAZY = {
     "FlowModel": ("nessai_tpu.flowmodel", "FlowModel"),
     "FlowProposal": ("nessai_tpu.proposal", "FlowProposal"),
     "configure_logger": ("nessai_tpu.utils", "configure_logger"),
+    "multi_seed_evidence": (
+        "nessai_tpu.utils.multirun",
+        "multi_seed_evidence",
+    ),
+    "combine_log_evidence": (
+        "nessai_tpu.utils.multirun",
+        "combine_log_evidence",
+    ),
 }
 
 

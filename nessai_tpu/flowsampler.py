@@ -107,6 +107,22 @@ class FlowSampler:
             from .samplers.nestedsampler import NestedSampler
 
             SamplerClass = NestedSampler
+            if getattr(model, "dims", 0) >= 16:
+                # Measured recommendation, not a guess: the 8-seed 16-D
+                # control study (VALIDATION.md) found the standard
+                # sampler pulls +0.93 sigma (~+0.15 logZ) with error
+                # bars that are provable lower bounds, while the INS
+                # control on the same problem is unbiased.
+                logger.warning(
+                    "dims=%d >= 16: the standard sampler's logZ is "
+                    "measurably biased high in this regime (+0.9 sigma "
+                    "mean pull at 16-D; VALIDATION.md). The importance "
+                    "nested sampler is unbiased there — consider "
+                    "FlowSampler(..., importance_nested_sampler=True), "
+                    "or combine seeds with "
+                    "nessai_tpu.multi_seed_evidence.",
+                    model.dims,
+                )
         self._SamplerClass = SamplerClass
 
         self.save_kwargs(kwargs)

@@ -83,4 +83,7 @@ class Proposal(ABC):
         # hooks/bounds; a resumed run may rebind a modified model, so
         # the verdict must be re-derived, never pickled.
         state.pop("_device_populate_cached", None)
+        # per-populate scratch owned by the current sampler process
+        state.pop("_pending_ns_scan", None)
+        state.pop("_ns_scan_request", None)
         return state

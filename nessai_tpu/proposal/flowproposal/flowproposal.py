@@ -742,9 +742,30 @@ class FlowProposal(BaseFlowProposal):
         else:
             r_max = np.float32(np.inf)
 
+        # Pop-order permutation. When the pool likelihood is evaluated
+        # on device the permutation is drawn HERE — at a fixed point in
+        # the rng stream, before any proposal seeds — so it can be fed
+        # to the chained NS scan as a program input; _finalise_population
+        # then reuses it instead of drawing. (A permutation of the full
+        # capacity restricted to the filled prefix is a uniform
+        # permutation of the filled entries, so partial fills keep the
+        # reference pop-order semantics.)
+        self._early_perm = None
+        scan_req = getattr(self, "_ns_scan_request", None)
+        with_scan = bool(with_ll and scan_req is not None)
+        if with_ll:
+            self._early_perm = self.rng.permutation(cap)
+        if with_scan:
+            live32, max_acc = scan_req
+            n_live = int(live32.shape[0])
+            perm_rev = np.ascontiguousarray(
+                self._early_perm[::-1], dtype=np.int32
+            )
+        self._pending_ns_scan = None
+
         def fn(
             params, key, consts, r_max, lower, upper, log_p0, ll_data,
-            max_rounds,
+            max_rounds, live_logl=None, perm_rev=None, max_accepts=None,
         ):
             def body(state):
                 key, buf_x, buf_logq, count, n_prop = state
@@ -809,6 +830,22 @@ class FlowProposal(BaseFlowProposal):
                     buf_x if identity_gather else buf_x[:, model_idx]
                 )
                 log_l = device_ll(x_model, ll_data)
+                if with_scan:
+                    # Chain the NS consume/insert scan onto the
+                    # device-resident pool: same dispatch, same fetch
+                    # round — the stepping is free of host round trips.
+                    # Outputs are only meaningful when the buffer
+                    # filled (count >= cap); the host checks.
+                    from ...samplers.ns_device import scan_consume
+
+                    pool_pop = log_l[perm_rev]
+                    mask, consumed, ins, ids_f, n_acc = scan_consume(
+                        live_logl, pool_pop, max_accepts
+                    )
+                    return (
+                        buf_x, buf_logq, log_l, count, n_prop,
+                        mask, consumed, ins, ids_f, n_acc,
+                    )
                 return buf_x, buf_logq, log_l, count, n_prop
             return buf_x, buf_logq, count, n_prop
 
@@ -825,6 +862,7 @@ class FlowProposal(BaseFlowProposal):
             cap,
             sqrt_t,
             with_ll,
+            ("scan", n_live) if with_scan else None,
         )
         jit_fn = fm._jit(key, fn)
 
@@ -851,7 +889,7 @@ class FlowProposal(BaseFlowProposal):
             rounds = max(budget_call // B, 1)
             seed = int(self.rng.integers(2**31 - 1))
             consts = self._reparameterisation.jax_inverse_consts()
-            out = jit_fn(
+            args = (
                 fm.params,
                 jax.random.PRNGKey(seed),
                 consts,
@@ -862,13 +900,35 @@ class FlowProposal(BaseFlowProposal):
                 ll_data,
                 np.int32(rounds),
             )
+            if with_scan:
+                args = args + (
+                    jnp.asarray(live32, jnp.float32),
+                    jnp.asarray(perm_rev),
+                    jnp.int32(min(max_acc, 2**31 - 1)),
+                )
+            out = jit_fn(*args)
             out = arrays_to_host(*out)
+            if with_scan:
+                out, scan_raw = out[:5], out[5:]
             if with_ll:
                 buf_x, _, log_l, count, n_prop = out
             else:
                 buf_x, _, count, n_prop = out
                 log_l = None
             count = int(count)
+            if with_scan and filled == 0 and count >= cap:
+                # Scan outputs are valid only for a first-call complete
+                # fill: the scan saw exactly this call's buffer.
+                mask, consumed, ins, ids_f, n_acc = scan_raw
+                self._pending_ns_scan = dict(
+                    mask=np.asarray(mask, bool),
+                    consumed=np.asarray(consumed, np.int64),
+                    ins=np.asarray(ins, np.int64),
+                    final_ids=np.asarray(ids_f, np.int64),
+                    n_acc=int(n_acc),
+                    live32=np.asarray(live32, np.float32),
+                    max_acc=int(min(max_acc, 2**31 - 1)),
+                )
             n_prop = int(n_prop)
             k = min(count, cap - filled, cap)
             if k > 0:
@@ -1136,7 +1196,23 @@ class FlowProposal(BaseFlowProposal):
             self.acceptance.append(
                 self.compute_acceptance(worst_point["logL"])
             )
-        self.indices = self.rng.permutation(self.samples.size).tolist()
+        perm = getattr(self, "_early_perm", None)
+        if perm is not None:
+            # Drawn by the device-loop populate before its first
+            # dispatch (so the chained NS scan could take it as input);
+            # restricting a capacity permutation to the filled prefix
+            # is a uniform permutation of the filled entries.
+            self._early_perm = None
+            if len(perm) == self.samples.size:
+                self.indices = perm.tolist()
+            else:
+                self.indices = [
+                    int(i) for i in perm if i < self.samples.size
+                ]
+                # a partial fill invalidates any chained scan results
+                self._pending_ns_scan = None
+        else:
+            self.indices = self.rng.permutation(self.samples.size).tolist()
         self.population_acceptance = (
             n_accepted / n_proposed if n_proposed else np.nan
         )
@@ -1153,4 +1229,8 @@ class FlowProposal(BaseFlowProposal):
         state = super().__getstate__()
         # holds traced closures; rebuilt by initialise() on resume
         state["_device_inverse"] = None
+        # per-populate scratch owned by the current sampler process
+        state.pop("_pending_ns_scan", None)
+        state.pop("_ns_scan_request", None)
+        state.pop("_early_perm", None)
         return state

@@ -95,21 +95,71 @@ class RejectionProposal(AnalyticProposal):
         # prior draws are free and consumed like any others)
         N = _bucket_size(int(N))
 
+        # Pop-order permutation, drawn before the dispatch so the NS
+        # stepping scan can chain onto this program's device-resident
+        # pool (same dispatch, same fetch round — see
+        # NestedSampler._maybe_populate_for_device). The pool is always
+        # exactly N, so chained results are always valid.
+        perm = self.rng.permutation(N)
+        scan_req = getattr(self, "_ns_scan_request", None)
+        with_scan = scan_req is not None
+        self._pending_ns_scan = None
+        if with_scan:
+            live32, max_acc = scan_req
+            n_live = int(live32.shape[0])
+            perm_rev = np.ascontiguousarray(perm[::-1], dtype=np.int32)
+
         def build():
-            def fn(key, lower, upper, data):
+            def fn(
+                key, lower, upper, data,
+                live_logl=None, perm_rev=None, max_accepts=None,
+            ):
                 u = jax.random.uniform(key, (N, d), jnp.float32)
                 x = lower + u * (upper - lower)
-                return x, ll_fn(x, data)
+                log_l = ll_fn(x, data)
+                if with_scan:
+                    from ..samplers.ns_device import scan_consume
+
+                    scan = scan_consume(
+                        live_logl, log_l[perm_rev], max_accepts
+                    )
+                    return (x, log_l) + scan
+                return x, log_l
 
             return jax.jit(fn)
 
         prog = get_program(
-            ("rej_populate", m.program_fingerprint, N, d), build
+            (
+                "rej_populate",
+                m.program_fingerprint,
+                N,
+                d,
+                ("scan", n_live) if with_scan else None,
+            ),
+            build,
         )
         seed = int(self.rng.integers(2**31 - 1))
-        x_arr, log_l = arrays_to_host(
-            *prog(jax.random.PRNGKey(seed), lower, upper, ll_data)
-        )
+        args = (jax.random.PRNGKey(seed), lower, upper, ll_data)
+        if with_scan:
+            args = args + (
+                jnp.asarray(live32, jnp.float32),
+                jnp.asarray(perm_rev),
+                jnp.int32(min(max_acc, 2**31 - 1)),
+            )
+        out = arrays_to_host(*prog(*args))
+        if with_scan:
+            x_arr, log_l, mask, consumed, ins, ids_f, n_acc = out
+            self._pending_ns_scan = dict(
+                mask=np.asarray(mask, bool),
+                consumed=np.asarray(consumed, np.int64),
+                ins=np.asarray(ins, np.int64),
+                final_ids=np.asarray(ids_f, np.int64),
+                n_acc=int(n_acc),
+                live32=np.asarray(live32, np.float32),
+                max_acc=int(min(max_acc, 2**31 - 1)),
+            )
+        else:
+            x_arr, log_l = out
         samples = empty_structured_array(N, names=m.names)
         x64 = np.asarray(x_arr, np.float64)
         for i, name in enumerate(m.names):
@@ -124,7 +174,7 @@ class RejectionProposal(AnalyticProposal):
         m.likelihood_evaluations += N
         self.samples = samples
         self.population_acceptance = 1.0
-        self.indices = self.rng.permutation(N).tolist()
+        self.indices = perm.tolist()
 
     def draw_proposal(self, N=None):
         """Draw ``N`` (default ``poolsize``) points from the proposal

@@ -1240,11 +1240,18 @@ class ImportanceNestedSampler(BaseNestedSampler):
         if self.bootstrap:
             self.adjust_final_samples()
         logger.info("Final KL divergence: %.3f", self.kl_divergence())
+        # Level count drives INS wall time (wall correlates 0.94 with
+        # levels across seeds; roughly quadratic via the growing
+        # [n, n_levels] log_q updates — VALIDATION.md "INS wall-time
+        # variance"), so surface it with the result: two runs of the
+        # same config are only wall-comparable at similar level counts.
         logger.info(
-            "Final log Z: %.3f +/- %.3f (ESS %.1f)",
+            "Final log Z: %.3f +/- %.3f (ESS %.1f; %d proposal levels "
+            "— wall time scales ~quadratically with levels)",
             self.state.log_evidence,
             self.state.log_evidence_error,
             self.state.effective_n_posterior_samples,
+            self.proposal.n_proposals,
         )
         # Heavy-tailed importance weights (meta-proposal under-fitting
         # the posterior, e.g. curved degeneracies) bias logZ low while
@@ -1631,6 +1638,12 @@ class ImportanceNestedSampler(BaseNestedSampler):
                 draw_final_samples_time=(
                     self.draw_final_samples_time.total_seconds()
                 ),
+                # Run-shape honesty (TPU addition): the number of
+                # proposal levels the adaptive construction ran. Wall
+                # time scales ~quadratically with this seed-dependent
+                # count (r = 0.94 across seeds, VALIDATION.md), so it is
+                # the context needed to compare wall times across runs.
+                n_levels=self.proposal.n_proposals,
             )
         )
         # reference result fields (``importancesampler.py:2243-2280``)

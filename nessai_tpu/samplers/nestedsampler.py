@@ -110,9 +110,12 @@ class NestedSampler(BaseNestedSampler):
         )
         self.prior_sampling = prior_sampling
         self.batched_bookkeeping = batched_bookkeeping
-        #: Replay populated pools with the device ``lax.scan`` stepping
-        #: program (see :mod:`nessai_tpu.samplers.ns_device`); falls back
-        #: to the host batched pass when ineligible.
+        #: Chain the device ``lax.scan`` stepping program onto the
+        #: fused populate dispatch so each pool's consume/insert
+        #: trajectory rides the populate fetch (see
+        #: :mod:`nessai_tpu.samplers.ns_device` and
+        #: :meth:`_maybe_populate_for_device`); falls back to the host
+        #: batched pass when ineligible.
         self.device_bookkeeping = device_bookkeeping
         #: Draw the simulated-volumes logZ error at finalisation
         #: (True -> 500 draws, int -> that many, False/0 -> skip).
@@ -430,7 +433,8 @@ class NestedSampler(BaseNestedSampler):
                 "(flow-proposal correlations add scatter no single-run "
                 "volume statistic can see; VALIDATION.md 16-D study). "
                 "Consider importance_nested_sampler=True, a larger "
-                "nlive, or multi-seed runs.",
+                "nlive, or multi-seed runs "
+                "(nessai_tpu.multi_seed_evidence).",
                 (
                     "Final insertion-index KS test failed"
                     if ks_failed
@@ -743,7 +747,10 @@ class NestedSampler(BaseNestedSampler):
             - self.state.logZ
         )
 
-        count_total = 0
+        # pops already performed towards this iteration by a device-mode
+        # pool-tail drain (see _drain_rejected_tail)
+        count_total = getattr(self, "_count_carry", 0)
+        self._count_carry = 0
         while True:
             fast = self._pop_pool_vectorised()
             if fast is not None:
@@ -877,6 +884,10 @@ class NestedSampler(BaseNestedSampler):
         buf_info = []
         buf_grads = []
         n_done = 0
+        # pops already performed towards the first iteration by a
+        # device-mode pool-tail drain (see _drain_rejected_tail)
+        carry = getattr(self, "_count_carry", 0)
+        self._count_carry = 0
 
         def _sync():
             self.iteration = it
@@ -922,6 +933,7 @@ class NestedSampler(BaseNestedSampler):
                 # rewind and let consume_sample() drain them so training /
                 # repopulation happen exactly as in the sequential path
                 j = K - (cnt - 1)
+                self._count_carry = carry
                 break
             last_w = w
             # ---- evidence increment (mirrors _NSIntegralState.increment
@@ -977,7 +989,8 @@ class NestedSampler(BaseNestedSampler):
             pid = n + j
             j += 1
             accepted += 1
-            block_acc += 1.0 / cnt
+            block_acc += 1.0 / (cnt + carry)
+            carry = 0
             R_it[pid] = it
             idx = int(searchsorted(llogL, p))
             llogL[0 : idx - 1] = llogL[1:idx]
@@ -1026,18 +1039,17 @@ class NestedSampler(BaseNestedSampler):
     # Device-side NS stepping (SURVEY.md §7 axis 2)
     # ------------------------------------------------------------------
     def _device_step_eligible(self):
-        """Inputs for the device stepping pass, or None when the host
+        """Inputs for the device stepping commit, or None when the host
         paths must run instead.
 
-        Eligibility: flow phase (the uninformed phase's switch condition
-        depends on float-accumulated acceptance; the host pass covers
-        it), a populated finite-logL pool, the plain integrator, plotting
-        off (boundary state plots need the mid-pool live set, which only
-        the host pass reconstructs), and every logL value exactly
-        float32-representable so the device's f32 comparisons reproduce
-        the host's f64 ordering bit-for-bit (automatic for
+        Validates: a populated finite-logL pool, the plain integrator,
+        plotting off (boundary state plots need the mid-pool live set,
+        which only the host pass reconstructs), and every logL value
+        exactly float32-representable so the device's f32 comparisons
+        reproduce the host's f64 ordering bit-for-bit (automatic for
         device-evaluated likelihoods; host callback models in full f64
-        fall back).
+        fall back). Phase rules (which proposals can chain the scan)
+        live in :meth:`_maybe_populate_for_device`.
         """
         if not getattr(self, "device_bookkeeping", False):
             return None
@@ -1045,9 +1057,7 @@ class NestedSampler(BaseNestedSampler):
         indices = getattr(proposal, "indices", None)
         samples = getattr(proposal, "samples", None)
         if (
-            self.uninformed_sampling
-            or self.plot
-            or not self.completed_training
+            self.plot
             or not getattr(proposal, "populated", False)
             or not indices
             or samples is None
@@ -1056,7 +1066,7 @@ class NestedSampler(BaseNestedSampler):
         if type(self.state) is not _NSIntegralState:
             return None
         order = np.asarray(indices[::-1], dtype=np.int64)
-        if order.size < 16:
+        if not order.size:
             return None
         pool_logL = np.ascontiguousarray(
             samples["logL"][order], dtype=np.float64
@@ -1080,14 +1090,128 @@ class NestedSampler(BaseNestedSampler):
             return None
         return order, pool_logL, live32, pool32
 
+    def _drain_rejected_tail(self) -> None:
+        """Drain a trailing all-reject pool segment exactly as
+        ``yield_sample`` would, so the *next* pool can be populated by
+        :meth:`_maybe_populate_for_device` with the stepping scan
+        chained (a device commit stops at the pool's last accept; the
+        sequential path would otherwise drain the tail, train and
+        populate inside ``consume_sample`` — invisible to the hook).
+
+        The drained pops count towards the next accepted iteration's
+        draw count (``_count_carry``, consumed by whichever path
+        commits that iteration), the pool-exhaustion event increments
+        ``rejected`` and runs ``check_state`` (training), mirroring the
+        reject branch of ``consume_sample`` /
+        ``nessai/samplers/nestedsampler.py:688-695``.
+        """
+        if not getattr(self, "device_bookkeeping", False):
+            return
+        proposal = self.proposal
+        if (
+            not getattr(proposal, "populated", False)
+            or type(self.state) is not _NSIntegralState
+        ):
+            return
+        indices = getattr(proposal, "indices", None)
+        samples = getattr(proposal, "samples", None)
+        if not indices or samples is None or self.live_points is None:
+            return
+        logLs = samples["logL"][indices]
+        # the next iteration's threshold is the current worst live point
+        next_worst = float(self.live_points["logL"][0])
+        if not np.all(np.isfinite(logLs)) or np.any(logLs > next_worst):
+            return
+        self._count_carry = getattr(self, "_count_carry", 0) + len(
+            indices
+        )
+        del indices[:]
+        proposal.populated = False
+        self.rejected += 1
+        self.check_state()
+        self._yield_iter = self.yield_sample(self.live_points[0])
+
+    def _maybe_populate_for_device(self) -> None:
+        """Populate an exhausted pool through the proposal's fused
+        device loop with the NS stepping scan *chained onto the same
+        dispatch* (``FlowProposal._device_loop_populate``), so the
+        whole consume/insert trajectory comes back in the populate
+        fetch — zero extra device round trips versus the host pass
+        (a standalone scan dispatch measured as a net LOSS through
+        the remote tunnel: +71 dispatches / +6 s on the 16-D config).
+
+        Mirrors the proposal's own populate trigger exactly —
+        ``BaseFlowProposal.draw`` in the flow phase (poolsize
+        adaptation, worst point, while-not-populated),
+        ``AnalyticProposal.draw`` in the uninformed phase — so the rng
+        stream and pool contents are identical to the host path; it
+        only *additionally* requests the scan.
+        """
+        if not getattr(self, "device_bookkeeping", False):
+            return
+        proposal = self.proposal
+        if (
+            self.plot
+            or getattr(proposal, "populated", False)
+            or type(self.state) is not _NSIntegralState
+            or self.live_points is None
+        ):
+            return
+        uninformed = self.uninformed_sampling
+        if uninformed:
+            # chaining needs the one-dispatch prior populate with a
+            # device likelihood (pool logL must exist on device)
+            if not getattr(proposal, "_device_populate_ok", False):
+                return
+        else:
+            # chaining needs the fused device-loop populate and a
+            # device likelihood
+            if not (
+                self.completed_training
+                and getattr(proposal, "_can_device_loop", False)
+                and getattr(proposal, "populate_mode", None) != "rounds"
+                and getattr(self.model, "has_jax_likelihood", False)
+            ):
+                return
+        live_logL = np.ascontiguousarray(
+            self.live_points["logL"], dtype=np.float64
+        )
+        if not np.all(np.isfinite(live_logL)):
+            return
+        live32 = live_logL.astype(np.float32)
+        if not np.array_equal(live32.astype(np.float64), live_logL):
+            return
+        if self.max_iteration and np.isfinite(self.max_iteration):
+            max_acc = int(self.max_iteration) - self.iteration
+            if max_acc <= 0:
+                return
+        else:
+            max_acc = 2**31 - 1
+        proposal._ns_scan_request = (live32, max_acc)
+        try:
+            if uninformed:
+                proposal.populate()
+            else:
+                if proposal.update_poolsize:
+                    proposal.update_poolsize_scale(proposal.ns_acceptance)
+                while not proposal.populated:
+                    proposal.populate(
+                        self.live_points[0].copy(),
+                        n_samples=proposal.poolsize,
+                    )
+                proposal._checked_population = False
+        finally:
+            proposal._ns_scan_request = None
+
     def _consume_from_pool_device(self) -> bool:
-        """Replay the consume/insert/evidence loop over the populated
-        pool with ONE device dispatch plus a vectorised host commit.
+        """Commit the device-computed consume/insert trajectory for the
+        pool just populated by :meth:`_maybe_populate_for_device`.
 
         The ordering-dependent part — skip/accept decisions, sorted
-        insertion, insertion indices, consumed-point identity — runs as
-        a ``lax.scan`` on device (:func:`~nessai_tpu.samplers.ns_device.
-        run_ns_scan`), replacing the reference's per-iteration host loop
+        insertion, insertion indices, consumed-point identity — ran as
+        a ``lax.scan`` chained inside the populate dispatch
+        (:func:`~nessai_tpu.samplers.ns_device.scan_consume`),
+        replacing the reference's per-iteration host loop
         (``nessai/samplers/nestedsampler.py:643-695,669``). The float64
         evidence recursion is then replayed on the host over the
         returned trajectory using the same sequential-semantics numpy
@@ -1101,11 +1225,15 @@ class NestedSampler(BaseNestedSampler):
 
         Returns True if at least one iteration was consumed.
         """
+        proposal = self.proposal
+        pending = getattr(proposal, "_pending_ns_scan", None)
+        if pending is None:
+            return False
+        proposal._pending_ns_scan = None
         elig = self._device_step_eligible()
         if elig is None:
             return False
         order, pool_logL, live32, pool32 = elig
-        proposal = self.proposal
         samples = proposal.samples
         indices = proposal.indices
         state = self.state
@@ -1118,18 +1246,20 @@ class NestedSampler(BaseNestedSampler):
                 return False
         else:
             max_acc = 2**31 - 1
-        try:
-            from .ns_device import run_ns_scan
-
-            mask, consumed_all, ins_all, final_ids, n_acc = run_ns_scan(
-                live32, pool32, max_acc
-            )
-        except Exception:
-            logger.debug(
-                "Device NS stepping unavailable; using host pass",
-                exc_info=True,
-            )
+        # the chained scan must have seen exactly this live set, pool
+        # and accept cap (all set up by _maybe_populate_for_device in
+        # the same loop pass; mismatches mean something intervened)
+        if (
+            pending["mask"].shape[0] != order.size
+            or pending["max_acc"] != min(max_acc, 2**31 - 1)
+            or not np.array_equal(pending["live32"], live32)
+        ):
             return False
+        mask = pending["mask"]
+        consumed_all = pending["consumed"]
+        ins_all = pending["ins"]
+        final_ids = pending["final_ids"]
+        n_acc = pending["n_acc"]
         if n_acc == 0:
             return False
 
@@ -1171,13 +1301,51 @@ class NestedSampler(BaseNestedSampler):
         logLmax_post = np.maximum(logLmax0, run_max)
         cond_tr = np.logaddexp(logZ_tr, logLmax_pre + logw_post) - logZ_tr
 
+        # ---- acceptance bookkeeping: per-replacement pop counts from
+        # the accept positions; strict left-fold accumulation. The
+        # first accept also owns any pops drained from the previous
+        # pool's rejected tail (_drain_rejected_tail).
+        cnt = np.diff(np.concatenate(([-1], pos))).astype(np.float64)
+        cnt[0] += getattr(self, "_count_carry", 0)
+        self._count_carry = 0
+        ba_tr = np.add.accumulate(
+            np.concatenate(([self.block_acceptance], 1.0 / cnt))
+        )[1:]
+        block_it_tr = self.block_iteration + 1 + np.arange(n_acc)
+        mean_acc_tr = ba_tr / np.maximum(block_it_tr - 1, 1)
+
         # ---- stopping decision (checked after each replacement, as the
         # sequential loop's top-of-iteration test does)
         tol = self.tolerance
         below = np.nonzero(cond_tr <= tol)[0]
         n_commit = int(below[0]) + 1 if below.size else int(n_acc)
+        if self.uninformed_sampling:
+            # check_proposal_switch fires at the top of each iteration
+            # on the mean acceptance / iteration cap (reference
+            # ``nestedsampler.py:826``): before consuming commit step k
+            # the loop sees the mean after step k-1 and it0 + k. k = 0
+            # never fires (check_state just ran with the same values).
+            mean_top = np.concatenate(
+                ([self.mean_block_acceptance], mean_acc_tr[:-1])
+            )
+            it_top = it0 + np.arange(n_acc)
+            max_uninf = self.maximum_uninformed
+            if max_uninf is None:
+                max_uninf = np.inf
+            fire = (mean_top < self.uninformed_acceptance_threshold) | (
+                it_top >= max_uninf
+            )
+            fire[0] = False
+            hit = np.nonzero(fire)[0]
+            if hit.size:
+                n_commit = min(n_commit, int(hit[0]))
+                if n_commit == 0:  # pragma: no cover - defensive
+                    return False
         if n_commit < n_acc:
-            # recover the live set at the stopping point (once per run)
+            # recover the live set at the stopping point (once per run,
+            # or once at the uninformed->flow switch)
+            from .ns_device import run_ns_scan
+
             _, _, _, final_ids, n_chk = run_ns_scan(
                 live32, pool32, n_commit
             )
@@ -1193,6 +1361,9 @@ class NestedSampler(BaseNestedSampler):
             oldZ_tr = oldZ_tr[:n_commit]
             logLmax_post = logLmax_post[:n_commit]
             cond_tr = cond_tr[:n_commit]
+            ba_tr = ba_tr[:n_commit]
+            block_it_tr = block_it_tr[:n_commit]
+            mean_acc_tr = mean_acc_tr[:n_commit]
         j_commit = int(pos[-1]) + 1
         consumed_ids = consumed_all[pos]
 
@@ -1237,15 +1408,6 @@ class NestedSampler(BaseNestedSampler):
                 w[i],
             )
         state.nonmonotonic_count += int(nm.size)
-
-        # acceptance bookkeeping: per-replacement pop counts from the
-        # accept positions; strict left-fold accumulation
-        cnt = np.diff(np.concatenate(([-1], pos)))
-        ba_tr = np.add.accumulate(
-            np.concatenate(([self.block_acceptance], 1.0 / cnt))
-        )[1:]
-        block_it_tr = self.block_iteration + 1 + np.arange(n_commit)
-        mean_acc_tr = ba_tr / np.maximum(block_it_tr - 1, 1)
 
         grads = None
         if state.track_gradients:
@@ -1301,7 +1463,12 @@ class NestedSampler(BaseNestedSampler):
         if not indices:
             proposal.populated = False
         self._yield_iter = self.yield_sample(self.live_points[0])
-        self._flow_proposal.ns_acceptance = self.mean_block_acceptance
+        if not self.uninformed_sampling:
+            self._flow_proposal.ns_acceptance = self.mean_block_acceptance
+        elif hasattr(self._uninformed_proposal, "ns_acceptance"):
+            self._uninformed_proposal.ns_acceptance = (
+                self.mean_block_acceptance
+            )
         self._n_device_steps = (
             getattr(self, "_n_device_steps", 0) + n_commit
         )
@@ -1466,6 +1633,9 @@ class NestedSampler(BaseNestedSampler):
 
         while self.condition > self.tolerance:
             self.check_state()
+            if self.batched_bookkeeping:
+                self._drain_rejected_tail()
+                self._maybe_populate_for_device()
             if not (
                 self.batched_bookkeeping
                 and (

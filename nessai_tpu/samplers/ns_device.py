@@ -36,56 +36,67 @@ from ..flowmodel.base import _bucket_size
 from ..utils.programs import get_program
 from ..utils.transfer import arrays_to_host
 
-__all__ = ["run_ns_scan"]
+__all__ = ["run_ns_scan", "scan_consume"]
 
 
-def _build_scan(n: int, kb: int):
-    """Compile the (nlive=n, poolbucket=kb) stepping program."""
+def scan_consume(live_logl, pool_logl, max_accepts):
+    """Traceable consume/insert scan (usable inside other programs —
+    the fused populate chains it onto its device-resident pool so the
+    stepping costs no extra dispatch).
+
+    ``live_logl``: (n,) sorted ascending; ``pool_logl``: (K,) in pop
+    order. Returns ``(mask[K], consumed_ids[K], insertion_idx[K],
+    final_live_ids[n], n_accepted)`` with ids indexing
+    ``concat(live, pool_in_pop_order)``.
+    """
     import jax
     import jax.numpy as jnp
 
-    ar = np.arange(n, dtype=np.int32)
-    pids = np.arange(n, n + kb, dtype=np.int32)
+    n = int(live_logl.shape[0])
+    k = int(pool_logl.shape[0])
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    pids = jnp.arange(n, n + k, dtype=jnp.int32)
 
-    def fn(live_logl, pool_logl, max_accepts):
-        live_ids0 = jnp.asarray(ar)
-        arange_n = jnp.asarray(ar)
-
-        def step(carry, inp):
-            live, ids, n_acc = carry
-            p, pid = inp
-            ok = (p > live[0]) & (n_acc < max_accepts)
-            # side='left' searchsorted: number of elements strictly < p
-            idx = jnp.sum(live < p).astype(jnp.int32)
-            consumed = ids[0]
-            # drop the worst (slot 0), shift everything below the
-            # insertion point down one, place the candidate at idx-1:
-            # new[k] = old[k+1] for k < idx-1; new[idx-1] = p;
-            # new[k] = old[k] for k >= idx
-            src = jnp.minimum(
-                arange_n + (arange_n < idx - 1).astype(jnp.int32), n - 1
-            )
-            at = arange_n == idx - 1
-            new_live = jnp.where(at, p, live[src])
-            new_ids = jnp.where(at, pid, ids[src])
-            live = jnp.where(ok, new_live, live)
-            ids = jnp.where(ok, new_ids, ids)
-            n_acc = n_acc + ok.astype(jnp.int32)
-            out = (
-                ok,
-                jnp.where(ok, consumed, jnp.int32(-1)),
-                idx - 1,
-            )
-            return (live, ids, n_acc), out
-
-        (_, ids_f, n_acc), (mask, consumed, ins) = jax.lax.scan(
-            step,
-            (live_logl, live_ids0, jnp.int32(0)),
-            (pool_logl, jnp.asarray(pids)),
+    def step(carry, inp):
+        live, ids, n_acc = carry
+        p, pid = inp
+        ok = (p > live[0]) & (n_acc < max_accepts)
+        # side='left' searchsorted: number of elements strictly < p
+        idx = jnp.sum(live < p).astype(jnp.int32)
+        consumed = ids[0]
+        # drop the worst (slot 0), shift everything below the
+        # insertion point down one, place the candidate at idx-1:
+        # new[k] = old[k+1] for k < idx-1; new[idx-1] = p;
+        # new[k] = old[k] for k >= idx
+        src = jnp.minimum(
+            arange_n + (arange_n < idx - 1).astype(jnp.int32), n - 1
         )
-        return mask, consumed, ins, ids_f, n_acc
+        at = arange_n == idx - 1
+        new_live = jnp.where(at, p, live[src])
+        new_ids = jnp.where(at, pid, ids[src])
+        live = jnp.where(ok, new_live, live)
+        ids = jnp.where(ok, new_ids, ids)
+        n_acc = n_acc + ok.astype(jnp.int32)
+        out = (
+            ok,
+            jnp.where(ok, consumed, jnp.int32(-1)),
+            idx - 1,
+        )
+        return (live, ids, n_acc), out
 
-    return jax.jit(fn)
+    (_, ids_f, n_acc), (mask, consumed, ins) = jax.lax.scan(
+        step,
+        (live_logl, arange_n, jnp.int32(0)),
+        (pool_logl, pids),
+    )
+    return mask, consumed, ins, ids_f, n_acc
+
+
+def _build_scan(n: int, kb: int):
+    """Compile the (nlive=n, poolbucket=kb) standalone stepping program."""
+    import jax
+
+    return jax.jit(scan_consume)
 
 
 def run_ns_scan(live32, pool32, max_accepts: int):

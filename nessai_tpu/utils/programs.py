@@ -33,10 +33,48 @@ __all__ = [
     "n_programs",
     "n_dispatches",
     "reset_dispatch_count",
+    "install_compile_census",
+    "compile_census",
 ]
 
 _CACHE = {}
 _DISPATCH_COUNT = 0
+_COMPILES = []
+_CENSUS_INSTALLED = False
+
+
+def install_compile_census() -> bool:
+    """Record every XLA backend compile (count + duration) in this
+    process via jax's monitoring events. Persistent-cache hits do NOT
+    fire the event, so the census separates true compile cost from
+    tunnel/service stalls — the *count* is fully load-independent,
+    the summed duration is compile-service time only. Idempotent;
+    returns True once installed."""
+    global _CENSUS_INSTALLED
+    if _CENSUS_INSTALLED:
+        return True
+    try:
+        from jax._src import monitoring
+
+        def _listener(event, duration, **kwargs):
+            if event == "/jax/core/compile/backend_compile_duration":
+                _COMPILES.append(float(duration))
+
+        monitoring.register_event_duration_secs_listener(_listener)
+        _CENSUS_INSTALLED = True
+        return True
+    except Exception:  # pragma: no cover - monitoring API moved
+        logger.debug("Could not install compile census", exc_info=True)
+        return False
+
+
+def compile_census() -> dict:
+    """Backend compiles so far: ``{"n_compiles": int,
+    "compile_time_s": float}`` (zeros until the census is installed)."""
+    return {
+        "n_compiles": len(_COMPILES),
+        "compile_time_s": round(sum(_COMPILES), 2),
+    }
 
 
 def _counting(fn):

@@ -202,3 +202,56 @@ def test_lars_train_clears_last_embedding():
     fm.last_embedding = ("stale", "stale", 1)
     fm.train(data, max_epochs=1)
     assert fm.last_embedding is None
+
+
+def test_compile_census_counts_backend_compiles():
+    """The census counts true XLA backend compiles (cache hits and
+    repeat dispatches don't count)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nessai_tpu.utils import programs
+
+    assert programs.install_compile_census() is True
+    before = programs.compile_census()["n_compiles"]
+
+    @jax.jit
+    def f(x):
+        return jnp.sin(x) * 3.25 + jnp.cos(x)
+
+    f(jnp.ones(17)).block_until_ready()
+    mid = programs.compile_census()
+    assert mid["n_compiles"] > before
+    f(jnp.ones(17)).block_until_ready()  # cached: no new compile
+    after = programs.compile_census()
+    assert after["n_compiles"] == mid["n_compiles"]
+    assert after["compile_time_s"] >= 0.0
+
+
+@pytest.mark.integration_test
+def test_ins_result_reports_level_count(tmp_path):
+    """The INS result dict carries the level count (the run-shape
+    context for wall-time comparisons)."""
+    from nessai_tpu.flowsampler import FlowSampler
+    from nessai_tpu.utils.testing import IntegrationTestModel
+
+    model = IntegrationTestModel(2)
+    model.set_rng(np.random.default_rng(8))
+    fs = FlowSampler(
+        model,
+        output=str(tmp_path),
+        importance_nested_sampler=True,
+        nlive=100,
+        min_samples=10,
+        max_iteration=3,
+        seed=42,
+        resume=False,
+        plot=False,
+        checkpointing=False,
+        flow_config=dict(n_blocks=2, n_neurons=4, n_layers=1),
+        training_config=dict(max_epochs=5, patience=3, batch_size=64),
+    )
+    fs.run(plot=False, save=False)
+    d = fs.ns.get_result_dictionary()
+    assert d["n_levels"] == fs.ns.proposal.n_proposals
+    assert d["n_levels"] >= 1
