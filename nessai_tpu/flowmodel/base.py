@@ -905,8 +905,15 @@ class FlowModel:
         sync: bool = True,
         output=None,
         embed=None,
+        save: bool = True,
     ):
         """Train the flow on samples. Returns the training history dict.
+
+        ``save=False`` skips the per-train weights pickle. The file is
+        only ever read at resume, so a run with checkpointing disabled
+        passes False to keep the ~50 ms/tree device→host transfer (and
+        its tunnel-bandwidth contention with the sampling hot path) off
+        the run entirely.
 
         ``embed``: optional ``[n, d]`` array to pass through
         ``forward_and_log_prob`` under the best parameters INSIDE the
@@ -1084,7 +1091,7 @@ class FlowModel:
                 self._pending_history.append(
                     (loss_hist, val_hist, n_epochs)
                 )
-                if out_dir is not None:
+                if out_dir is not None and save:
                     self.save_weights(
                         os.path.join(out_dir, "model.pkl"),
                         blocking=False,
@@ -1106,7 +1113,7 @@ class FlowModel:
             )
         self.history["loss"].extend(history["loss"])
         self.history["val_loss"].extend(history["val_loss"])
-        if out_dir is not None:
+        if out_dir is not None and save:
             # async: overlaps the ~50 ms transfer+pickle with the
             # sampling that follows this training block
             self.save_weights(

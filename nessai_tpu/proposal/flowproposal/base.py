@@ -760,6 +760,9 @@ class BaseFlowProposal(RejectionProposal):
             plot=self._plot_training and plot,
             sync=False,
             embed=x_prime_array,
+            # weights pickles exist for resume only; a non-checkpointing
+            # sampler sets this False (see configure_flow_proposal)
+            save=getattr(self, "save_flow_weights", True),
         )
         emb = getattr(self.flow, "last_embedding", None)
         if emb is not None:

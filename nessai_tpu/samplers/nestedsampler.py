@@ -296,6 +296,10 @@ class NestedSampler(BaseNestedSampler):
             rng=self.rng,
             **kwargs,
         )
+        # per-train weights pickles exist only for resume; skip the
+        # device→host transfer + pickle entirely when the sampler will
+        # never checkpoint (FlowModel.train ``save`` kwarg)
+        self._flow_proposal.save_flow_weights = bool(self.checkpointing)
 
     @property
     def flow_proposal(self):

@@ -32,6 +32,7 @@ __all__ = [
     "canonical",
     "n_programs",
     "n_dispatches",
+    "dispatch_census",
     "reset_dispatch_count",
     "install_compile_census",
     "compile_census",
@@ -39,6 +40,7 @@ __all__ = [
 
 _CACHE = {}
 _DISPATCH_COUNT = 0
+_DISPATCH_BY_KEY = {}
 _COMPILES = []
 _CENSUS_INSTALLED = False
 
@@ -77,15 +79,24 @@ def compile_census() -> dict:
     }
 
 
-def _counting(fn):
+def _counting(fn, key=None):
     """Count calls of a cached program (each call is one device
     dispatch — through the remote tunnel a dispatch costs ~15 ms RTT,
     so the census, not FLOPs, is the flagship-scale cost model)."""
+
+    # per-program tallies group on the key's string elements (the
+    # stable program family names) so shape-bucketed variants aggregate
+    if isinstance(key, tuple) and key:
+        parts = [p for p in key if isinstance(p, str)]
+        tag = ":".join(parts) if parts else str(key[0])
+    else:
+        tag = str(key)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         global _DISPATCH_COUNT
         _DISPATCH_COUNT += 1
+        _DISPATCH_BY_KEY[tag] = _DISPATCH_BY_KEY.get(tag, 0) + 1
         return fn(*args, **kwargs)
 
     wrapper.__wrapped__ = fn
@@ -97,9 +108,15 @@ def n_dispatches() -> int:
     return _DISPATCH_COUNT
 
 
+def dispatch_census() -> dict:
+    """Dispatch counts per program family (key's leading tag), a copy."""
+    return dict(_DISPATCH_BY_KEY)
+
+
 def reset_dispatch_count() -> None:
     global _DISPATCH_COUNT
     _DISPATCH_COUNT = 0
+    _DISPATCH_BY_KEY.clear()
 
 
 def get_program(key, builder):
@@ -108,11 +125,11 @@ def get_program(key, builder):
     if fn is None:
         fn = builder()
         if callable(fn):
-            fn = _counting(fn)
+            fn = _counting(fn, key)
         elif isinstance(fn, tuple):
             # some builders cache a tuple of programs
             fn = tuple(
-                _counting(f) if callable(f) else f for f in fn
+                _counting(f, key) if callable(f) else f for f in fn
             )
         _CACHE[key] = fn
         logger.debug("program cache miss: %s (now %d)", key, len(_CACHE))
