@@ -251,14 +251,25 @@ class _NSIntegralState:
         n_simulations = int(n_simulations)
         max_elems = int(getattr(self, "_sim_chunk_elems", 1e7))
         chunk = max(1, min(n_simulations, max_elems // max(n_iter, 1)))
+        # float32 scratch: the draw/cumsum/exp passes are memory-bound
+        # (n_iter × S elements — ~0.7 s of a warm 16-D finalise in
+        # f64), and an error *estimate* needs nowhere near f64 — the
+        # f32 cumsum's rounding (~sqrt(n_iter) · eps relative) is
+        # orders of magnitude below the estimate's own ~1/sqrt(2S)
+        # sampling noise. The matvec accumulates in f64.
+        dw32 = dw.astype(np.float32)
         out = np.empty(n_simulations)
         for s0 in range(0, n_simulations, chunk):
             s = min(chunk, n_simulations - s0)
-            e = rng.standard_exponential((s, n_iter))
-            e *= neg_inv_nlives
+            e = rng.standard_exponential(
+                (s, n_iter), dtype=np.float32
+            )
+            e *= neg_inv_nlives.astype(np.float32)
             np.cumsum(e, axis=1, out=e)
             np.exp(e, out=e)
-            out[s0 : s0 + s] = M + np.log(w0 + e @ dw)
+            out[s0 : s0 + s] = M + np.log(
+                w0 + e @ dw32, dtype=np.float64
+            )
         return out
 
     def log_evidence_error_simulated(

@@ -824,12 +824,20 @@ class FlowProposal(BaseFlowProposal):
                 cond, body, init
             )
             buf_x = buf_x[:cap]
-            buf_logq = buf_logq[:cap]
+            # Pack the outputs into TWO arrays (floats, ints): each
+            # fetched array costs one ~5-7 ms tunnel wait regardless of
+            # size (copy_to_host_async barely overlaps through the
+            # remote backend — measured round 5: 727 fetches were
+            # 4.6 s of the 16-D wall), so one float pack + one int pack
+            # per populate replaces up to 10 per-array waits.
+            floats = [buf_x.reshape(-1)]
+            ints = [count[None], n_prop[None]]
             if with_ll:
                 x_model = (
                     buf_x if identity_gather else buf_x[:, model_idx]
                 )
                 log_l = device_ll(x_model, ll_data)
+                floats.append(log_l)
                 if with_scan:
                     # Chain the NS consume/insert scan onto the
                     # device-resident pool: same dispatch, same fetch
@@ -842,12 +850,16 @@ class FlowProposal(BaseFlowProposal):
                     mask, consumed, ins, ids_f, n_acc = scan_consume(
                         live_logl, pool_pop, max_accepts
                     )
-                    return (
-                        buf_x, buf_logq, log_l, count, n_prop,
-                        mask, consumed, ins, ids_f, n_acc,
+                    ints.extend(
+                        [
+                            n_acc[None],
+                            mask.astype(jnp.int32),
+                            consumed,
+                            ins,
+                            ids_f,
+                        ]
                     )
-                return buf_x, buf_logq, log_l, count, n_prop
-            return buf_x, buf_logq, count, n_prop
+            return jnp.concatenate(floats), jnp.concatenate(ints)
 
         key = (
             "device_loop_populate",
@@ -906,30 +918,30 @@ class FlowProposal(BaseFlowProposal):
                     jnp.asarray(perm_rev),
                     jnp.int32(min(max_acc, 2**31 - 1)),
                 )
-            out = jit_fn(*args)
-            out = arrays_to_host(*out)
-            if with_scan:
-                out, scan_raw = out[:5], out[5:]
-            if with_ll:
-                buf_x, _, log_l, count, n_prop = out
-            else:
-                buf_x, _, count, n_prop = out
-                log_l = None
-            count = int(count)
+            fpack, ipack = arrays_to_host(*jit_fn(*args))
+            # unpack the float pack: buf_x rows, then (with_ll) log_l
+            nbx = cap * n_params
+            buf_x = fpack[:nbx].reshape(cap, n_params)
+            log_l = fpack[nbx : nbx + cap] if with_ll else None
+            count = int(ipack[0])
+            n_prop = int(ipack[1])
             if with_scan and filled == 0 and count >= cap:
                 # Scan outputs are valid only for a first-call complete
                 # fill: the scan saw exactly this call's buffer.
-                mask, consumed, ins, ids_f, n_acc = scan_raw
+                o = 3
                 self._pending_ns_scan = dict(
-                    mask=np.asarray(mask, bool),
-                    consumed=np.asarray(consumed, np.int64),
-                    ins=np.asarray(ins, np.int64),
-                    final_ids=np.asarray(ids_f, np.int64),
-                    n_acc=int(n_acc),
+                    mask=ipack[o : o + cap].astype(bool),
+                    consumed=ipack[o + cap : o + 2 * cap].astype(
+                        np.int64
+                    ),
+                    ins=ipack[o + 2 * cap : o + 3 * cap].astype(
+                        np.int64
+                    ),
+                    final_ids=ipack[o + 3 * cap :].astype(np.int64),
+                    n_acc=int(ipack[2]),
                     live32=np.asarray(live32, np.float32),
                     max_acc=int(min(max_acc, 2**31 - 1)),
                 )
-            n_prop = int(n_prop)
             k = min(count, cap - filled, cap)
             if k > 0:
                 parts_x.append(np.asarray(buf_x, np.float64)[:k])

@@ -117,14 +117,27 @@ class RejectionProposal(AnalyticProposal):
                 u = jax.random.uniform(key, (N, d), jnp.float32)
                 x = lower + u * (upper - lower)
                 log_l = ll_fn(x, data)
+                # Pack into one float + one int array: per-array fetch
+                # waits cost ~5-7 ms each through the tunnel whatever
+                # the size (see _device_loop_populate).
+                fpack = jnp.concatenate([x.reshape(-1), log_l])
                 if with_scan:
                     from ..samplers.ns_device import scan_consume
 
-                    scan = scan_consume(
+                    mask, consumed, ins, ids_f, n_acc = scan_consume(
                         live_logl, log_l[perm_rev], max_accepts
                     )
-                    return (x, log_l) + scan
-                return x, log_l
+                    ipack = jnp.concatenate(
+                        [
+                            n_acc[None],
+                            mask.astype(jnp.int32),
+                            consumed,
+                            ins,
+                            ids_f,
+                        ]
+                    )
+                    return fpack, ipack
+                return fpack
 
             return jax.jit(fn)
 
@@ -146,20 +159,22 @@ class RejectionProposal(AnalyticProposal):
                 jnp.asarray(perm_rev),
                 jnp.int32(min(max_acc, 2**31 - 1)),
             )
-        out = arrays_to_host(*prog(*args))
+        out = prog(*args)
         if with_scan:
-            x_arr, log_l, mask, consumed, ins, ids_f, n_acc = out
+            fpack, ipack = arrays_to_host(*out)
             self._pending_ns_scan = dict(
-                mask=np.asarray(mask, bool),
-                consumed=np.asarray(consumed, np.int64),
-                ins=np.asarray(ins, np.int64),
-                final_ids=np.asarray(ids_f, np.int64),
-                n_acc=int(n_acc),
+                mask=ipack[1 : 1 + N].astype(bool),
+                consumed=ipack[1 + N : 1 + 2 * N].astype(np.int64),
+                ins=ipack[1 + 2 * N : 1 + 3 * N].astype(np.int64),
+                final_ids=ipack[1 + 3 * N :].astype(np.int64),
+                n_acc=int(ipack[0]),
                 live32=np.asarray(live32, np.float32),
                 max_acc=int(min(max_acc, 2**31 - 1)),
             )
         else:
-            x_arr, log_l = out
+            (fpack,) = arrays_to_host(out)
+        x_arr = fpack[: N * d].reshape(N, d)
+        log_l = fpack[N * d :]
         samples = empty_structured_array(N, names=m.names)
         x64 = np.asarray(x_arr, np.float64)
         for i, name in enumerate(m.names):

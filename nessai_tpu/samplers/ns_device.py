@@ -103,10 +103,23 @@ def scan_consume(live_logl, pool_logl, max_accepts):
 
 
 def _build_scan(n: int, kb: int):
-    """Compile the (nlive=n, poolbucket=kb) standalone stepping program."""
-    import jax
+    """Compile the (nlive=n, poolbucket=kb) standalone stepping program.
 
-    return jax.jit(scan_consume)
+    Outputs are packed into ONE int32 array: each fetched array costs a
+    ~5-7 ms tunnel wait regardless of size (round-5 measurement), so
+    one pack replaces five per-array waits."""
+    import jax
+    import jax.numpy as jnp
+
+    def packed(live_logl, pool_logl, max_accepts):
+        mask, consumed, ins, ids_f, n_acc = scan_consume(
+            live_logl, pool_logl, max_accepts
+        )
+        return jnp.concatenate(
+            [n_acc[None], mask.astype(jnp.int32), consumed, ins, ids_f]
+        )
+
+    return jax.jit(packed)
 
 
 def run_ns_scan(live32, pool32, max_accepts: int):
@@ -140,11 +153,15 @@ def run_ns_scan(live32, pool32, max_accepts: int):
         jnp.asarray(pool_p, jnp.float32),
         jnp.int32(min(max_accepts, 2**31 - 1)),
     )
-    mask, consumed, ins, ids_f, n_acc = arrays_to_host(*out)
+    (ipack,) = arrays_to_host(out)
+    mask = ipack[1 : 1 + kb].astype(bool)
+    consumed = ipack[1 + kb : 1 + 2 * kb]
+    ins = ipack[1 + 2 * kb : 1 + 3 * kb]
+    ids_f = ipack[1 + 3 * kb :]
     return (
         mask[:k],
         consumed[:k].astype(np.int64),
         ins[:k].astype(np.int64),
         ids_f.astype(np.int64),
-        int(n_acc),
+        int(ipack[0]),
     )

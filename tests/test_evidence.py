@@ -383,5 +383,8 @@ def test_simulate_log_evidence_chunking_deterministic():
     state._sim_chunk_elems = 5 * (len(state.logLs) - 1)
     b = state.simulate_log_evidence(32, rng=np.random.default_rng(9))
     del state._sim_chunk_elems
-    np.testing.assert_allclose(a, b, rtol=1e-12)
+    # tolerance covers float32-scratch BLAS reduction-order noise (the
+    # simulation passes run in f32 since round 5; the draws themselves
+    # are identical)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
     assert np.std(a) > 0

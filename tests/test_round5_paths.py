@@ -110,3 +110,30 @@ def test_dispatch_census_groups_shape_buckets():
     f2()
     assert programs.dispatch_census() == {"fam:sub": 2}
     programs.reset_dispatch_count()
+
+
+def test_nested_samples_array_matches_np_array():
+    """The fast bytes-join conversion must be exactly np.array(rows),
+    and the cache must invalidate when the list grows."""
+    import numpy as np
+
+    from nessai_tpu.livepoint import empty_structured_array
+    from nessai_tpu.samplers.nestedsampler import NestedSampler
+    from nessai_tpu.utils.testing import assert_structured_arrays_equal
+
+    ns = NestedSampler.__new__(NestedSampler)
+    x = empty_structured_array(7, names=["x_0", "x_1"])
+    x["x_0"] = np.arange(7.0)
+    x["logL"] = -np.arange(7.0)
+    x["it"] = np.arange(7)
+    ns.nested_samples = [r for r in x[:5]]
+    a = ns.nested_samples_array
+    assert_structured_arrays_equal(a, np.array(ns.nested_samples))
+    assert ns.nested_samples_array is a  # cached
+    ns.nested_samples.extend(x[5:])
+    b = ns.nested_samples_array
+    assert b.shape[0] == 7
+    assert_structured_arrays_equal(b, np.array(ns.nested_samples))
+    # empty + pickling exclusion
+    ns.nested_samples = []
+    assert ns.nested_samples_array.shape[0] == 0
