@@ -11,7 +11,7 @@ control plane (the nested-sampling loop, checkpointing, plotting) runs on
 the host over NumPy structured arrays, matching the reference API.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 _LAZY = {
     "FlowSampler": ("nessai_tpu.flowsampler", "FlowSampler"),
