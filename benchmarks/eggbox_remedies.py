@@ -81,6 +81,12 @@ def main():
     parser.add_argument(
         "--case", choices=["eggbox", "rosenbrock", "all"], default="all"
     )
+    parser.add_argument(
+        "--proposal",
+        choices=["default", "clustering", "mcmc", "all"],
+        default="all",
+        help="run only one proposal config (the runs are long)",
+    )
     args = parser.parse_args()
 
     sys.path.insert(0, "examples")
@@ -112,6 +118,8 @@ def main():
             ),
         }
         for label, kw in configs.items():
+            if args.proposal != "all" and label != args.proposal:
+                continue
             try:
                 rec, fs = run_case(
                     EggboxModel(2),
@@ -150,6 +158,8 @@ def main():
             ),
         }
         for label, kw in configs.items():
+            if args.proposal != "all" and label != args.proposal:
+                continue
             for seed in (1451, 2902):
                 try:
                     rec, _ = run_case(
