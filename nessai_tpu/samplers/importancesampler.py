@@ -1251,7 +1251,7 @@ class ImportanceNestedSampler(BaseNestedSampler):
             self.state.log_evidence,
             self.state.log_evidence_error,
             self.state.effective_n_posterior_samples,
-            self.proposal.n_proposals,
+            getattr(getattr(self, "proposal", None), "n_proposals", 0),
         )
         # Heavy-tailed importance weights (meta-proposal under-fitting
         # the posterior, e.g. curved degeneracies) bias logZ low while
